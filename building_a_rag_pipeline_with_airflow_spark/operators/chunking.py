@@ -1,0 +1,315 @@
+"""Document chunking operators — the reference's core transformation.
+
+Three strategies, matching ``Chunking_Strats/chromadb_rag.py:49-93``:
+
+* fixed-size sliding window (``chunk_document_simple``, :49-61) — pure SQL
+  here: an index ``sequence`` + ``substring``, fully codegen'd, one row in →
+  N rows out via ``explode`` with zero Python.
+* recursive separator-cascade (``RecursiveTokenChunker``, :64-72) — genuinely
+  imperative; implemented as a vectorized pandas_udf returning
+  ``array<string>`` then exploded.
+* semantic / Kamradt (``KamradtModifiedChunker``, :75-93 and
+  ``kamredt_chunking.py:113-131``) — re-expressed as a multi-stage DataFrame
+  plan: sentence-ish min-chunks → embed → neighbor cosine via a ``lag``
+  window → percentile breakpoint threshold → running-sum group ids →
+  ``concat_ws`` merge. Distributes cleanly: every window partitions by
+  doc_id, so no cross-document shuffle coupling.
+
+Scale note: chunking is embarrassingly parallel per document; the only
+shuffles in this module are the per-doc windows in the semantic path, which
+hash-partition on doc_id (no skew: documents are bounded in size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from building_a_rag_pipeline_with_airflow_spark.functions.text import token_count
+from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity
+
+# Reference constants: chromadb_rag.py:28-29 (size 400, overlap 50).
+CHUNK_SIZE = 400
+CHUNK_OVERLAP = 50
+SEPARATORS = ["\n\n", "\n", ".", "?", "!", " ", ""]  # chromadb_rag.py:70
+
+
+def _finish(chunks: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Attach the canonical chunk columns (schema CHUNKS; chunk_id mirrors the
+    reference's f"{source_id}_chunk_{i}", chromadb_rag.py:116)."""
+    return chunks.select(
+        F.concat(F.col(id_col).cast("string"), F.lit("_chunk_"), F.col("chunk_index"))
+        .alias("chunk_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("chunk_text").alias("text"),
+        F.length("chunk_text").cast("int").alias("char_length"),
+        token_count(F.col("chunk_text")).alias("token_length"),
+    )
+
+
+def chunk_fixed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Fixed-size character windows advancing by ``size - overlap``.
+
+    Exact reference semantics (chromadb_rag.py:49-61): chunk i =
+    text[i*step : i*step + size] for every start < len(text). Pure SQL —
+    survives any scale; no shuffle at all (explode is narrow).
+    """
+    step = size - overlap
+    text = F.col(text_col)
+    n_chunks_minus1 = F.floor((F.length(text) - F.lit(1)) / F.lit(step)).cast("int")
+    return _finish(
+        docs.where(F.length(text) > 0)
+        .select(
+            F.col(id_col),
+            text.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_index"),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            F.substring(
+                F.col("_t"), F.col("chunk_index") * step + 1, size
+            ).alias("chunk_text"),
+        ),
+        text_col,
+        id_col,
+    )
+
+
+def _recursive_split(text: str, chunk_size: int, chunk_overlap: int,
+                     separators: list[str], length_fn) -> list[str]:
+    """Separator-cascade splitter (RecursiveCharacterTextSplitter semantics —
+    the public algorithm behind the reference's RecursiveTokenChunker):
+    split on the first separator present; any piece still too large recurses
+    with the remaining separators; small neighbors merge greedily up to
+    chunk_size with chunk_overlap carried between merged chunks."""
+    if not text:
+        return []
+
+    def split_on(t: str, seps: list[str]) -> list[str]:
+        sep = seps[-1]
+        rest: list[str] = []
+        for i, s in enumerate(seps):
+            if s == "":
+                sep, rest = "", []
+                break
+            if s in t:
+                sep, rest = s, seps[i + 1 :]
+                break
+        if sep == "":
+            splits = list(t)
+        else:
+            splits = [p for p in t.split(sep) if p != ""]
+        out: list[str] = []
+        buf: list[str] = []
+        buf_len = 0
+        joiner = sep
+
+        def flush():
+            nonlocal buf, buf_len
+            if buf:
+                merged = joiner.join(buf)
+                if merged.strip():
+                    out.append(merged)
+                # keep overlap: retain trailing pieces up to chunk_overlap
+                keep: list[str] = []
+                klen = 0
+                for piece in reversed(buf):
+                    plen = length_fn(piece)
+                    if klen + plen > chunk_overlap:
+                        break
+                    keep.insert(0, piece)
+                    klen += plen
+                buf = keep
+                buf_len = klen
+
+        for piece in splits:
+            plen = length_fn(piece)
+            if plen > chunk_size and rest:
+                flush()
+                buf, buf_len = [], 0
+                out.extend(split_on(piece, rest))
+                continue
+            if buf_len + plen > chunk_size and buf:
+                flush()
+            buf.append(piece)
+            buf_len += plen
+        if buf:
+            merged = joiner.join(buf)
+            if merged.strip():
+                out.append(merged)
+        return out
+
+    return split_on(text, separators)
+
+
+def recursive_split_py(text: str, chunk_size: int = CHUNK_SIZE,
+                       chunk_overlap: int = CHUNK_OVERLAP,
+                       separators: list[str] | None = None) -> list[str]:
+    """Driver-callable single-string version (used by tests/goldens)."""
+    toks = lambda s: len(s.split())  # noqa: E731 — token length function
+    return _recursive_split(
+        text, chunk_size, chunk_overlap, separators or SEPARATORS, toks
+    )
+
+
+def chunk_recursive(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = CHUNK_SIZE,
+    chunk_overlap: int = CHUNK_OVERLAP,
+    separators: list[str] | None = None,
+) -> DataFrame:
+    """Recursive separator-cascade chunking via a vectorized pandas_udf
+    (1 row → N rows: array<string> + posexplode — the UDTF shape)."""
+    import pandas as pd
+
+    seps = separators or SEPARATORS
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _split(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: recursive_split_py(t or "", chunk_size, chunk_overlap, seps)
+        )
+
+    exploded = (
+        docs.select(F.col(id_col), _split(F.col(text_col)).alias("_chunks"))
+        .select(
+            id_col, F.posexplode("_chunks").alias("chunk_index", "chunk_text")
+        )
+    )
+    return _finish(exploded, text_col, id_col)
+
+
+def chunk_semantic(
+    docs: DataFrame,
+    embed_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chunk_size: int = 50,
+    breakpoint_percentile: float = 0.75,
+) -> DataFrame:
+    """Semantic (Kamradt-style) chunking as a multi-stage DataFrame plan.
+
+    1. sentence-ish min-chunks (split on sentence punctuation, merge to
+       >= min_chunk_size chars) — pandas_udf;
+    2. embed each min-chunk (``embed_fn``: pandas_udf string→array<float>);
+    3. cosine distance between neighbors (window ``lag`` per doc);
+    4. breakpoints where distance exceeds the per-doc percentile threshold
+       (``percentile_approx`` — the distributed analog of the reference's
+       numpy percentile);
+    5. group id = running sum of breakpoints; merge groups with concat_ws.
+
+    Reference: KamradtModifiedChunker(avg 300 / min 50),
+    chromadb_rag.py:88-90, kamredt_chunking.py:124-127.
+    """
+    import pandas as pd
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sentences(s: pd.Series) -> pd.Series:
+        import re
+
+        def split(t):
+            if not t:
+                return []
+            parts = [p.strip() for p in re.split(r"(?<=[.!?\n])\s+", t) if p.strip()]
+            out, buf = [], ""
+            for p in parts:
+                buf = (buf + " " + p).strip() if buf else p
+                if len(buf) >= min_chunk_size:
+                    out.append(buf)
+                    buf = ""
+            if buf:
+                if out:
+                    out[-1] = out[-1] + " " + buf
+                else:
+                    out.append(buf)
+            return out
+
+        return s.map(split)
+
+    sent = (
+        docs.select(F.col(id_col), _sentences(F.col(text_col)).alias("_s"))
+        .select(id_col, F.posexplode("_s").alias("sent_idx", "sent_text"))
+        .withColumn("_emb", embed_fn(F.col("sent_text")))
+    )
+
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    with_dist = sent.withColumn("_prev", F.lag("_emb").over(w)).withColumn(
+        "dist",
+        F.when(F.col("_prev").isNull(), F.lit(None)).otherwise(
+            1.0 - cosine_similarity("_emb", "_prev")
+        ),
+    )
+    thresholds = with_dist.groupBy(id_col).agg(
+        F.percentile_approx("dist", breakpoint_percentile).alias("_thr")
+    )
+    grouped = (
+        with_dist.join(thresholds, id_col)
+        .withColumn(
+            "is_break",
+            F.when(
+                F.col("dist").isNotNull() & (F.col("dist") > F.col("_thr")), 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("is_break").over(w))
+    )
+    merged = (
+        grouped.groupBy(id_col, "grp")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("sent_idx", "sent_text"))
+                ).getField("sent_text"),
+                " ",
+            ).alias("chunk_text")
+        )
+        .withColumn(
+            "chunk_index",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("grp")) - 1,
+        )
+        .drop("grp")
+    )
+    return _finish(merged, text_col, id_col)
+
+
+def chunk_stats(chunks: DataFrame, by: str = "doc_id") -> DataFrame:
+    """Per-doc chunk statistics (reference analyze_chunks,
+    kamredt_chunking.py:52-81): count / avg / min / max of char_length."""
+    return chunks.groupBy(by).agg(
+        F.count("*").cast("bigint").alias("chunk_count"),
+        F.round(F.avg("char_length"), 4).alias("avg_chars"),
+        F.min("char_length").alias("min_chars"),
+        F.max("char_length").alias("max_chars"),
+    )
+
+
+def adjacent_overlap(chunks: DataFrame, size: int = CHUNK_SIZE,
+                     overlap_step: int = CHUNK_SIZE - CHUNK_OVERLAP) -> DataFrame:
+    """Position-based overlap between consecutive fixed chunks (replaces the
+    reference's O(n²) pairwise scan, chunk_visualizer.py:420-459, with a lag
+    window — the semantically meaningful adjacent case per
+    kamredt_chunking.py:83-105)."""
+    w = Window.partitionBy("doc_id").orderBy("chunk_index")
+    prev_len = F.lag("char_length").over(w)
+    # previous chunk spans [prev_start, prev_start+prev_len); current starts
+    # at chunk_index*step — overlap = prev_end - cur_start, clipped at 0.
+    cur_start = F.col("chunk_index") * overlap_step
+    prev_start = (F.col("chunk_index") - 1) * overlap_step
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        F.when(prev_len.isNull(), F.lit(0))
+        .otherwise(F.greatest(prev_start + prev_len - cur_start, F.lit(0)))
+        .cast("int")
+        .alias("overlap_chars"),
+    )

@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines (north-star surface).
+
+The reference only dedups implicitly via deterministic chunk ids
+(``Chunking_Strats/chromadb_rag.py:116``); a 100 TB corpus pipeline needs the
+full ladder:
+
+* exact dedup — md5-of-normalized-text groupBy (one shuffle on the hash key,
+  uniform by construction → no skew).
+* n-gram Jaccard near-dup — shingle inverted index → candidate pairs via
+  equi-join on shingle → Jaccard from intersection counts. Never a cross
+  join; the shuffle is bounded by the posting-list sizes (hot shingles are
+  capped — the classic spam-pair guard).
+* MinHash + LSH banding — signature via min over (a·id + b) mod p
+  permutations of *vocabulary-ranked* shingle ids (rank, not an engine hash,
+  so external oracles reproduce it exactly); band buckets → candidates →
+  verified Jaccard.
+* SimHash — md5-derived per-shingle 64-bit vectors, majority per bit.
+* embedding near-dup — cosine threshold pairs (delegates to similarity ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.functions.text import (
+    normalized_text,
+    word_ngrams,
+)
+
+MERSENNE_P = 2147483647  # 2^31 - 1: permutation modulus for minhash
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical (normalized) texts; canonical row = min id.
+
+    Output: fingerprint, n_copies, canonical_id. One hash-partitioned
+    aggregation; partial (map-side) aggregation applies automatically."""
+    return (
+        df.select(F.md5(normalized_text(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(F.md5(normalized_text(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Exploded distinct word-n-gram shingles: (id, shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs by n-gram Jaccard similarity.
+
+    Inverted-index plan: explode shingles → drop shingles shared by more than
+    ``max_posting`` docs (stop-shingle guard: a shingle in half the corpus
+    would otherwise emit O(n²) pairs) → self-equi-join on shingle → count
+    intersection per pair → Jaccard via |A|+|B|-|A∩B|.
+    Output: id_a < id_b, jaccard (rounded 4)."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
+    posting_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_posting)
+        .select("shingle")
+    )
+    sh = sh.join(posting_ok, "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_vocabulary(sh: DataFrame) -> DataFrame:
+    """Rank distinct shingles alphabetically → dense integer ids.
+
+    Deterministic and engine-independent (unlike murmur/xxhash), so minhash
+    signatures are exactly reproducible by any SQL oracle. The global sort is
+    one shuffle over the (deduped) vocabulary only — small relative to the
+    corpus."""
+    return (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "shingle_id",
+            F.row_number().over(Window.orderBy("shingle")).cast("bigint"),
+        )
+    )
+
+
+def _permutation_params(num_perm: int, seed: int = 42):
+    """Deterministic (a, b) pairs for (a*x + b) mod p permutations."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: sig_j = min over shingles of
+    (a_j * shingle_id + b_j) mod p. One aggregation per doc; the vocabulary
+    join broadcasts when small, shuffles on shingle otherwise."""
+    sh = shingles(df, text_col, id_col, n)
+    vocab = shingle_vocabulary(sh)
+    ids = sh.join(vocab, "shingle").select(id_col, "shingle_id")
+    params = _permutation_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("shingle_id") + F.lit(b)) % F.lit(MERSENNE_P))
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return ids.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    verify_threshold: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified with true
+    n-gram Jaccard. bands × rows-per-band = num_perm; a pair is a candidate
+    iff some band's row-slice matches exactly (equi-join on the band key)."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
+    rows_per_band = num_perm // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(bidx)),
+                *[F.col(f"mh{bidx * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            )
+            for bidx in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return cand.join(verified, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+    ).where(F.col("jaccard") >= verify_threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint: per-shingle md5-derived {-1,+1} bit vectors summed
+    per doc, sign per bit → 64-bit fingerprint (as a bit string column).
+
+    md5→bit extraction is conv(hex-slice) — engine built-ins only."""
+    sh = shingles(df, text_col, id_col, n)
+    h = F.md5(F.col("shingle"))
+    # 64 bits from the first 16 hex chars, via conv(hex, 16, 10) → bigint.
+    word = F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(21,0)").cast("bigint")
+    bit_cols = [
+        F.when(F.shiftright(word, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        .alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = sh.select(F.col(id_col), *bit_cols).groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+          for i in range(bits - 1, -1, -1)]
+    )
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing + exact
+    verification (id_a < id_b, cosine >= threshold)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+    )
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    band_size = n_planes // n_bands
+    sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+    bands_arr = F.array(
+        *[
+            F.concat(F.lit(f"{b}:"),
+                     F.substring("_sig", b * band_size + 1, band_size))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.withColumn("band", F.explode(bands_arr))
+    x = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("_va"), "band")
+    y = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "band")
+    return (
+        x.join(y, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_similarity("_va", "_vb"), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode mirrors the test rig (local[32], single JVM); on a real cluster the
+same confs apply unchanged — AQE for runtime re-planning/skew handling, Arrow
+for the pandas-UDF hot paths, UTC session time so timestamp semantics match
+the (naive-UTC) parquet test data and any SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for 100 TB-scale behavior, not just local tests:
+#  - AQE coalesces small shuffle partitions and splits skewed ones at runtime,
+#    so a static shuffle.partitions misestimate is self-correcting.
+#  - autoBroadcastJoinThreshold stays at default (10 MB); dimension tables
+#    (region/nation/supplier/part at any SF) broadcast automatically.
+#  - maxPartitionBytes 128 MB keeps scan tasks right-sized for wide clusters.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "building_a_rag_pipeline_with_airflow_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real deployment the master
+    comes from spark-submit and this argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

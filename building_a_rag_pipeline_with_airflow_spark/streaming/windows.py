@@ -1,0 +1,103 @@
+"""Windowed / watermarked event-stream operators.
+
+The reference has only scheduler-level incrementality (@daily DAG,
+``dags:66-72``; poll loops ``dags:78-90``); at 100 TB the ingestion path is a
+stream. These helpers are written against the *batch-or-stream* DataFrame
+API: the same function works on a static events DataFrame (tests, backfill)
+and a ``readStream`` source (production), which is exactly how Structured
+Streaming is meant to be used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
+
+
+def parse_props(df: DataFrame, col: str = "props") -> DataFrame:
+    """JSON-string props → typed struct (T10 serde)."""
+    return df.withColumn("props_parsed", F.from_json(F.col(col), PROPS_SCHEMA))
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts + value sums. With a watermark, late rows past
+    the bound are dropped and window state is evicted — bounded state at any
+    scale."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("win"), *group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("win"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    user_col: str = "user_id",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the reference's poll-loop
+    'sessions' concept done natively."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(user_col))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def stream_from_directory(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a landing directory (the Spark version of the
+    reference's scrape-then-poll ingestion, dags:78-90)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
