@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time = plan build + execution + collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # tabular / TPC-H-shaped
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "filter_pushdown_orders",
+    "latest_order_per_customer",
+    "histogram_quantity",
+    # RAG path
+    "chunk_fixed_documents",
+    "chunk_stats",
+    "token_counts_documents",
+    "doc_quality_scores",
+    "lang_id_documents",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    # vectors
+    "topk_cosine",
+    "knn_join",
+    "embedding_norms",
+    # events
+    "events_hourly",
+    "events_sessionize",
+    "events_props_json",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from building_a_rag_pipeline_with_airflow_spark import get_spark
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="building_a_rag_pipeline_with_airflow_spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-call JIT (this VM has very slow JVM warm-up).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a failed query must not hide the rest
+            times[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

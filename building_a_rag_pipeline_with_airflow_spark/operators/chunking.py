@@ -22,6 +22,7 @@ hash-partition on doc_id (no skew: documents are bounded in size).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -171,8 +172,6 @@ def chunk_recursive(
 ) -> DataFrame:
     """Recursive separator-cascade chunking via a vectorized pandas_udf
     (1 row → N rows: array<string> + posexplode — the UDTF shape)."""
-    import pandas as pd
-
     seps = separators or SEPARATORS
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -212,7 +211,6 @@ def chunk_semantic(
     Reference: KamradtModifiedChunker(avg 300 / min 50),
     chromadb_rag.py:88-90, kamredt_chunking.py:124-127.
     """
-    import pandas as pd
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _sentences(s: pd.Series) -> pd.Series:

@@ -215,16 +215,16 @@ def minhash_lsh_pairs(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
-    bits: int = 64,
+    bits: int = 60,
 ) -> DataFrame:
     """SimHash fingerprint: per-shingle md5-derived {-1,+1} bit vectors summed
-    per doc, sign per bit → 64-bit fingerprint (as a bit string column).
+    per doc, sign per bit → 60-bit fingerprint (as a bit string column).
 
-    md5→bit extraction is conv(hex-slice) — engine built-ins only."""
+    md5→bit extraction is conv(hex-slice) — engine built-ins only. 15 hex
+    chars = 60 bits, chosen so the value always fits a signed bigint."""
     sh = shingles(df, text_col, id_col, n)
     h = F.md5(F.col("shingle"))
-    # 64 bits from the first 16 hex chars, via conv(hex, 16, 10) → bigint.
-    word = F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(21,0)").cast("bigint")
+    word = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
     bit_cols = [
         F.when(F.shiftright(word, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         .alias(f"b{i}")
@@ -252,15 +252,20 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing + exact
     verification (id_a < id_b, cosine >= threshold)."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
     from building_a_rag_pipeline_with_airflow_spark.operators.similarity import (
         _hyperplanes,
         lsh_signature,
     )
-    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity
 
     planes = _hyperplanes(dim, n_planes, seed)
     band_size = n_planes // n_bands
-    sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+    sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes)).withColumn(
+        "_norm", l2_norm(F.col(vec_col))
+    )
     bands_arr = F.array(
         *[
             F.concat(F.lit(f"{b}:"),
@@ -270,16 +275,20 @@ def embedding_near_dups(
     )
     banded = sig.withColumn("band", F.explode(bands_arr))
     x = banded.select(F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("_va"), "band")
+                      F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
+                      "band")
     y = banded.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("_vb"), "band")
+                      F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"),
+                      "band")
     return (
         x.join(y, "band")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a", "id_b",
-            F.round(cosine_similarity("_va", "_vb"), 4).alias("cosine"),
+            F.round(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    l2_norm,
 )
 
 TOP_K = 5  # reference default, chromadb_rag.py:18
@@ -66,11 +67,19 @@ def knn_join(
     Queries are broadcast (they are the small side by contract); the corpus
     is scanned once per partition with no shuffle; the only shuffle is the
     per-query window over scored candidates.
+
+    Norms are projected once per row before the join so the per-pair work
+    inside the nested loop is a single dot product.
     """
-    scored = corpus.join(F.broadcast(queries)).select(
+    qn = queries.withColumn("_qn", l2_norm(q_vec))
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    scored = cn.join(F.broadcast(qn)).select(
         F.col(q_id),
         F.col(c_id),
-        F.round(cosine_similarity(F.col(c_vec), F.col(q_vec)), 4).alias("score"),
+        F.round(
+            dot_product(F.col(c_vec), F.col(q_vec)) / (F.col("_cn") * F.col("_qn")),
+            4,
+        ).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
@@ -138,8 +147,13 @@ def lsh_knn_join(
         .dropDuplicates([q_id, c_id])
     )
     scored = cand.select(
-        q_id, c_id,
-        F.round(cosine_similarity(F.col(c_vec), F.col(q_vec)), 4).alias("score"),
+        q_id,
+        c_id,
+        F.round(
+            dot_product(F.col(c_vec), F.col(q_vec))
+            / (l2_norm(F.col(c_vec)) * l2_norm(F.col(q_vec))),
+            4,
+        ).alias("score"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (

@@ -45,7 +45,7 @@ def fetch_filtered(
     df: DataFrame,
     filters: Mapping[str, Any] | None = None,
     order_by: Sequence[str] | None = None,
-    limit: int = 5000,
+    limit: int | None = 5000,
     offset: int = 0,
 ) -> DataFrame:
     """Scan + filter + deterministic paginate (reference S10/O1:
@@ -60,7 +60,9 @@ def fetch_filtered(
         df = df.orderBy(*order_by)
     if offset:
         df = df.offset(offset)
-    return df.limit(limit)
+    # A huge limit is NOT a no-op: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject whose per-partition heap is sized by k.
+    return df if limit is None else df.limit(limit)
 
 
 def filterable_columns(df: DataFrame) -> list[str]:

@@ -1,0 +1,1064 @@
+"""The engine's query inventory: every SURVEY.md §2 operator exposed as a
+named query with (a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and
+(b) where SQL-expressible, an equivalent DuckDB oracle SQL string.
+
+Output discipline (so oracle value-hash comparison is stable):
+* no raw timestamp columns — always ``date_format``/``strftime`` to string
+  (tz-aware vs naive hashing would differ);
+* every double is ``round(x, 2|4)`` with the same rounding on both sides;
+* int-typed aggregates cast identically (DuckDB ``count`` is BIGINT,
+  ``sum(int)`` would be HUGEINT — avoided/cast);
+* every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark import schemas
+from building_a_rag_pipeline_with_airflow_spark.functions import text as tx
+from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity, l2_norm
+from building_a_rag_pipeline_with_airflow_spark.operators import chunking, dedup, similarity, tabular
+from building_a_rag_pipeline_with_airflow_spark.plans.sqlgate import run_read_only
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return schemas.load_table(spark, sf_dir, name)
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Tabular path (E3 parity: S10/F4/F5/O1-O3/A6/A9/A10/T8/T13, TPC-H-style J5)
+# --------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem — partial+final hash agg; the filter
+    pushes to the parquet scan (PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: broadcast-joined dims, top-10 by revenue.
+
+    customer is small at any SF relative to lineitem → Catalyst broadcasts;
+    the only real shuffle is the groupBy on o_orderkey."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, lineitem never
+    shuffles before the final (tiny) groupBy on n_name."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@q(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — every predicate pushes to
+    parquet; zero shuffle (single-row result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@q(
+    "filter_pushdown_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2)              AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d')   AS orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      AND o_totalprice BETWEEN 50000.0 AND 150000.0
+      AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def filter_pushdown_orders(spark, sf_dir):
+    """Reference F4 (Frontend/app.py:182-198): the WHERE-builder dict —
+    date-range list, numeric-range tuple, categorical equality — as Column
+    predicates; Catalyst pushes all three to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    filtered = tabular.fetch_filtered(
+        o,
+        filters={
+            "o_orderdate": [dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31)],
+            "o_totalprice": (50000.0, 150000.0),
+            "o_orderpriority": "1-URGENT",
+        },
+        order_by=["o_orderkey"],
+        limit=None,
+    )
+    return filtered.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+@q(
+    "pagination_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2)            AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100 OFFSET 200
+    """,
+)
+def pagination_orders(spark, sf_dir):
+    """Reference O1 (LIMIT/OFFSET pagination, app.py:198): deterministic
+    order on the unique key, then offset+limit (CollectLimit with offset)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+    return tabular.fetch_filtered(o, order_by=["o_orderkey"], limit=100, offset=200)
+
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Reference O2/O3 (sort desc, take first): TakeOrderedAndProject — no
+    global sort materializes."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+@q(
+    "value_counts_mktsegment",
+    """
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment
+    """,
+)
+def value_counts_mktsegment(spark, sf_dir):
+    """Reference A6 (pandas value_counts, app.py:567)."""
+    return tabular.value_counts(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+@q(
+    "column_profile_orders",
+    """
+    SELECT count(DISTINCT o_orderpriority)          AS n_priorities,
+           count(DISTINCT o_orderstatus)            AS n_statuses,
+           round(min(o_totalprice), 2)              AS min_price,
+           round(max(o_totalprice), 2)              AS max_price,
+           strftime(min(o_orderdate), '%Y-%m-%d')   AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d')   AS max_date
+    FROM orders
+    """,
+)
+def column_profile_orders(spark, sf_dir):
+    """Reference A9/A10 (widget-type probe: cardinality + min/max bounds,
+    app.py:497-505) in one aggregation pass. Exact countDistinct here for
+    oracle comparability; the library's column_profile uses
+    approx_count_distinct (the scale-correct choice)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@q(
+    "orders_year_quarter",
+    """
+    SELECT CAST(year(o_orderdate) AS VARCHAR) || 'q' || CAST(quarter(o_orderdate) AS VARCHAR)
+             AS year_quarter,
+           count(*) AS n
+    FROM orders GROUP BY year_quarter ORDER BY year_quarter
+    """,
+)
+def orders_year_quarter(spark, sf_dir):
+    """Reference T8 (Backend/api.py:22-26: date → '2023q2')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(tabular.year_quarter("o_orderdate").alias("year_quarter"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("year_quarter")
+    )
+
+
+@q(
+    "orders_date_validation",
+    """
+    SELECT count(*) FILTER (WHERE regexp_matches(ds, '^\\d{4}-\\d{2}-\\d{2}$')
+                              AND year(o_orderdate) BETWEEN 1996 AND 1999) AS n_valid,
+           count(*) FILTER (WHERE NOT (regexp_matches(ds, '^\\d{4}-\\d{2}-\\d{2}$')
+                              AND year(o_orderdate) BETWEEN 1996 AND 1999)) AS n_invalid
+    FROM (SELECT o_orderdate, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders) t
+    """,
+)
+def orders_date_validation(spark, sf_dir):
+    """Reference F8 (Backend/api.py:11-19: strict date regex + year-range
+    validation) applied as a check-constraint expression."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "ds", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    valid = tabular.valid_report_date(F.col("ds"), 1996, 1999)
+    return o.agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count(F.when(~valid, 1)).alias("n_invalid"),
+    )
+
+
+@q(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark, sf_dir):
+    """Reference T13 (latest-by-mtime file selection, dags:314-319) as the
+    top-1-per-group window idiom."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "histogram_quantity",
+    """
+    WITH b AS (SELECT min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem)
+    SELECT bucket,
+           round(lo + bucket * (hi - lo) / 10.0, 4)       AS bin_lo,
+           round(lo + (bucket + 1) * (hi - lo) / 10.0, 4) AS bin_hi,
+           count(*) AS n
+    FROM (SELECT least(CAST(floor((l_quantity - lo) / ((hi - lo) / 10.0)) AS INT), 9) AS bucket,
+                 lo, hi
+          FROM lineitem, b) t
+    GROUP BY bucket, lo, hi ORDER BY bucket
+    """,
+)
+def histogram_quantity(spark, sf_dir):
+    """Reference A3 (np.histogram(bins=10), chunk_visualizer.py:412-418)."""
+    return tabular.histogram(_t(spark, sf_dir, "lineitem"), "l_quantity", bins=10)
+
+
+@q(
+    "distinct_nation_segments",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def distinct_nation_segments(spark, sf_dir):
+    """Set op: dropDuplicates (§2.9)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .dropDuplicates()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@q(
+    "nations_without_suppliers",
+    """
+    SELECT n_nationkey, n_name FROM nation n
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    ORDER BY n_nationkey
+    """,
+)
+def nations_without_suppliers(spark, sf_dir):
+    """Anti join (free in Spark; reference had no join engine at all)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left_anti")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@q(
+    "union_distinct_values",
+    """
+    SELECT DISTINCT val FROM (
+      SELECT c_mktsegment AS val FROM customer
+      UNION ALL
+      SELECT o_orderpriority AS val FROM orders
+    ) t ORDER BY val
+    """,
+)
+def union_distinct_values(spark, sf_dir):
+    """Set op: union + distinct (§2.9)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("val"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("val"))
+    return c.unionByName(o).distinct().orderBy("val")
+
+
+@q(
+    "rollup_returnflag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2)     AS sum_qty,
+           count(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def rollup_returnflag_status(spark, sf_dir):
+    """Multi-level aggregation via ROLLUP (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_SQL_TOP_CUSTOMERS = """
+    SELECT n_name, c_name, revenue, rnk FROM (
+      SELECT n.n_name, c.c_name,
+             round(sum(o.o_totalprice), 2) AS revenue,
+             CAST(row_number() OVER (PARTITION BY n.n_name
+                                     ORDER BY round(sum(o.o_totalprice), 2) DESC,
+                                              c.c_name) AS INT) AS rnk
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name, c.c_name
+    ) t WHERE rnk <= 3 ORDER BY n_name, rnk
+"""
+
+
+@q("sql_top_customers_per_nation", _SQL_TOP_CUSTOMERS)
+def sql_top_customers_per_nation(spark, sf_dir):
+    """Reference F7/J5 (custom-SQL passthrough, app.py:274-309): arbitrary
+    user SELECT executed through the read-only plan gate — the same SQL text
+    the oracle runs."""
+    schemas.register_views(spark, sf_dir, ("customer", "nation", "orders"))
+    return run_read_only(spark, _SQL_TOP_CUSTOMERS)
+
+
+# --------------------------------------------------------------------------
+# RAG path: chunking (T1/T2), stats (A1-A5), token counts (T5)
+# --------------------------------------------------------------------------
+
+# Shared DuckDB CTE reproducing chunk_fixed (size 400 / overlap 50 → step
+# 350, reference chromadb_rag.py:28-29,49-61).
+_CHUNK_CTE = """
+    WITH starts AS (
+      SELECT d.doc_id, d.text AS doc_text,
+             unnest(generate_series(0,
+               CAST(floor((length(d.text) - 1) / 350.0) AS BIGINT))) AS i
+      FROM documents d WHERE length(d.text) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT)                                   AS chunk_index,
+             substring(doc_text, CAST(i AS INT) * 350 + 1, 400) AS text
+      FROM starts
+    )
+"""
+
+
+@q(
+    "chunk_fixed_documents",
+    _CHUNK_CTE
+    + """
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(chunk_index AS VARCHAR) AS chunk_id,
+           doc_id, chunk_index, text,
+           CAST(length(text) AS INT) AS char_length,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_length
+    FROM chunks ORDER BY doc_id, chunk_index
+    """,
+)
+def chunk_fixed_documents(spark, sf_dir):
+    """T1 fixed-size chunking — pure SQL sequence+substring (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_fixed(docs).orderBy("doc_id", "chunk_index")
+
+
+@q(
+    "chunk_stats",
+    _CHUNK_CTE
+    + """
+    SELECT doc_id,
+           count(*)                              AS chunk_count,
+           round(avg(length(text)), 4)           AS avg_chars,
+           CAST(min(length(text)) AS INT)        AS min_chars,
+           CAST(max(length(text)) AS INT)        AS max_chars
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def chunk_stats_q(spark, sf_dir):
+    """A1/A2 chunk statistics (reference analyze_chunks,
+    kamredt_chunking.py:52-81)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_stats(chunking.chunk_fixed(docs)).orderBy("doc_id")
+
+
+@q(
+    "chunk_overlap_adjacent",
+    _CHUNK_CTE
+    + """
+    SELECT doc_id, chunk_index,
+           CAST(CASE WHEN prev_len IS NULL THEN 0
+                     ELSE greatest(prev_len - 350, 0) END AS INT) AS overlap_chars
+    FROM (SELECT doc_id, chunk_index,
+                 lag(length(text)) OVER (PARTITION BY doc_id ORDER BY chunk_index) AS prev_len
+          FROM chunks) t
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def chunk_overlap_adjacent(spark, sf_dir):
+    """A5/A7: adjacent-chunk overlap via lag window — replaces the
+    reference's O(n²) pairwise scan (chunk_visualizer.py:420-459)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.adjacent_overlap(chunking.chunk_fixed(docs)).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+@q(
+    "token_counts_documents",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)          AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INT)
+             AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts_documents(spark, sf_dir):
+    """T5 token counting (reference tiktoken length fn — whitespace and
+    BPE-ish regex variants, both JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_token_count("text").alias("n_tokens_bpe"),
+    ).orderBy("doc_id")
+
+
+_STOP_EN_SQL = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+@q(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           round(0.5  * least(length(text) / 500.0, 1.0)
+               + 0.25 * least(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                              / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0)
+               + 0.25 * least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                               t -> list_contains({_STOP_EN_SQL}, t))) AS DOUBLE)
+                              / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 4.0, 1.0)
+               , 4) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    """Text-quality scoring (north-star text analysis): length + punctuation
+    + stopword-ratio composite."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score("text"), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "[" + ",".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" t -> list_contains({words}, t))) AS INT)"
+    )
+
+
+@q(
+    "lang_id_documents",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN en = 0 AND es = 0 AND fr = 0 AND de = 0 AND zh = 0 THEN 'und'
+                WHEN zh >= en AND zh >= es AND zh >= fr AND zh >= de THEN 'zh'
+                WHEN fr >= en AND fr >= es AND fr >= de THEN 'fr'
+                WHEN es >= en AND es >= de THEN 'es'
+                WHEN en >= de THEN 'en'
+                ELSE 'de' END AS predicted
+    FROM (SELECT doc_id, lang,
+                 {_lang_hits_sql('en')} AS en,
+                 {_lang_hits_sql('es')} AS es,
+                 {_lang_hits_sql('fr')} AS fr,
+                 {_lang_hits_sql('de')} AS de,
+                 {_lang_hits_sql('zh')} AS zh
+          FROM documents) t
+    ORDER BY doc_id
+    """,
+)
+def lang_id_documents(spark, sf_dir):
+    """Language-id heuristic (stopword vote; argmax with alphabetically-last
+    tiebreak, mirrored exactly in the oracle CASE chain)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", tx.lang_id("text").alias("predicted")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dedup (exact / jaccard / minhash) — north-star training-data operators
+# --------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_documents",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           count(*)     AS n_copies,
+           min(doc_id)  AS canonical_id
+    FROM documents
+    GROUP BY fingerprint ORDER BY fingerprint
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup by md5-of-normalized-text (md5 so the oracle can
+    reproduce the key; engine-internal paths may use xxhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("fingerprint")
+
+
+# DuckDB 3-gram shingles mirroring functions.text.word_ngrams: token slice
+# windows, whole-doc shingle when shorter than n, distinct.
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx
+    )
+"""
+
+
+@q(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) t WHERE jaccard >= 0.1
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Near-dup candidate pairs by word-3-gram Jaccard via shingle inverted
+    index (no cross join; posting-list equi-join only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.1).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle_sql(num_perm: int = 8, seed: int = 42) -> str:
+    params = dedup._permutation_params(num_perm, seed)
+    mh_cols = ",\n           ".join(
+        f"CAST(min(({a} * sid + {b}) % {dedup.MERSENNE_P}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , vocab AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      FROM (SELECT DISTINCT shingle FROM grams) v
+    ),
+    ids AS (SELECT g.doc_id, v.sid FROM grams g JOIN vocab v USING (shingle))
+    SELECT doc_id, {mh_cols}
+    FROM ids GROUP BY doc_id ORDER BY doc_id
+    """
+    )
+
+
+@q("minhash_signatures", _minhash_oracle_sql(8, 42))
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures over rank-based shingle ids — engine-independent
+    permutation hashing, so the oracle reproduces signatures bit-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_perm=8, seed=42).orderBy("doc_id")
+
+
+@q("minhash_lsh_pairs", None)  # composed pipeline — rows-only check
+def minhash_lsh_pairs_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_perm=8, bands=4, seed=42, verify_threshold=0.05
+    ).orderBy("id_a", "id_b")
+
+
+@q("simhash_documents", None)  # conv(hex) not portable to the oracle — rows-only
+def simhash_documents_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vector / retrieval (V1-V3, J3) over the embeddings table
+# --------------------------------------------------------------------------
+
+_COS_SQL = "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
+
+
+@q(
+    "topk_cosine",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_COS_SQL}, 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def topk_cosine_q(spark, sf_dir):
+    """V2 exact top-k cosine retrieval (reference collection.query, TOP_K=5,
+    chromadb_rag.py:18,127-140). Query vector = embedding of vec_id 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.topk_cosine(
+        emb, qvec, k=5, prefilter=F.col("vec_id") != 0
+    )
+
+
+@q(
+    "hybrid_topk_cosine",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_COS_SQL}, 4) AS score
+    FROM embeddings e, q
+    WHERE e.label = 3
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def hybrid_topk_cosine_q(spark, sf_dir):
+    """V3 hybrid (metadata-filtered) search: label predicate applied BEFORE
+    scoring — at scale this is a partition-pruned scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.topk_cosine(emb, qvec, k=5, prefilter=F.col("label") == 3)
+
+
+@q(
+    "knn_join",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+               FROM embeddings WHERE vec_id >= 3)
+    SELECT q_id, vec_id, score, rank FROM (
+      SELECT q.q_id, c.vec_id,
+             round(list_cosine_similarity(c.ev, q.qv), 4) AS score,
+             CAST(row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(c.ev, q.qv), 4) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM q, c
+    ) t WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+)
+def knn_join_q(spark, sf_dir):
+    """J3 k-NN join: 3 query vectors × corpus, top-3 each (broadcast the
+    query side; the corpus never shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    return similarity.knn_join(queries, corpus, k=3).orderBy("q_id", "rank")
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                     'sum')), 4) AS l2
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Normalize-at-write support: dim + L2 norm per vector (pure SQL
+    aggregate over the array column)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("l2"),
+    ).orderBy("vec_id")
+
+
+@q(
+    "near_dup_embeddings_exact",
+    """
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE cosine >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def near_dup_embeddings_exact(spark, sf_dir):
+    """Embedding near-dup pairs, exact quadratic verify (oracle-matched
+    baseline; the LSH-bucketed variant is the scale path).
+
+    Norms are computed once per row BEFORE the pair join — inside the join
+    the per-pair work is a single dot product, not three array aggregations.
+    The streamed side is repartitioned so the nested-loop join parallelizes
+    across cores instead of running on the single parquet-file partition.
+    """
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm("embedding").alias("_na"),
+    ).repartition(32)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm("embedding").alias("_nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q("lsh_knn_join", None)  # approximate — rows-only check
+def lsh_knn_join_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    return similarity.lsh_knn_join(queries, corpus, k=3, dim=64).orderBy("q_id", "rank")
+
+
+@q("rag_retrieve_context", None)  # hashed embedder — not SQL-expressible
+def rag_retrieve_context(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index, rag_query
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_index(docs, strategy="fixed")
+    return rag_query(index, "spark join merge table scan", k=5)
+
+
+@q("chunk_recursive_documents", None)  # pandas_udf splitter — rows-only
+def chunk_recursive_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_recursive(docs, chunk_size=60, chunk_overlap=10).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+@q("chunk_semantic_documents", None)  # embedder-dependent — rows-only
+def chunk_semantic_documents(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return chunking.chunk_semantic(docs, hashed_embedder_udf(16)).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+# --------------------------------------------------------------------------
+# Events / streaming-shape queries (batch semantics identical to stream)
+# --------------------------------------------------------------------------
+
+@q(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window counts in batch form (same groupBy the streaming
+    tumbling_counts uses — batch/stream parity by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events
+      ) d
+    ) g
+    GROUP BY user_id, grp
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Session windows (5-minute gap) per user via session_window — the
+    oracle reproduces Spark's [min_ts, max_ts + gap) window with the classic
+    gaps-and-islands construction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@q(
+    "events_props_json",
+    """
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY k_mod ORDER BY k_mod
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """T10 JSON serde: from_json the props string, aggregate on a derived
+    key."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+    return (
+        parsed.groupBy((F.col("k") % 10).cast("bigint").alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_mod")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None}

@@ -99,8 +99,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → column pruning and predicate
-    pushdown apply to whatever the caller selects/filters downstream."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pushdown apply to whatever the caller selects/filters downstream.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet — Spark reads it as
+    long (nanosAsLong); convert ns → µs with integer division (lossless for
+    this data; ns values exceed double precision, so never divide as float).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

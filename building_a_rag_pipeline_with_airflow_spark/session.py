@@ -26,6 +26,9 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
+    # test parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    # for; read as long and convert at the source (schemas.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
@@ -47,6 +50,10 @@ def get_spark(
     if master is None and not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+        # local mode = driver-only: the driver heap IS executor memory.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     if master:
         builder = builder.master(master)
     conf = dict(_BASE_CONF)

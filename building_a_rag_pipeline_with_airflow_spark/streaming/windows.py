@@ -101,3 +101,22 @@ def stream_from_directory(spark, path: str, schema) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(path)
     )
+
+
+def read_events_stream(spark, path: str) -> DataFrame:
+    """Stream the events table from a directory, converting the parquet's
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) to a true µs timestamp
+    — mirror of schemas.load_table for the batch side."""
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return stream_from_directory(spark, path, raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )

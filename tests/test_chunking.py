@@ -1,0 +1,101 @@
+"""Golden-value tests for the chunking operators (reference semantics:
+chromadb_rag.py:49-61 fixed; RecursiveTokenChunker args :64-72)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import chunking
+
+
+def _ref_fixed(text: str, size: int = 400, overlap: int = 50) -> list[str]:
+    # verbatim reference semantics: chunk_document_simple
+    step = size - overlap
+    return [text[i : i + size] for i in range(0, len(text), step)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a" * 1000),
+        (2, "b" * 400),       # boundary: exactly one window
+        (3, "c" * 351),       # boundary: one past a step
+        (4, "short"),
+        (5, ""),              # empty → no chunks
+        (6, None),            # null → no chunks
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fixed_matches_reference_loop(spark, docs):
+    got = {
+        (r.doc_id, r.chunk_index): r.text
+        for r in chunking.chunk_fixed(docs).collect()
+    }
+    for doc_id, text in [(1, "a" * 1000), (2, "b" * 400), (3, "c" * 351), (4, "short")]:
+        expected = _ref_fixed(text)
+        for i, chunk in enumerate(expected):
+            assert got[(doc_id, i)] == chunk, (doc_id, i)
+        assert (doc_id, len(expected)) not in got
+    assert not any(k[0] in (5, 6) for k in got)
+
+
+def test_fixed_chunk_ids_and_lengths(spark, docs):
+    row = (
+        chunking.chunk_fixed(docs)
+        .where((F.col("doc_id") == 1) & (F.col("chunk_index") == 1))
+        .first()
+    )
+    assert row.chunk_id == "1_chunk_1"  # reference id format chromadb_rag.py:116
+    assert row.char_length == 400
+    assert row.token_length == 1  # 'a'*400 has a single whitespace token
+
+
+def test_recursive_split_respects_chunk_size():
+    text = "one two three. four five six. seven eight nine. ten eleven twelve."
+    chunks = chunking.recursive_split_py(text, chunk_size=6, chunk_overlap=2)
+    assert chunks, "must produce chunks"
+    assert all(len(c.split()) <= 6 for c in chunks)
+    # all input words survive, in order
+    joined = " ".join(chunks)
+    for word in ("one", "six", "twelve"):
+        assert word in joined
+
+
+def test_recursive_separator_cascade_paragraphs():
+    text = "para one here\n\npara two here\n\npara three here"
+    chunks = chunking.recursive_split_py(text, chunk_size=3, chunk_overlap=0)
+    assert chunks == ["para one here", "para two here", "para three here"]
+
+
+def test_recursive_char_fallback():
+    # no separators at all and longer than chunk_size → character split path
+    chunks = chunking.recursive_split_py("abcdefghij", chunk_size=4, chunk_overlap=0)
+    assert chunks  # does not loop forever / crash
+
+
+def test_semantic_chunking_groups_and_covers(spark):
+    from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
+
+    text = (
+        "spark spark spark spark spark spark spark spark spark spark. "
+        "spark spark spark spark spark spark spark spark spark spark. "
+        "llama llama llama llama llama llama llama llama llama llama. "
+        "llama llama llama llama llama llama llama llama llama llama."
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunking.chunk_semantic(
+        docs, hashed_embedder_udf(16), min_chunk_size=30
+    ).collect()
+    assert len(out) >= 1
+    merged = " ".join(r.text for r in sorted(out, key=lambda r: r.chunk_index))
+    assert "spark" in merged and "llama" in merged
+    # indices are dense from 0
+    assert sorted(r.chunk_index for r in out) == list(range(len(out)))
+
+
+def test_adjacent_overlap_matches_constant(spark, docs):
+    out = chunking.adjacent_overlap(chunking.chunk_fixed(docs)).collect()
+    by_key = {(r.doc_id, r.chunk_index): r.overlap_chars for r in out}
+    assert by_key[(1, 0)] == 0
+    assert by_key[(1, 1)] == 50  # interior chunks overlap by exactly CHUNK_OVERLAP
+    assert by_key[(3, 1)] == 1   # 351-char doc: second chunk is 1 char
