@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata (north-star operator family; no reference counterpart — the
+reference stops at base64-decoded OCR images, ``testing_code/MistralTest.py:
+66-88``).
+
+Design: media payloads ride in a ``binary`` column next to a typed metadata
+struct; per-item compute (decode, resize, feature-extract, frame-sample) is
+``mapInPandas`` over Arrow batches so bytes never round-trip through Python
+row objects one at a time. The actual codec work needs media libraries that
+are NOT in this container — the decode core is stubbed behind
+``decode_image_stub`` (deterministic fake, clearly marked); everything
+Spark-side (schema, batching, partition sizing, UDF signatures) is real and
+tested.
+
+Scale notes: media rows are large and skew-prone — ``repartition_for_media``
+targets a byte budget per partition, not a row count; feature extraction
+emits fixed-size vectors so downstream shuffles carry features, not bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def decode_image_stub(data: bytes | None) -> tuple[int, int]:
+    """STUB decode: deterministic fake (md5-derived WxH) standing in for a
+    real image decoder (PIL/libvips not installed here). Replace the body
+    with e.g. ``PIL.Image.open(io.BytesIO(data)).size`` in production —
+    callers only see the (width, height) contract."""
+    if not data:
+        return (0, 0)
+    h = hashlib.md5(data).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192)
+
+
+def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fake media corpus for tests: payload = packed id bytes
+    (so decode_image_stub output is stable across runs/processes)."""
+    rows = []
+    for i in range(n):
+        payload = struct.pack(">q", i) * 16
+        rows.append((i, kind, f"{kind}/fake", bytearray(payload), None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def repartition_for_media(df: DataFrame, avg_item_bytes: int,
+                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Partition by byte budget: media items are large, so row-count-based
+    defaults under/overshoot wildly. Narrow transformation planning only —
+    the caller knows avg item size from the source (e.g. binaryFile length)."""
+    rows_per_part = max(1, target_partition_bytes // max(1, avg_item_bytes))
+    n_rows = df.count()
+    n_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
+    return df.repartition(n_parts)
+
+
+def extract_image_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Decode (stubbed) → fill meta.width/height. mapInPandas: one Arrow
+    batch in, one out; bytes never become Python row objects."""
+
+    fields = [f.name for f in df.schema.fields]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf[data_col].map(
+                lambda b: decode_image_stub(bytes(b) if b is not None else None)
+            )
+            meta = pd.DataFrame(
+                {
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "duration_ms": pd.Series([None] * len(pdf), dtype="object"),
+                    "sample_rate": pd.Series([None] * len(pdf), dtype="object"),
+                }
+            )
+            out = pdf.drop(columns=["meta"])
+            out["meta"] = meta.to_dict("records")
+            yield out[fields]
+
+    return df.mapInPandas(op, schema=df.schema)
+
+
+def image_features(df: DataFrame, data_col: str = "data", dim: int = 16,
+                   out_col: str = "features") -> DataFrame:
+    """Deterministic byte-histogram feature vector (unit L2) — the fixed-size
+    embedding a real vision model would produce; downstream similarity/dedup
+    operators consume it exactly like text embeddings."""
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[data_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8) if b is not None else np.array([], np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = float(np.linalg.norm(hist))
+                feats.append((hist / norm if norm else hist).astype("float32").tolist())
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 32,
+                 data_col: str = "data") -> DataFrame:
+    """Video frame-sampling shape: 1 media row → N frame rows. The stub
+    'frames' are byte slices; a real impl swaps the slicer for a codec. The
+    explode keeps lineage columns so frames re-join to their source."""
+    frame = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_data", T.BinaryType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_data": []}
+            for mid, b in zip(pdf["media_id"], pdf[data_col]):
+                raw = bytes(b) if b is not None else b""
+                for i in range(0, max(len(raw), 1), every_n_bytes):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i // every_n_bytes)
+                    out["frame_data"].append(raw[i : i + every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, schema=frame)

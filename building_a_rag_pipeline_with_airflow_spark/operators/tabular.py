@@ -164,9 +164,12 @@ def year_quarter(col: Column | str) -> Column:
 
 def valid_report_date(col: Column | str, lo_year: int = 2009,
                       hi_year: int = 2024) -> Column:
-    """Reference F8 (Backend/api.py:11-19): strict yyyy-MM-dd + year range."""
+    """Reference F8 (Backend/api.py:11-19): strict yyyy-MM-dd + year range.
+
+    try_to_date (not to_date): under ANSI mode (Spark 4 default) to_date
+    THROWS on malformed input; validation must yield false, not fail."""
     c = F.col(col) if isinstance(col, str) else col
-    parsed = F.to_date(c, "yyyy-MM-dd")
+    parsed = F.try_to_date(c, "yyyy-MM-dd")
     return (
         c.rlike(r"^\d{4}-\d{2}-\d{2}$")
         & parsed.isNotNull()

@@ -38,17 +38,22 @@ def parse_plan_class(spark: SparkSession, sql: str) -> str:
 
 
 def is_read_only(spark: SparkSession, sql: str) -> bool:
+    """True iff the statement parses to a pure query. Unparseable input
+    (including multi-statement strings) is NOT read-only — it can't be
+    admitted, so the gate answers False rather than raising."""
     try:
         cls = parse_plan_class(spark, sql)
-    except Exception as exc:  # parse error → not executable at all
-        raise ValueError(f"SQL does not parse: {exc}") from None
+    except Exception:
+        return False
     return not _FORBIDDEN.search(cls)
 
 
 def run_read_only(spark: SparkSession, sql: str) -> DataFrame:
     """Execute arbitrary user SQL iff its parsed plan is a pure query."""
-    if not is_read_only(spark, sql):
-        raise ReadOnlyViolation(
-            f"statement is not read-only (plan: {parse_plan_class(spark, sql)})"
-        )
+    try:
+        cls = parse_plan_class(spark, sql)
+    except Exception as exc:
+        raise ValueError(f"SQL does not parse: {exc}") from None
+    if _FORBIDDEN.search(cls):
+        raise ReadOnlyViolation(f"statement is not read-only (plan: {cls})")
     return spark.sql(sql)

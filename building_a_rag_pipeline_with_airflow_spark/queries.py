@@ -1056,6 +1056,308 @@ def events_props_json(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Second wave: F3 classification, part joins, theta joins, pivot, LSH oracle
+# --------------------------------------------------------------------------
+
+@q(
+    "quarter_classification",
+    """
+    SELECT doc_id, link_text, url,
+           CASE WHEN lower(url) LIKE '%commentary%' OR lower(url) LIKE '%presentation%'
+                     OR lower(url) LIKE '%trend%' THEN NULL
+                WHEN lower(link_text) LIKE 'q1%' THEN 'Q1'
+                WHEN lower(link_text) LIKE 'q2%' THEN 'Q2'
+                WHEN lower(link_text) LIKE 'q3%' THEN 'Q3'
+                WHEN lower(link_text) LIKE 'q4%' THEN 'Q4'
+                WHEN lower(url) LIKE '%/q1/%' THEN 'Q1'
+                WHEN lower(url) LIKE '%/q2/%' THEN 'Q2'
+                WHEN lower(url) LIKE '%/q3/%' THEN 'Q3'
+                WHEN lower(url) LIKE '%/q4/%' THEN 'Q4'
+                ELSE NULL END AS quarter
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Q' || CAST(doc_id % 4 + 1 AS VARCHAR) || ' 2024 10-Q'
+                  ELSE 'Form 10-K' END AS link_text,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'https://ir.example.com/commentary/q2/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+                  ELSE 'https://ir.example.com/q' || CAST(doc_id % 4 + 1 AS VARCHAR)
+                       || '/doc' || CAST(doc_id AS VARCHAR) || '.pdf' END AS url
+      FROM documents
+    ) t ORDER BY doc_id
+    """,
+)
+def quarter_classification(spark, sf_dir):
+    """Reference F2+F3 (dags:170-203): supplementary-URL blacklist + quarter
+    classification by link-text prefix then URL path segment. Inputs are
+    synthesized deterministically from doc_id in BOTH engines so the CASE
+    semantics themselves are what is compared."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Q"), (F.col("doc_id") % 4 + 1).cast("string"),
+                     F.lit(" 2024 10-Q")),
+        ).otherwise(F.lit("Form 10-K")).alias("link_text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("https://ir.example.com/commentary/q2/doc"),
+                     F.col("doc_id").cast("string"), F.lit(".pdf")),
+        ).otherwise(
+            F.concat(F.lit("https://ir.example.com/q"),
+                     (F.col("doc_id") % 4 + 1).cast("string"), F.lit("/doc"),
+                     F.col("doc_id").cast("string"), F.lit(".pdf"))
+        ).alias("url"),
+    )
+    return synth.select(
+        "doc_id", "link_text", "url",
+        tabular.classify_quarter("link_text", "url").alias("quarter"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast part join + conditional aggregation."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "brand_revenue_topk",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue DESC, p.p_brand
+    LIMIT 5
+    """,
+)
+def brand_revenue_topk(spark, sf_dir):
+    """Fact-dim join + top-k group agg (part broadcast at any SF)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(5)
+    )
+
+
+@q(
+    "pairwise_overlap_stats",
+    _CHUNK_CTE
+    + """
+    , spans AS (
+      SELECT doc_id, chunk_index,
+             chunk_index * 350                 AS s,
+             chunk_index * 350 + length(text)  AS e
+      FROM chunks WHERE doc_id < 50
+    )
+    SELECT a.doc_id,
+           count(*) AS overlap_count,
+           round(avg(least(a.e, b.e) - greatest(a.s, b.s)), 4) AS avg_overlap_size
+    FROM spans a JOIN spans b
+      ON a.doc_id = b.doc_id AND a.chunk_index < b.chunk_index
+     AND a.e > b.s AND b.e > a.s
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def pairwise_overlap_stats(spark, sf_dir):
+    """Reference A4/A7 (O(n²) pairwise overlap scan + interval count,
+    chunk_visualizer.py:259-261,420-459) as a theta self-join on position
+    spans (J4). Restricted to doc_id < 50 — the full pairwise form is
+    intentionally bounded; adjacent_overlap is the scale-safe variant."""
+    chunks = chunking.chunk_fixed(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    )
+    step = chunking.CHUNK_SIZE - chunking.CHUNK_OVERLAP
+    spans = chunks.select(
+        "doc_id",
+        "chunk_index",
+        (F.col("chunk_index") * step).alias("s"),
+        (F.col("chunk_index") * step + F.col("char_length")).alias("e"),
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.chunk_index") < F.col("b.chunk_index"))
+        & (F.col("a.e") > F.col("b.s"))
+        & (F.col("b.e") > F.col("a.s")),
+    )
+    return (
+        pairs.groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("overlap_count"),
+            F.round(
+                F.avg(
+                    F.least(F.col("a.e"), F.col("b.e"))
+                    - F.greatest(F.col("a.s"), F.col("b.s"))
+                ),
+                4,
+            ).alias("avg_overlap_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "chunk_first_positions",
+    _CHUNK_CTE
+    + """
+    SELECT c.doc_id, c.chunk_index,
+           CAST(strpos(d.text, c.text) AS INT) AS first_pos
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+    ORDER BY c.doc_id, c.chunk_index
+    """,
+)
+def chunk_first_positions(spark, sf_dir):
+    """Reference A8 (chunk → position mapping via str.find,
+    chunk_visualizer.py:79-105): locate() of each chunk in its document
+    (1-based first occurrence, 0 = not found — same in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_fixed(docs)
+    return (
+        chunks.join(docs.select("doc_id", F.col("text").alias("_doc_text")), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_index",
+            # F.locate only takes a literal needle; the SQL form takes columns
+            F.expr("CAST(locate(text, _doc_text) AS INT)").alias("first_pos"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+@q(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark, sf_dir):
+    """Pivot (status columns per priority) via groupBy().pivot() with
+    explicit values — no extra pass to discover them; renamed to match the
+    oracle's FILTER aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _minhash_lsh_oracle_sql(num_perm: int = 8, bands: int = 4,
+                            seed: int = 42, threshold: float = 0.05) -> str:
+    params = dedup._permutation_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    mh_exprs = ",\n             ".join(
+        f"CAST(min(({a} * sid + {b}) % {dedup.MERSENNE_P}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, '{b}:' || "
+        .format(b=bidx)
+        + " || ':' || ".join(
+            f"CAST(mh{bidx * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + " AS band FROM sigs"
+        for bidx in range(bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , vocab AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      FROM (SELECT DISTINCT shingle FROM grams) v
+    ),
+    ids AS (SELECT g.doc_id, v.sid FROM grams g JOIN vocab v USING (shingle)),
+    sigs AS (
+      SELECT doc_id, {mh_exprs}
+      FROM ids GROUP BY doc_id
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT c.id_a, c.id_b, coalesce(j.jaccard, 0.0) AS jaccard
+    FROM cand c LEFT JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE coalesce(j.jaccard, 0.0) >= {threshold}
+    ORDER BY c.id_a, c.id_b
+    """
+    )
+
+
+# upgrade minhash_lsh_pairs from rows-only to a full oracle check
+REGISTRY["minhash_lsh_pairs"] = (
+    REGISTRY["minhash_lsh_pairs"][0],
+    _minhash_lsh_oracle_sql(8, 4, 42, 0.05),
+)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec[0] for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,106 @@
+"""Tests: multimodal binary-column operators + hermetic OCR path +
+acquisition manifest pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+from building_a_rag_pipeline_with_airflow_spark.operators import ocr
+from building_a_rag_pipeline_with_airflow_spark.sources import acquisition as acq
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthesize_media(spark, n=16)
+
+
+def test_extract_image_meta_deterministic(spark, media):
+    out1 = {r.media_id: (r.meta.width, r.meta.height)
+            for r in mm.extract_image_meta(media).collect()}
+    out2 = {r.media_id: (r.meta.width, r.meta.height)
+            for r in mm.extract_image_meta(media).collect()}
+    assert out1 == out2
+    assert all(64 <= w < 256 and 64 <= h < 256 for (w, h) in out1.values())
+    # schema unchanged (meta filled in place)
+    assert mm.extract_image_meta(media).schema == media.schema
+
+
+def test_image_features_unit_norm(spark, media):
+    rows = mm.image_features(media, dim=16).select("media_id", "features").collect()
+    assert all(len(r.features) == 16 for r in rows)
+    for r in rows:
+        norm = sum(x * x for x in r.features) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+
+
+def test_frame_sample_covers_payload(spark, media):
+    frames = mm.frame_sample(media, every_n_bytes=32).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    # payload is 128 bytes → 4 frames each
+    assert all(len(v) == 4 for v in by_media.values())
+    assert all(len(bytes(r.frame_data)) <= 32 for r in frames)
+
+
+def test_repartition_for_media(spark, media):
+    out = mm.repartition_for_media(media, avg_item_bytes=64 << 20,
+                                   target_partition_bytes=128 << 20)
+    assert out.rdd.getNumPartitions() == 8  # 16 rows / 2-per-part
+
+
+def test_ocr_pipeline_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"pdfbytes-1")), (2, bytearray(b"pdfbytes-2")), (3, None)],
+        "doc_id long, content binary",
+    )
+    pages = ocr.ocr_documents(docs)
+    got = pages.collect()
+    assert all(r.doc_id in (1, 2) for r in got)  # null content → no pages
+
+    # T7: base64 decode strips the data: prefix
+    imgs = ocr.decode_images(pages).collect()
+    assert all(bytes(r.image_bytes) == b"hello" for r in imgs)
+
+    # T6: image links rewritten to the per-doc path
+    rewritten = ocr.rewrite_image_links(pages, base_path="imgs").collect()
+    for r in rewritten:
+        assert f"](imgs/{r.doc_id}/{r.page_no}/img-{r.page_no}.jpeg)" in r.markdown
+        assert "](img-" not in r.markdown
+
+    # page assembly joins with \n\n in page order
+    assembled = {r.doc_id: r for r in ocr.assemble_document_markdown(pages).collect()}
+    for did, row in assembled.items():
+        parts = row.markdown.split("\n\n")
+        assert row.n_pages >= 1
+        assert parts[0].startswith("# Page 0")
+
+
+def test_acquisition_manifest_pipeline(spark):
+    links = [
+        ("Q1 2024 10-Q", "https://x/a/q1-doc.pdf"),
+        ("Q1 2024 10-Q mirror", "https://x/b/q1-doc.pdf"),
+        ("Form 10-K", "https://x/q4/ar.pdf"),
+        ("Q2 commentary", "https://x/commentary/q2/c.pdf"),  # blacklisted
+        ("Q3 deck", "https://x/q3/deck.pptx"),               # not .pdf
+    ]
+    manifest = acq.manifest_from_links(spark, links)
+    classified = acq.classify_manifest(manifest)
+    got = {(r.quarter, r.url) for r in classified.collect()}
+    assert got == {
+        ("Q1", "https://x/a/q1-doc.pdf"),
+        ("Q1", "https://x/b/q1-doc.pdf"),
+        ("Q4", "https://x/q4/ar.pdf"),
+    }
+    picked = acq.pick_first_per_quarter(classified)
+    assert {r.quarter: r.url for r in picked.collect()} == {
+        "Q1": "https://x/a/q1-doc.pdf",
+        "Q4": "https://x/q4/ar.pdf",
+    }
+    fetched = acq.fetch_documents(picked)
+    rows = fetched.collect()
+    assert all(r.content is not None and len(bytes(r.content)) == 128 for r in rows)
+    keyed = acq.landing_keys(fetched, base="bucket", year="2024")
+    keys = {r.key for r in keyed.collect()}
+    assert "bucket/nvidia_quarterly_report/2024/q1.pdf" in keys
+    assert "bucket/nvidia_quarterly_report/2024/q4.pdf" in keys

@@ -28,8 +28,7 @@ def test_sqlgate_blocks_writes(spark):
         with pytest.raises((ReadOnlyViolation, Exception)):
             run_read_only(spark, bad)
     # the reference's startswith('select') gate passes this; ours must not
-    assert not is_read_only(spark, "  select * from gate_t; drop table gate_t") \
-        or True  # multi-statement strings fail to parse → ValueError is fine
+    assert not is_read_only(spark, "  select * from gate_t; drop table gate_t")
 
 
 def test_sqlgate_rejects_garbage(spark):
