@@ -11,9 +11,9 @@ full ladder:
   join; the shuffle is bounded by the posting-list sizes (hot shingles are
   capped — the classic spam-pair guard).
 * MinHash + LSH banding — signature via min over (a·id + b) mod p
-  permutations of *vocabulary-ranked* shingle ids (rank, not an engine hash,
-  so external oracles reproduce it exactly); band buckets → candidates →
-  verified Jaccard.
+  permutations of md5-derived shingle ids (md5, not an engine-private hash,
+  so external oracles reproduce it exactly; no vocabulary join or global
+  sort); band buckets → candidates → verified Jaccard.
 * SimHash — md5-derived per-shingle 64-bit vectors, majority per bit.
 * embedding near-dup — cosine threshold pairs (delegates to similarity ops).
 """
@@ -119,13 +119,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_id(col: "F.Column | str") -> "F.Column":
+    """Deterministic 60-bit shingle id in [0, p): md5 hex prefix → bigint,
+    mod p. Engine-independent (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT) % p), unlike murmur/xxhash — so signatures are exactly
+    reproducible by any SQL oracle. No vocabulary sort, no join: minhash
+    becomes a pure map + per-doc aggregation, which is the 100 TB-safe
+    shape (the previous rank-based vocabulary forced a single-partition
+    global window)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MERSENNE_P)
+    )
+
+
 def shingle_vocabulary(sh: DataFrame) -> DataFrame:
     """Rank distinct shingles alphabetically → dense integer ids.
 
-    Deterministic and engine-independent (unlike murmur/xxhash), so minhash
-    signatures are exactly reproducible by any SQL oracle. The global sort is
-    one shuffle over the (deduped) vocabulary only — small relative to the
-    corpus."""
+    Kept for vocabularies that genuinely need dense ranks (e.g. feature
+    indices). NOT used by minhash: the global row_number window moves the
+    whole vocabulary to one partition — use :func:`shingle_id` instead."""
     return (
         sh.select("shingle")
         .distinct()
@@ -155,11 +169,11 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per doc: sig_j = min over shingles of
-    (a_j * shingle_id + b_j) mod p. One aggregation per doc; the vocabulary
-    join broadcasts when small, shuffles on shingle otherwise."""
+    (a_j * shingle_id + b_j) mod p, with shingle_id an md5-derived value in
+    [0, p) (a*x+b stays under 2^63). One narrow map + one per-doc
+    aggregation — no join, no sort, no skew."""
     sh = shingles(df, text_col, id_col, n)
-    vocab = shingle_vocabulary(sh)
-    ids = sh.join(vocab, "shingle").select(id_col, "shingle_id")
+    ids = sh.select(F.col(id_col), shingle_id("shingle").alias("shingle_id"))
     params = _permutation_params(num_perm, seed)
     aggs = [
         F.min((F.lit(a) * F.col("shingle_id") + F.lit(b)) % F.lit(MERSENNE_P))

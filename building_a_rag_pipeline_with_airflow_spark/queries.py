@@ -741,6 +741,12 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.1).orderBy("id_a", "id_b")
 
 
+# md5-derived shingle id, identical to operators.dedup.shingle_id
+_SID_SQL = (
+    f"(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {dedup.MERSENNE_P})"
+)
+
+
 def _minhash_oracle_sql(num_perm: int = 8, seed: int = 42) -> str:
     params = dedup._permutation_params(num_perm, seed)
     mh_cols = ",\n           ".join(
@@ -750,11 +756,7 @@ def _minhash_oracle_sql(num_perm: int = 8, seed: int = 42) -> str:
     return (
         _SHINGLE_CTE
         + f"""
-    , vocab AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      FROM (SELECT DISTINCT shingle FROM grams) v
-    ),
-    ids AS (SELECT g.doc_id, v.sid FROM grams g JOIN vocab v USING (shingle))
+    , ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM grams)
     SELECT doc_id, {mh_cols}
     FROM ids GROUP BY doc_id ORDER BY doc_id
     """
@@ -1314,11 +1316,7 @@ def _minhash_lsh_oracle_sql(num_perm: int = 8, bands: int = 4,
     return (
         _SHINGLE_CTE
         + f"""
-    , vocab AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      FROM (SELECT DISTINCT shingle FROM grams) v
-    ),
-    ids AS (SELECT g.doc_id, v.sid FROM grams g JOIN vocab v USING (shingle)),
+    , ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM grams),
     sigs AS (
       SELECT doc_id, {mh_exprs}
       FROM ids GROUP BY doc_id
