@@ -23,6 +23,8 @@ HEADLINE = [
     "filter_pushdown_orders",
     "latest_order_per_customer",
     "histogram_quantity",
+    "q10_returned_revenue",
+    "q18_large_orders",
     # RAG path
     "chunk_fixed_documents",
     "chunk_stats",
@@ -32,9 +34,13 @@ HEADLINE = [
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "winnow_fingerprints",
     # vectors
     "topk_cosine",
     "knn_join",
+    "ivf_topk_cosine",
+    # multimodal plumbing
+    "media_image_meta",
     "embedding_norms",
     # events
     "events_hourly",

@@ -116,14 +116,15 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (minhash/jaccard input).
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an already-materialized token array.
 
-    Pure SQL: slide an index sequence over the token array with transform +
-    array_join; no Python.
+    Callers should project the token array into its own column first —
+    referencing a `split(...)` expression inside the transform lambda would
+    re-split the text once per gram (visible as a nested `split` under
+    `lambdafunction` in the physical plan).
     """
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
@@ -131,6 +132,18 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (minhash/jaccard input).
+
+    Pure SQL: slide an index sequence over the token array with transform +
+    array_join; no Python. Column-context convenience — DataFrame-level
+    callers (``operators.dedup.shingles``) project tokens to a column first
+    and use :func:`ngrams_from_tokens` to avoid re-tokenizing per gram.
+    """
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return ngrams_from_tokens(toks, n)
 
 
 def try_tiktoken_udf():

@@ -45,5 +45,12 @@ def l2_normalize(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Three array aggregations per pair (dot + one norm per side) — the
+    zero-denominator case rides on ``try_divide`` returning NULL (in ANSI
+    and legacy modes alike), coalesced to 0.0, instead of a ``when`` guard
+    that would re-evaluate both norms and double the per-row work. Null
+    inputs stay null via the (cheap, non-aggregating) isNull gate."""
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+    return F.when(
+        _c(a).isNull() | _c(b).isNull(), F.lit(None).cast("double")
+    ).otherwise(F.coalesce(F.try_divide(dot_product(a, b), denom), F.lit(0.0)))

@@ -1,1 +1,21 @@
 """Distributed operators: chunking, dedup, similarity, tabular, retrieval."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than cores.
+
+    Row-explosion operators (shingling, chunking, position n-grams) multiply
+    each input row 40-1000×; when the source is one small parquet file the
+    explosion otherwise runs single-threaded. The guard is a no-op on any
+    healthily-partitioned input (a 100 TB table always has >> cores
+    partitions), so the extra shuffle exists only in the degenerate case it
+    fixes — and it shuffles the *pre-explosion* (small) rows."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

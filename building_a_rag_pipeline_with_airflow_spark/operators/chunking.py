@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from building_a_rag_pipeline_with_airflow_spark.functions.text import token_count
 from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity
+from building_a_rag_pipeline_with_airflow_spark.operators import ensure_min_partitions
 
 # Reference constants: chromadb_rag.py:28-29 (size 400, overlap 50).
 CHUNK_SIZE = 400
@@ -67,7 +68,7 @@ def chunk_fixed(
     text = F.col(text_col)
     n_chunks_minus1 = F.floor((F.length(text) - F.lit(1)) / F.lit(step)).cast("int")
     return _finish(
-        docs.where(F.length(text) > 0)
+        ensure_min_partitions(docs).where(F.length(text) > 0)
         .select(
             F.col(id_col),
             text.alias("_t"),
@@ -181,7 +182,8 @@ def chunk_recursive(
         )
 
     exploded = (
-        docs.select(F.col(id_col), _split(F.col(text_col)).alias("_chunks"))
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), _split(F.col(text_col)).alias("_chunks"))
         .select(
             id_col, F.posexplode("_chunks").alias("chunk_index", "chunk_text")
         )
@@ -236,7 +238,8 @@ def chunk_semantic(
         return s.map(split)
 
     sent = (
-        docs.select(F.col(id_col), _sentences(F.col(text_col)).alias("_s"))
+        ensure_min_partitions(docs)
+        .select(F.col(id_col), _sentences(F.col(text_col)).alias("_s"))
         .select(id_col, F.posexplode("_s").alias("sent_idx", "sent_text"))
         .withColumn("_emb", embed_fn(F.col("sent_text")))
     )

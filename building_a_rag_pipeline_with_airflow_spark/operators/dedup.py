@@ -24,9 +24,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.functions.text import (
+    ngrams_from_tokens,
     normalized_text,
+    tokens,
     word_ngrams,
 )
+from building_a_rag_pipeline_with_airflow_spark.operators import ensure_min_partitions
 
 MERSENNE_P = 2147483647  # 2^31 - 1: permutation modulus for minhash
 
@@ -63,9 +66,19 @@ def drop_exact_duplicates(
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """Exploded distinct word-n-gram shingles: (id, shingle)."""
-    return df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    """Exploded distinct word-n-gram shingles: (id, shingle).
+
+    Tokens are projected to their own column before the n-gram transform so
+    the text is split once per row, not once per gram; the input is
+    repartitioned to core count iff it arrives narrow (single small file),
+    since the ~40-1000× explode would otherwise run on one thread."""
+    pre = ensure_min_partitions(df).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    return pre.select(
+        F.col(id_col),
+        F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
 
@@ -83,7 +96,16 @@ def ngram_jaccard_pairs(
     ``max_posting`` docs (stop-shingle guard: a shingle in half the corpus
     would otherwise emit O(n²) pairs) → self-equi-join on shingle → count
     intersection per pair → Jaccard via |A|+|B|-|A∩B|.
-    Output: id_a < id_b, jaccard (rounded 4)."""
+    Output: id_a < id_b, jaccard (rounded 4).
+
+    The shingle table feeds four plan branches (sizes, posting filter, both
+    join sides) and is recomputed per branch — deliberately NOT persisted:
+    an unscoped ``persist`` from inside a lazy operator can never be
+    unpersisted safely (the caller may not have collected yet) and measurably
+    degrades every later job in a long-lived session. At scale the right
+    reuse mechanism is materializing the shingle table once
+    (``write.parquet`` an inverted index) and building pair stats from
+    that."""
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
     posting_ok = (
@@ -252,6 +274,54 @@ def simhash(
           for i in range(bits - 1, -1, -1)]
     )
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    algorithm): hash every character k-gram of the normalized text, slide a
+    window of ``w`` consecutive hashes, keep the minimum of each window;
+    the distinct kept hashes are the doc's fingerprint set.
+
+    Guarantees: any shared substring of length >= k + w - 1 between two docs
+    yields at least one shared fingerprint — the basis for plagiarism /
+    near-dup detection with ~1/w of the k-gram hashes retained.
+
+    Hashes are md5-derived (see :func:`shingle_id`) so an external SQL
+    oracle reproduces them exactly. Everything is per-doc: explode positions
+    (narrow), window over (doc, pos) — hash-partitioned by doc, no
+    cross-document shuffle. Output: doc_id, n_fingerprints, min_fp, max_fp.
+    """
+    pre = ensure_min_partitions(df).select(
+        F.col(id_col), normalized_text(text_col).alias("_norm")
+    )
+    n_pos = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1))
+    grams = pre.select(
+        F.col(id_col),
+        F.col("_norm"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        shingle_id(F.substring(F.col("_norm"), F.col("pos"), k)).alias("gram_hash"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    selected = grams.select(
+        F.col(id_col), F.min("gram_hash").over(win).alias("fp")
+    )
+    return (
+        selected.groupBy(id_col)
+        .agg(
+            F.count_distinct("fp").cast("bigint").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
 
 
 def embedding_near_dups(

@@ -71,6 +71,22 @@ def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Wrap a text table as a media table (payload = UTF-8 bytes of the
+    text): gives the multimodal operators a deterministic corpus that any
+    SQL oracle can reason about (md5/byte-length of the payload equal
+    md5/octet_length of the text). Production replaces this with
+    ``spark.read.format('binaryFile')``."""
+    meta_t = MEDIA_SCHEMA["meta"].dataType
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(f"{kind}/fake").alias("mime"),
+        F.col("text").cast("binary").alias("data"),
+        F.lit(None).cast(meta_t).alias("meta"),
+    )
+
+
 def repartition_for_media(df: DataFrame, avg_item_bytes: int,
                           target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Partition by byte budget: media items are large, so row-count-based

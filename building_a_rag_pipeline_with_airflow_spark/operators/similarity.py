@@ -108,6 +108,109 @@ def lsh_signature(vec_col, planes) -> "F.Column":
     return F.concat(*bits)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    cell_id: str = "cell_id",
+    cell_vec: str = "cell_vec",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (IVF cell).
+
+    Centroids are the small side by construction (√n to n/100 cells) and
+    broadcast; the corpus is scanned once with no shuffle except the
+    per-vector argmax window. Similarities are rounded to 4 decimals with
+    cell-id tie-break so the assignment is reproducible bit-for-bit by any
+    engine (the oracle requirement).
+
+    At 100 TB the output is what you ``write.partitionBy(cell_id)`` — the
+    probe path then prunes to nprobe partitions instead of scanning the
+    corpus.
+
+    Norms are projected once per side before the join (knn_join pattern) so
+    the per-pair work in the corpus×centroids loop is one dot product, not
+    five interpreted array aggregations — cosine's norm terms would
+    otherwise be re-evaluated per pair inside the guard AND the division."""
+    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    cent = centroids.withColumn("_celln", l2_norm(cell_vec))
+    scored = cn.join(F.broadcast(cent)).select(
+        corpus["*"],
+        F.col(cell_id),
+        F.round(
+            dot_product(F.col(c_vec), F.col(cell_vec))
+            / (F.col("_cn") * F.col("_celln")),
+            4,
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy(c_id).orderBy(F.desc("_csim"), F.asc(cell_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_csim")
+    )
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    stride: int = 16,
+    nprobe: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: bucket the corpus into cells by nearest centroid,
+    probe only the ``nprobe`` cells whose centroids are closest to the query,
+    exact-rank within the probed cells.
+
+    Centroid selection here is deterministic subsampling (every ``stride``-th
+    vector) so results are exactly reproducible by a SQL oracle; production
+    swaps that one line for MLlib ``KMeans.fit`` centers without touching the
+    probe path. Scale shape: centroid set stays broadcast-small, the scan
+    of non-probed cells is skipped entirely (partition pruning when the index
+    is written partitioned by cell), and the final top-k is a per-partition
+    heap (TakeOrderedAndProject), never a global sort."""
+    centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
+        F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
+    )
+    assigned = ivf_assign(corpus, centroids, c_id, c_vec)
+
+    # Query norm is a constant: fold it on the driver with the same
+    # left-to-right double summation Spark's aggregate uses, so the literal
+    # is bit-identical to what an in-plan l2_norm(q) would produce — but
+    # costs zero per-row work.
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    q_norm = F.lit(qn**0.5)
+    probed = (
+        centroids.select(
+            "cell_id",
+            F.round(
+                dot_product(F.col("cell_vec"), q) / (l2_norm("cell_vec") * q_norm),
+                4,
+            ).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    return (
+        assigned.join(F.broadcast(probed), "cell_id")
+        .select(
+            F.col(c_id),
+            F.col("cell_id"),
+            F.round(
+                dot_product(F.col(c_vec), q) / (l2_norm(c_vec) * q_norm), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(c_id))
+        .limit(k)
+    )
+
+
 def lsh_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

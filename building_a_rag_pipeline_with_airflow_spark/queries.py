@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from building_a_rag_pipeline_with_airflow_spark import schemas
 from building_a_rag_pipeline_with_airflow_spark.functions import text as tx
 from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity, l2_norm
-from building_a_rag_pipeline_with_airflow_spark.operators import chunking, dedup, similarity, tabular
+from building_a_rag_pipeline_with_airflow_spark.operators import (
+    chunking,
+    dedup,
+    multimodal,
+    similarity,
+    tabular,
+)
 from building_a_rag_pipeline_with_airflow_spark.plans.sqlgate import run_read_only
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
@@ -1354,6 +1360,225 @@ REGISTRY["minhash_lsh_pairs"] = (
     REGISTRY["minhash_lsh_pairs"][0],
     _minhash_lsh_oracle_sql(8, 4, 42, 0.05),
 )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (the similarity-search scale path), winnowing fingerprints,
+# multimodal plumbing, and additional join shapes
+# --------------------------------------------------------------------------
+
+@q(
+    "ivf_topk_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+             WHERE vec_id <> 0),
+    cent AS (SELECT vec_id AS cell_id, ev AS cv FROM corp WHERE vec_id % 16 = 1),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.ev, ct.cv), 4) DESC,
+                          ct.cell_id
+               ) AS rn
+        FROM corp c CROSS JOIN cent ct
+      ) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell_id
+      FROM cent CROSS JOIN q
+      ORDER BY round(list_cosine_similarity(cent.cv, q.qv), 4) DESC, cell_id
+      LIMIT 4
+    )
+    SELECT a.vec_id, a.cell_id,
+           round(list_cosine_similarity(c.ev, q.qv), 4) AS score
+    FROM assign a
+    JOIN corp c USING (vec_id)
+    JOIN probe p USING (cell_id)
+    CROSS JOIN q
+    ORDER BY score DESC, a.vec_id
+    LIMIT 5
+    """,
+)
+def ivf_topk_cosine_q(spark, sf_dir):
+    """IVF-bucketed ANN top-k (the 100 TB path for V2/J3): deterministic
+    centroid subsample → nearest-centroid cell assignment → probe the 4
+    closest cells only → exact rank within the probed slice. Production
+    swaps the subsample for MLlib KMeans centers; the probe plan is
+    unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    return similarity.ivf_topk_cosine(corpus, qvec, k=5, stride=16, nprobe=4)
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "winnow_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 7, 1))) AS pos
+            FROM norm),
+    grams AS (SELECT doc_id, pos,
+                     (CAST('0x' || substr(md5(substr(t, pos, 8)), 1, 15) AS BIGINT)
+                      % {dedup.MERSENNE_P}) AS gram_hash
+              FROM pos),
+    sel AS (SELECT doc_id,
+                   min(gram_hash) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS fp
+            FROM grams)
+    SELECT doc_id,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints: char 8-grams,
+    window of 4 hashes, keep each window's min."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=8, w=4).orderBy("doc_id")
+
+
+@q(
+    "media_image_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + (CAST('0x' || substr(md5(text), 1, 2) AS INT) % 192) AS INT)
+             AS width,
+           CAST(64 + (CAST('0x' || substr(md5(text), 3, 2) AS INT) % 192) AS INT)
+             AS height
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_image_meta_q(spark, sf_dir):
+    """Multimodal decode plumbing, oracle-checked end to end: binary payload
+    column → mapInPandas Arrow batches → typed meta struct. The decode core
+    is the documented stub (md5-derived dims), which is exactly what lets a
+    SQL oracle verify the full Spark path — schema, batching, struct fill —
+    bit-for-bit. Swap the stub for PIL and the plan is production."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    withmeta = multimodal.extract_image_meta(media)
+    return withmeta.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("media_id")
+
+
+@q(
+    "media_frame_counts",
+    """
+    SELECT doc_id AS media_id,
+           CAST(ceil(greatest(octet_length(encode(text)), 1) / 32.0) AS BIGINT)
+             AS n_frames,
+           CAST(ceil(greatest(octet_length(encode(text)), 1) / 32.0) AS INT) - 1
+             AS max_frame
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_frame_counts_q(spark, sf_dir):
+    """Video frame-sampling shape (1 media row → N frame rows) verified by
+    byte math: the stub slicer emits ceil(bytes/32) frames per payload."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.frame_sample(media, every_n_bytes=32)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.max("frame_no").cast("int").alias("max_frame"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
+    HAVING prefilter shrinks the join's probe side before it shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 100)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue): fact-fact shuffle join with
+    two broadcast dims; the returnflag filter pushes to the parquet scan."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
