@@ -1582,7 +1582,11 @@ def q10_returned_revenue(spark, sf_dir):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec[0] for name, spec in REGISTRY.items()}
+    """Registry ordered oracle-bearing first: the driver harness checks the
+    first 50 entries, so rows-only (no-oracle) queries sort last to keep every
+    oracle-verifiable query inside the checked window."""
+    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1][1] is None)
+    return {name: spec[0] for name, spec in ordered}
 
 
 def all_oracles() -> dict[str, str]:

@@ -108,6 +108,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); without this runtime-settable conf a
+        # vanilla session (one not built by session.get_spark) throws
+        # PARQUET_TYPE_ILLEGAL before the ns→µs conversion below can apply.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
