@@ -218,7 +218,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with true
     n-gram Jaccard. bands × rows-per-band = num_perm; a pair is a candidate
-    iff some band's row-slice matches exactly (equi-join on the band key)."""
+    iff some band's row-slice matches exactly (equi-join on the band key).
+
+    Verification is candidate-only: the banded pair set is joined back to the
+    per-doc shingle table and the intersection is counted for those pairs
+    alone — the whole point of LSH is that the quadratic all-pairs Jaccard is
+    never materialized, so the verify cost is O(|candidates| · shingles),
+    not O(n²)."""
     sig = minhash_signatures(df, text_col, id_col, n, num_perm, seed)
     rows_per_band = num_perm // bands
     band_keys = F.array(
@@ -243,10 +249,33 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return cand.join(verified, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
-    ).where(F.col("jaccard") >= verify_threshold)
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
+    # Intersection counted only for candidate pairs: fan candidates out over
+    # doc-a's shingles, semi-match doc-b's shingles on (id_b, shingle).
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("_nb"))
+    return (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("_na") + F.col("_nb") - F.coalesce("n_common", F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
 
 
 def simhash(
@@ -254,10 +283,14 @@ def simhash(
     bits: int = 60,
 ) -> DataFrame:
     """SimHash fingerprint: per-shingle md5-derived {-1,+1} bit vectors summed
-    per doc, sign per bit → 60-bit fingerprint (as a bit string column).
+    per doc, sign per bit → 60-bit fingerprint as a signed bigint (bit i set
+    iff the per-bit sum is positive). Hamming distance between two docs is
+    ``bit_count(a ^ b)`` — both engine built-ins.
 
-    md5→bit extraction is conv(hex-slice) — engine built-ins only. 15 hex
-    chars = 60 bits, chosen so the value always fits a signed bigint."""
+    md5→word extraction is conv(hex-slice): 15 hex chars = 60 bits, chosen so
+    the word and the fingerprint always fit a signed bigint, and so a SQL
+    oracle reproduces it exactly (DuckDB: CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT))."""
     sh = shingles(df, text_col, id_col, n)
     h = F.md5(F.col("shingle"))
     word = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
@@ -269,11 +302,12 @@ def simhash(
     summed = sh.select(F.col(id_col), *bit_cols).groupBy(id_col).agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
     )
-    fingerprint = F.concat(
-        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-          for i in range(bits - 1, -1, -1)]
+    fingerprint = sum(
+        [F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(bits)],
+        F.lit(0),
     )
-    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+    return summed.select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
 
 
 def winnow_fingerprints(

@@ -785,8 +785,30 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@q("simhash_documents", None)  # conv(hex) not portable to the oracle — rows-only
+@q(
+    "simhash_documents",
+    _SHINGLE_CTE
+    + """
+    , words AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS w
+      FROM grams
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN ((w >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM words, (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def simhash_documents_q(spark, sf_dir):
+    """60-bit SimHash per document as a signed bigint — md5-derived bit
+    words make the fingerprint reproducible by the SQL oracle bit-exactly."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
 
