@@ -88,50 +88,91 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def repartition_for_media(df: DataFrame, avg_item_bytes: int,
-                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+                          target_partition_bytes: int = 128 << 20,
+                          n_rows: int | None = None,
+                          total_bytes: int | None = None) -> DataFrame:
     """Partition by byte budget: media items are large, so row-count-based
-    defaults under/overshoot wildly. Narrow transformation planning only —
-    the caller knows avg item size from the source (e.g. binaryFile length)."""
-    rows_per_part = max(1, target_partition_bytes // max(1, avg_item_bytes))
-    n_rows = df.count()
-    n_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
+    defaults under/overshoot wildly. Pure planning — never triggers a scan:
+    the caller supplies size stats it already has from the source
+    (``binaryFile`` gives a ``length`` column; a catalog gives table bytes).
+    Pass either ``total_bytes`` (preferred) or ``n_rows``; with neither, the
+    input partitioning is kept as-is."""
+    if total_bytes is None and n_rows is not None:
+        total_bytes = n_rows * max(1, avg_item_bytes)
+    if total_bytes is None:
+        return df
+    n_parts = max(1, (total_bytes + target_partition_bytes - 1)
+                  // target_partition_bytes)
     return df.repartition(n_parts)
 
 
-def extract_image_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
-    """Decode (stubbed) → fill meta.width/height. mapInPandas: one Arrow
-    batch in, one out; bytes never become Python row objects."""
+def extract_image_meta(df: DataFrame, data_col: str = "data",
+                       id_col: str = "media_id") -> DataFrame:
+    """Decode (stubbed) → fill meta.width/height.
 
-    fields = [f.name for f in df.schema.fields]
+    The payload crosses the Arrow boundary exactly once: the UDF input is
+    projected to (id, data) and the output is meta-only (id, width, height);
+    the original row — payload included — never round-trips through the
+    Python worker. The meta struct is joined back on the id (JVM-side,
+    columnar); with a parquet source, column pruning means the join branch
+    re-scans everything *but* the payload only when the caller keeps it."""
+
+    dims_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("_w", T.IntegerType(), True),
+            T.StructField("_h", T.IntegerType(), True),
+        ]
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = pdf[data_col].map(
                 lambda b: decode_image_stub(bytes(b) if b is not None else None)
             )
-            meta = pd.DataFrame(
+            yield pd.DataFrame(
                 {
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "duration_ms": pd.Series([None] * len(pdf), dtype="object"),
-                    "sample_rate": pd.Series([None] * len(pdf), dtype="object"),
+                    id_col: pdf[id_col],
+                    "_w": dims.map(lambda d: d[0]).astype("int32"),
+                    "_h": dims.map(lambda d: d[1]).astype("int32"),
                 }
             )
-            out = pdf.drop(columns=["meta"])
-            out["meta"] = meta.to_dict("records")
-            yield out[fields]
 
-    return df.mapInPandas(op, schema=df.schema)
+    dims_df = df.select(id_col, data_col).mapInPandas(op, schema=dims_schema)
+    meta_t = MEDIA_SCHEMA["meta"].dataType
+    fields = [f.name for f in df.schema.fields]
+    return (
+        df.drop("meta")
+        .join(dims_df, id_col)
+        .withColumn(
+            "meta",
+            F.when(
+                F.col("_w").isNotNull(),
+                F.struct(
+                    F.col("_w").alias("width"),
+                    F.col("_h").alias("height"),
+                    F.lit(None).cast("bigint").alias("duration_ms"),
+                    F.lit(None).cast("int").alias("sample_rate"),
+                ),
+            ).cast(meta_t),
+        )
+        .select(*fields)
+    )
 
 
 def image_features(df: DataFrame, data_col: str = "data", dim: int = 16,
-                   out_col: str = "features") -> DataFrame:
+                   out_col: str = "features",
+                   id_col: str = "media_id") -> DataFrame:
     """Deterministic byte-histogram feature vector (unit L2) — the fixed-size
     embedding a real vision model would produce; downstream similarity/dedup
-    operators consume it exactly like text embeddings."""
+    operators consume it exactly like text embeddings.
 
-    out_schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    Same one-way Arrow discipline as :func:`extract_image_meta`: the UDF
+    reads (id, data), emits (id, features), and the fixed-size vectors are
+    joined back — payload bytes never return from the Python worker."""
+
+    feat_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out_col, T.ArrayType(T.FloatType()))]
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,10 +185,10 @@ def image_features(df: DataFrame, data_col: str = "data", dim: int = 16,
                 hist = np.bincount(arr % dim, minlength=dim).astype("float64")
                 norm = float(np.linalg.norm(hist))
                 feats.append((hist / norm if norm else hist).astype("float32").tolist())
-            pdf[out_col] = feats
-            yield pdf
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: feats})
 
-    return df.mapInPandas(op, schema=out_schema)
+    feats_df = df.select(id_col, data_col).mapInPandas(op, schema=feat_schema)
+    return df.join(feats_df, id_col)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 32,

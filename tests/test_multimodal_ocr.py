@@ -45,8 +45,17 @@ def test_frame_sample_covers_payload(spark, media):
 
 def test_repartition_for_media(spark, media):
     out = mm.repartition_for_media(media, avg_item_bytes=64 << 20,
-                                   target_partition_bytes=128 << 20)
+                                   target_partition_bytes=128 << 20,
+                                   n_rows=16)
     assert out.rdd.getNumPartitions() == 8  # 16 rows / 2-per-part
+    # total_bytes takes precedence over n_rows-derived sizing
+    out2 = mm.repartition_for_media(media, avg_item_bytes=1,
+                                    target_partition_bytes=128 << 20,
+                                    total_bytes=512 << 20)
+    assert out2.rdd.getNumPartitions() == 4
+    # no stats → planning no-op, input partitioning kept
+    assert (mm.repartition_for_media(media, avg_item_bytes=1)
+            .rdd.getNumPartitions() == media.rdd.getNumPartitions())
 
 
 def test_ocr_pipeline_end_to_end(spark):
