@@ -86,77 +86,122 @@ def chunk_fixed(
     )
 
 
+def _split_text_keep_sep(text: str, sep: str) -> list[str]:
+    """Split ``text`` on ``sep`` keeping each separator attached to the START
+    of the piece that follows it (keep_separator=True semantics of the public
+    RecursiveCharacterTextSplitter that the reference's RecursiveTokenChunker
+    vendors). ``sep == ""`` degrades to a per-character split."""
+    import re
+
+    if sep == "":
+        return [c for c in text if c != ""]
+    parts = re.split(f"({re.escape(sep)})", text)
+    splits = [parts[i] + parts[i + 1] for i in range(1, len(parts), 2)]
+    if len(parts) % 2 == 0:
+        splits += parts[-1:]
+    splits = [parts[0]] + splits
+    return [s for s in splits if s != ""]
+
+
+def _merge_splits(splits: list[str], separator: str, chunk_size: int,
+                  chunk_overlap: int, length_fn) -> list[str]:
+    """Greedy merge of small splits into ~chunk_size chunks with a
+    pop-from-front overlap carry — the exact public _merge_splits loop
+    (strict > test, separator-length accounting, strip-whitespace join,
+    empty chunks dropped)."""
+    separator_len = length_fn(separator)
+    docs: list[str] = []
+    current: list[str] = []
+    total = 0
+    for d in splits:
+        d_len = length_fn(d)
+        if total + d_len + (separator_len if current else 0) > chunk_size:
+            if current:
+                doc = separator.join(current).strip()
+                if doc:
+                    docs.append(doc)
+                # Pop from the front until within the overlap budget AND the
+                # incoming piece fits (or the buffer empties).
+                while total > chunk_overlap or (
+                    total + d_len + (separator_len if current else 0) > chunk_size
+                    and total > 0
+                ):
+                    total -= length_fn(current[0]) + (
+                        separator_len if len(current) > 1 else 0
+                    )
+                    current = current[1:]
+        current.append(d)
+        total += d_len + (separator_len if len(current) > 1 else 0)
+    doc = separator.join(current).strip()
+    if doc:
+        docs.append(doc)
+    return docs
+
+
 def _recursive_split(text: str, chunk_size: int, chunk_overlap: int,
                      separators: list[str], length_fn) -> list[str]:
-    """Separator-cascade splitter (RecursiveCharacterTextSplitter semantics —
-    the public algorithm behind the reference's RecursiveTokenChunker):
-    split on the first separator present; any piece still too large recurses
-    with the remaining separators; small neighbors merge greedily up to
-    chunk_size with chunk_overlap carried between merged chunks."""
+    """Separator-cascade splitter with the exact public semantics of the
+    reference's RecursiveTokenChunker (Chunking_Strats/chromadb_rag.py:64-72,
+    which instantiates the public chunking_evaluation RecursiveTokenChunker —
+    a vendored LangChain RecursiveCharacterTextSplitter with
+    keep_separator=True):
+
+    * pick the first separator present in the text (last one as fallback);
+    * split keeping separators attached to the following piece;
+    * pieces with length < chunk_size (STRICT) accumulate into runs that are
+      greedily merged with overlap carry; the merge joiner is "" because the
+      separators are already embedded in the pieces;
+    * an oversized piece breaks the run and recurses with the remaining
+      separators (or is emitted raw when no separators remain).
+    """
     if not text:
         return []
-
-    def split_on(t: str, seps: list[str]) -> list[str]:
-        sep = seps[-1]
-        rest: list[str] = []
-        for i, s in enumerate(seps):
-            if s == "":
-                sep, rest = "", []
-                break
-            if s in t:
-                sep, rest = s, seps[i + 1 :]
-                break
-        if sep == "":
-            splits = list(t)
+    final_chunks: list[str] = []
+    separator = separators[-1]
+    new_separators: list[str] = []
+    for i, s in enumerate(separators):
+        if s == "":
+            separator = s
+            break
+        if s in text:
+            separator = s
+            new_separators = separators[i + 1 :]
+            break
+    splits = _split_text_keep_sep(text, separator)
+    good: list[str] = []
+    joiner = ""  # keep_separator=True: separators live inside the pieces
+    for s in splits:
+        if length_fn(s) < chunk_size:
+            good.append(s)
         else:
-            splits = [p for p in t.split(sep) if p != ""]
-        out: list[str] = []
-        buf: list[str] = []
-        buf_len = 0
-        joiner = sep
-
-        def flush():
-            nonlocal buf, buf_len
-            if buf:
-                merged = joiner.join(buf)
-                if merged.strip():
-                    out.append(merged)
-                # keep overlap: retain trailing pieces up to chunk_overlap
-                keep: list[str] = []
-                klen = 0
-                for piece in reversed(buf):
-                    plen = length_fn(piece)
-                    if klen + plen > chunk_overlap:
-                        break
-                    keep.insert(0, piece)
-                    klen += plen
-                buf = keep
-                buf_len = klen
-
-        for piece in splits:
-            plen = length_fn(piece)
-            if plen > chunk_size and rest:
-                flush()
-                buf, buf_len = [], 0
-                out.extend(split_on(piece, rest))
-                continue
-            if buf_len + plen > chunk_size and buf:
-                flush()
-            buf.append(piece)
-            buf_len += plen
-        if buf:
-            merged = joiner.join(buf)
-            if merged.strip():
-                out.append(merged)
-        return out
-
-    return split_on(text, separators)
+            if good:
+                final_chunks.extend(
+                    _merge_splits(good, joiner, chunk_size, chunk_overlap, length_fn)
+                )
+                good = []
+            if not new_separators:
+                final_chunks.append(s)
+            else:
+                final_chunks.extend(
+                    _recursive_split(s, chunk_size, chunk_overlap,
+                                     new_separators, length_fn)
+                )
+    if good:
+        final_chunks.extend(
+            _merge_splits(good, joiner, chunk_size, chunk_overlap, length_fn)
+        )
+    return final_chunks
 
 
 def recursive_split_py(text: str, chunk_size: int = CHUNK_SIZE,
                        chunk_overlap: int = CHUNK_OVERLAP,
                        separators: list[str] | None = None) -> list[str]:
-    """Driver-callable single-string version (used by tests/goldens)."""
+    """Driver-callable single-string version (used by tests/goldens).
+
+    Length function is whitespace token count — the reference measures with
+    tiktoken cl100k_base (kamredt_chunking.py:48-50), unavailable here; the
+    algorithm is identical, only the token metric differs (see README).
+    """
     toks = lambda s: len(s.split())  # noqa: E731 — token length function
     return _recursive_split(
         text, chunk_size, chunk_overlap, separators or SEPARATORS, toks
@@ -189,6 +234,41 @@ def chunk_recursive(
         )
     )
     return _finish(exploded, text_col, id_col)
+
+
+def chunk_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph chunking: split on blank lines, keep non-empty pieces.
+
+    The SQL-expressible core of the recursive cascade's first level
+    (separator "\\n\\n", chromadb_rag.py:70) — pure Catalyst (split +
+    posexplode + filter), giving the T2 split semantics a full external
+    oracle while the imperative cascade is pinned by golden tests. No
+    shuffle: explode and filter are narrow; ordering is per-doc.
+    """
+    pieces = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n\n")).alias(
+                "_pos", "_piece"
+            ),
+        )
+        .where(F.trim("_piece") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return _finish(
+        pieces.select(
+            id_col,
+            (F.row_number().over(w) - 1).alias("chunk_index"),
+            F.trim("_piece").alias("chunk_text"),
+        ),
+        text_col,
+        id_col,
+    )
 
 
 def chunk_semantic(

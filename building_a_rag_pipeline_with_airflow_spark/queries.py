@@ -976,8 +976,48 @@ def rag_retrieve_context(spark, sf_dir):
     return rag_query(index, "spark join merge table scan", k=5)
 
 
-@q("chunk_recursive_documents", None)  # pandas_udf splitter — rows-only
+@q(
+    "chunk_recursive_documents",
+    # On this corpus (single-space words, no \n . ? ! — verified), the public
+    # RecursiveTokenChunker cascade reduces EXACTLY to 60-word windows
+    # stepping by 50 with a tail window: the separator search lands on " ",
+    # every piece is one token, and the greedy merge + overlap pop-loop
+    # yields starts at 50*i. The oracle states that closed form; the Spark
+    # side runs the real imperative cascade — a true end-to-end parity check
+    # of the merge/overlap logic (the general cascade is pinned by golden
+    # tests in tests/test_chunking.py).
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    idx AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 60 THEN 0
+                    ELSE CAST(ceil((n - 60) / 50.0) AS BIGINT) END)) AS i
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_index,
+             array_to_string(
+               list_slice(toks, CAST(i * 50 + 1 AS BIGINT),
+                          CAST(least(i * 50 + 60, n) AS BIGINT)), ' ') AS text,
+             CAST(least(i * 50 + 60, n) - i * 50 AS INT) AS token_length
+      FROM idx
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(chunk_index AS VARCHAR)
+             AS chunk_id,
+           doc_id, chunk_index, text,
+           CAST(length(text) AS INT) AS char_length,
+           token_length
+    FROM chunks ORDER BY doc_id, chunk_index
+    """,
+)
 def chunk_recursive_documents(spark, sf_dir):
+    """T2 recursive separator-cascade chunking (RecursiveTokenChunker
+    semantics, chromadb_rag.py:64-72) via Arrow-batched pandas_udf."""
     docs = _t(spark, sf_dir, "documents")
     return chunking.chunk_recursive(docs, chunk_size=60, chunk_overlap=10).orderBy(
         "doc_id", "chunk_index"

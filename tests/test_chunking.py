@@ -73,6 +73,89 @@ def test_recursive_char_fallback():
     assert chunks  # does not loop forever / crash
 
 
+# ---- golden tests: hand-derived from the public RecursiveCharacterText-
+# Splitter algorithm (keep_separator=True) that the reference's
+# RecursiveTokenChunker wraps (chromadb_rag.py:64-72). Each expected list
+# below was traced by hand through split → strict <chunk_size goodness →
+# greedy merge with pop-from-front overlap → strip-whitespace join.
+
+
+def test_recursive_golden_merge_overlap():
+    # size 5 tokens, overlap 2: ["aa".."ee"] merges to 5, then the pop loop
+    # retains ["dd","ee"] (2 tokens <= overlap) before appending "ff","gg".
+    got = chunking.recursive_split_py(
+        "aa bb cc dd ee ff gg", chunk_size=5, chunk_overlap=2, separators=[" ", ""]
+    )
+    assert got == ["aa bb cc dd ee", "dd ee ff gg"]
+
+
+def test_recursive_golden_cascade_then_merge():
+    # "\n\n" splits first; the 4-token piece recurses to the " " level where
+    # size-3/overlap-1 merging gives ["aa bb cc", "cc dd"]; the 2-token
+    # second paragraph (with its leading separator) merges alone and the
+    # strip-whitespace join removes the leading "\n\n".
+    got = chunking.recursive_split_py(
+        "aa bb cc dd\n\nee ff",
+        chunk_size=3,
+        chunk_overlap=1,
+        separators=["\n\n", " ", ""],
+    )
+    assert got == ["aa bb cc", "cc dd", "ee ff"]
+
+
+def test_recursive_golden_char_level_drops_blank_merges():
+    # chunk_size=1 forces every 1-token piece to the char level; raw
+    # oversized chars are appended unmerged, and the lone " " piece merges
+    # to a blank doc that the strip-join drops (public _join_docs returns
+    # None for empty).
+    got = chunking.recursive_split_py(
+        "ab cd", chunk_size=1, chunk_overlap=0, separators=[" ", ""]
+    )
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_recursive_keep_separator_start_attach():
+    # keep_separator=True attaches each separator to the START of the
+    # following piece; with a large chunk_size the whole text merges back
+    # (joiner "") so no separator is lost or duplicated.
+    text = "one. two. three"
+    got = chunking.recursive_split_py(
+        text, chunk_size=100, chunk_overlap=0, separators=[".", " ", ""]
+    )
+    assert got == [text]
+
+
+def test_recursive_word_window_closed_form():
+    # On a punctuation-free single-spaced corpus the cascade must reduce to
+    # 60-word windows stepping by 50 plus a tail — the closed form the
+    # chunk_recursive_documents DuckDB oracle states.
+    words = [f"w{i}" for i in range(137)]
+    got = chunking.recursive_split_py(
+        " ".join(words), chunk_size=60, chunk_overlap=10
+    )
+    expect = [
+        " ".join(words[0:60]),
+        " ".join(words[50:110]),
+        " ".join(words[100:137]),
+    ]
+    assert got == expect
+
+
+def test_chunk_paragraphs_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "para one\n\n\n\npara two\n\n  \n\npara three"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = chunking.chunk_paragraphs(docs).orderBy("doc_id", "chunk_index").collect()
+    assert [(r.doc_id, r.chunk_index, r.text) for r in rows] == [
+        (1, 0, "para one"),
+        (1, 1, "para two"),
+        (1, 2, "para three"),
+        (2, 0, "solo"),
+    ]
+    assert rows[0].chunk_id == "1_chunk_0"
+
+
 def test_semantic_chunking_groups_and_covers(spark):
     from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
 
