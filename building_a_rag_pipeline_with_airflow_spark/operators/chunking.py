@@ -276,90 +276,114 @@ def chunk_semantic(
     embed_fn,
     text_col: str = "text",
     id_col: str = "doc_id",
+    avg_chunk_size: int = 300,
     min_chunk_size: int = 50,
-    breakpoint_percentile: float = 0.75,
+    buffer_size: int = 3,
 ) -> DataFrame:
-    """Semantic (Kamradt-style) chunking as a multi-stage DataFrame plan.
+    """Semantic chunking with the public KamradtModifiedChunker semantics
+    (reference: chromadb_rag.py:88-90 — avg_chunk_size=300, min_chunk_size=50;
+    kamredt_chunking.py:113-131), re-expressed as a multi-stage DataFrame
+    plan:
 
-    1. sentence-ish min-chunks (split on sentence punctuation, merge to
-       >= min_chunk_size chars) — pandas_udf;
-    2. embed each min-chunk (``embed_fn``: pandas_udf string→array<float>);
-    3. cosine distance between neighbors (window ``lag`` per doc);
-    4. breakpoints where distance exceeds the per-doc percentile threshold
-       (``percentile_approx`` — the distributed analog of the reference's
-       numpy percentile);
-    5. group id = running sum of breakpoints; merge groups with concat_ws.
+    1. initial sentences = the recursive cascade at chunk_size=min_chunk_size,
+       overlap=0 (the reference instantiates RecursiveTokenChunker(min, 0));
+    2. each sentence combined with its ±buffer_size neighbors (concat_ws over
+       lag/lead windows) — the combined text is what gets embedded;
+    3. cosine distance between CONSECUTIVE combined embeddings (lead window);
+    4. cut count K = total_sentence_tokens // avg_chunk_size per doc; the
+       reference binary-searches a threshold until at most K distances exceed
+       it — equivalent to cutting at the top-K distances, i.e. at every
+       distance strictly greater than the (K+1)-th largest (ties excluded,
+       matching the search's strict `>` test). When K >= n_distances the
+       search collapses to ~0 and every boundary cuts; both cases fall out of
+       a null threshold here.
+    5. group id = running count of preceding cuts; groups join with ' '.
 
-    Reference: KamradtModifiedChunker(avg 300 / min 50),
-    chromadb_rag.py:88-90, kamredt_chunking.py:124-127.
+    Every window partitions by doc_id — one hash exchange, no cross-document
+    coupling; the embedder touches each sentence exactly once. Token metric
+    is whitespace count (reference uses tiktoken — unavailable; see README).
     """
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _sentences(s: pd.Series) -> pd.Series:
-        import re
-
-        def split(t):
-            if not t:
-                return []
-            parts = [p.strip() for p in re.split(r"(?<=[.!?\n])\s+", t) if p.strip()]
-            out, buf = [], ""
-            for p in parts:
-                buf = (buf + " " + p).strip() if buf else p
-                if len(buf) >= min_chunk_size:
-                    out.append(buf)
-                    buf = ""
-            if buf:
-                if out:
-                    out[-1] = out[-1] + " " + buf
-                else:
-                    out.append(buf)
-            return out
-
-        return s.map(split)
+        return s.map(
+            lambda t: _recursive_split(
+                t or "", min_chunk_size, 0, SEPARATORS, lambda x: len(x.split())
+            )
+        )
 
     sent = (
         ensure_min_partitions(docs)
         .select(F.col(id_col), _sentences(F.col(text_col)).alias("_s"))
         .select(id_col, F.posexplode("_s").alias("sent_idx", "sent_text"))
-        .withColumn("_emb", embed_fn(F.col("sent_text")))
     )
 
     w = Window.partitionBy(id_col).orderBy("sent_idx")
-    with_dist = sent.withColumn("_prev", F.lag("_emb").over(w)).withColumn(
+    neighbors = (
+        [F.lag("sent_text", i).over(w) for i in range(buffer_size, 0, -1)]
+        + [F.col("sent_text")]
+        + [F.lead("sent_text", i).over(w) for i in range(1, buffer_size + 1)]
+    )
+    combined = sent.withColumn("_comb", F.concat_ws(" ", *neighbors)).withColumn(
+        "_emb", embed_fn(F.col("_comb"))
+    )
+    with_dist = combined.withColumn("_next", F.lead("_emb").over(w)).withColumn(
         "dist",
-        F.when(F.col("_prev").isNull(), F.lit(None)).otherwise(
-            1.0 - cosine_similarity("_emb", "_prev")
+        F.when(F.col("_next").isNull(), F.lit(None).cast("double")).otherwise(
+            1.0 - cosine_similarity("_emb", "_next")
         ),
     )
-    thresholds = with_dist.groupBy(id_col).agg(
-        F.percentile_approx("dist", breakpoint_percentile).alias("_thr")
-    )
-    grouped = (
-        with_dist.join(thresholds, id_col)
+
+    wd = Window.partitionBy(id_col)
+    w_desc = Window.partitionBy(id_col).orderBy(F.col("dist").desc_nulls_last())
+    cuts = (
+        with_dist.withColumn(
+            "_k",
+            F.floor(
+                F.sum(token_count(F.col("sent_text"))).over(wd)
+                / F.lit(avg_chunk_size)
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_desc))
         .withColumn(
+            "_thr",
+            F.max(
+                F.when(
+                    (F.col("_rn") == F.col("_k") + 1) & F.col("dist").isNotNull(),
+                    F.col("dist"),
+                )
+            ).over(wd),
+        )
+        .withColumn(
+            # The reference's binary search stops at interval width 1e-6, so
+            # it can never cut a distance below that floor (degenerate docs
+            # whose ±buffer windows coincide give ~1e-16 noise distances);
+            # null _thr (K >= n_distances) collapses the search to ~0 and
+            # every materially-positive distance cuts. greatest(thr, 1e-6)
+            # encodes both.
             "is_break",
             F.when(
-                F.col("dist").isNotNull() & (F.col("dist") > F.col("_thr")), 1
+                F.col("dist")
+                > F.greatest(F.coalesce(F.col("_thr"), F.lit(0.0)), F.lit(1e-6)),
+                1,
             ).otherwise(0),
         )
-        .withColumn("grp", F.sum("is_break").over(w))
     )
-    merged = (
-        grouped.groupBy(id_col, "grp")
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.struct("sent_idx", "sent_text"))
-                ).getField("sent_text"),
-                " ",
-            ).alias("chunk_text")
-        )
-        .withColumn(
-            "chunk_index",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("grp")) - 1,
-        )
-        .drop("grp")
+    grouped = cuts.withColumn(
+        "grp",
+        F.coalesce(
+            F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
     )
+    merged = grouped.groupBy(id_col, "grp").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("sent_idx", "sent_text"))
+            ).getField("sent_text"),
+            " ",
+        ).alias("chunk_text")
+    ).withColumn("chunk_index", F.col("grp").cast("int")).drop("grp")
     return _finish(merged, text_col, id_col)
 
 

@@ -1024,14 +1024,125 @@ def chunk_recursive_documents(spark, sf_dir):
     )
 
 
-@q("chunk_semantic_documents", None)  # embedder-dependent — rows-only
+@q(
+    "chunk_semantic_documents",
+    # Full KamradtModifiedChunker oracle. Exact because every stage is
+    # deterministic and reproducible in SQL: (1) on this corpus the initial
+    # recursive split at (min_chunk_size=10, overlap=0) reduces to 10-word
+    # blocks; (2) the ±3 buffer combine is a windowed string_agg; (3) the
+    # hashed-BoW embedder is md5-derived (bucket = first-4-bytes %% dim, sign
+    # = byte-5 parity) with float32 storage — CAST(... AS REAL) reproduces
+    # the rounding; (4) cosine in double over the REAL values; (5) cuts at
+    # the top-(tokens // avg_chunk_size) distances via the (K+1)-th-largest
+    # threshold with the reference's 1e-6 search-resolution floor.
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id < 100 AND length(text) > 0
+    ),
+    sents AS (
+      SELECT doc_id, n, CAST(j AS INT) AS sent_idx,
+             array_to_string(list_slice(toks, j * 10 + 1, least(j * 10 + 10, n)), ' ') AS sent_text
+      FROM (SELECT doc_id, toks, n,
+                   unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS j
+            FROM docs)
+    ),
+    combined AS (
+      SELECT doc_id, sent_idx,
+             string_agg(sent_text, ' ') OVER (PARTITION BY doc_id ORDER BY sent_idx
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS comb
+      FROM sents
+    ),
+    tok_hash AS (
+      SELECT doc_id, sent_idx,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 16 AS INT) AS bucket,
+             CASE WHEN CAST('0x' || substr(md5(tok), 9, 2) AS INT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM (SELECT doc_id, sent_idx, unnest(string_split(lower(comb), ' ')) AS tok
+            FROM combined)
+    ),
+    sparse AS (
+      SELECT doc_id, sent_idx, bucket, sum(sgn) AS v
+      FROM tok_hash GROUP BY doc_id, sent_idx, bucket
+    ),
+    norms_py AS (
+      SELECT doc_id, sent_idx, sqrt(sum(v * v)) AS nrm FROM sparse
+      GROUP BY doc_id, sent_idx
+    ),
+    vec32 AS (
+      SELECT s.doc_id, s.sent_idx, s.bucket,
+             CAST(CASE WHEN p.nrm > 0 THEN s.v / p.nrm ELSE s.v END AS REAL) AS val
+      FROM sparse s JOIN norms_py p USING (doc_id, sent_idx)
+    ),
+    norms32 AS (
+      SELECT doc_id, sent_idx,
+             sqrt(sum(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) AS nrm
+      FROM vec32 GROUP BY doc_id, sent_idx
+    ),
+    dots AS (
+      SELECT a.doc_id, a.sent_idx,
+             sum(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)) AS dot
+      FROM vec32 a JOIN vec32 b
+        ON a.doc_id = b.doc_id AND b.sent_idx = a.sent_idx + 1 AND a.bucket = b.bucket
+      GROUP BY a.doc_id, a.sent_idx
+    ),
+    dists AS (
+      SELECT s.doc_id, s.sent_idx,
+             CASE WHEN coalesce(na.nrm, 0) * coalesce(nb.nrm, 0) = 0 THEN 1.0
+                  ELSE 1.0 - coalesce(d.dot, 0) / (na.nrm * nb.nrm) END AS dist
+      FROM sents s
+      JOIN sents s2 ON s.doc_id = s2.doc_id AND s2.sent_idx = s.sent_idx + 1
+      LEFT JOIN dots d ON d.doc_id = s.doc_id AND d.sent_idx = s.sent_idx
+      LEFT JOIN norms32 na ON na.doc_id = s.doc_id AND na.sent_idx = s.sent_idx
+      LEFT JOIN norms32 nb ON nb.doc_id = s.doc_id AND nb.sent_idx = s.sent_idx + 1
+    ),
+    ranked AS (
+      SELECT doc_id, sent_idx, dist,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dist DESC) AS rn
+      FROM dists
+    ),
+    thr AS (
+      SELECT r.doc_id,
+             max(CASE WHEN r.rn = CAST(floor(k.n / 30.0) AS BIGINT) + 1
+                      THEN r.dist END) AS t
+      FROM ranked r JOIN docs k USING (doc_id) GROUP BY r.doc_id
+    ),
+    marks AS (
+      SELECT s.doc_id, s.sent_idx, s.sent_text,
+             CASE WHEN d.dist > greatest(coalesce(t.t, 0), 1e-6) THEN 1 ELSE 0 END AS is_break
+      FROM sents s
+      LEFT JOIN dists d ON d.doc_id = s.doc_id AND d.sent_idx = s.sent_idx
+      LEFT JOIN thr t ON s.doc_id = t.doc_id
+    ),
+    grps AS (
+      SELECT doc_id, sent_idx, sent_text,
+             coalesce(sum(is_break) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+      FROM marks
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(grp AS INT) AS chunk_index,
+             string_agg(sent_text, ' ' ORDER BY sent_idx) AS text
+      FROM grps GROUP BY doc_id, grp
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(chunk_index AS VARCHAR) AS chunk_id,
+           doc_id, chunk_index, text,
+           CAST(length(text) AS INT) AS char_length,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_length
+    FROM chunks ORDER BY doc_id, chunk_index
+    """,
+)
 def chunk_semantic_documents(spark, sf_dir):
+    """T3 semantic chunking, public KamradtModifiedChunker semantics
+    (chromadb_rag.py:88-90) with the deterministic hashed embedder; sized
+    (avg 30 / min 10) so this corpus's short docs exercise real cuts."""
     from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return chunking.chunk_semantic(docs, hashed_embedder_udf(16)).orderBy(
-        "doc_id", "chunk_index"
-    )
+    return chunking.chunk_semantic(
+        docs, hashed_embedder_udf(16), avg_chunk_size=30, min_chunk_size=10
+    ).orderBy("doc_id", "chunk_index")
 
 
 # --------------------------------------------------------------------------

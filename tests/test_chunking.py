@@ -156,24 +156,78 @@ def test_chunk_paragraphs_golden(spark):
     assert rows[0].chunk_id == "1_chunk_0"
 
 
-def test_semantic_chunking_groups_and_covers(spark):
+def _kamradt_py(text, dim, avg_chunk_size, min_chunk_size, buffer=3):
+    """Independent pure-Python replication of the public
+    KamradtModifiedChunker: initial recursive split at (min_chunk_size, 0),
+    ±buffer combine, embed combined, neighbor cosine distances, cut at the
+    top-(total_tokens // avg_chunk_size) distances."""
+    import numpy as np
+
+    from building_a_rag_pipeline_with_airflow_spark.functions.embed import embed_text
+
+    sents = chunking.recursive_split_py(
+        text, chunk_size=min_chunk_size, chunk_overlap=0
+    )
+    if not sents:
+        return []
+    combined = [
+        " ".join(sents[max(0, i - buffer): i + 1 + buffer])
+        for i in range(len(sents))
+    ]
+    # float32 storage (ArrayType(FloatType)), double math — mirrors the plan
+    embs = [
+        np.asarray(embed_text(c, dim), dtype=np.float32).astype(np.float64)
+        for c in combined
+    ]
+    dists = []
+    for i in range(len(sents) - 1):
+        a, b = embs[i], embs[i + 1]
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        sim = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        dists.append(1.0 - sim)
+    total = sum(len(s.split()) for s in sents)
+    k = total // avg_chunk_size
+    # (K+1)-th largest distance, floored at the reference binary search's
+    # 1e-6 stopping resolution (it can never cut noise-level distances)
+    thr = max(sorted(dists, reverse=True)[k] if len(dists) > k else 0.0, 1e-6)
+    cuts = [i for i, d in enumerate(dists) if d > thr]
+    chunks, start = [], 0
+    for c in cuts:
+        chunks.append(" ".join(sents[start: c + 1]))
+        start = c + 1
+    if start < len(sents):
+        chunks.append(" ".join(sents[start:]))
+    return chunks
+
+
+def test_semantic_matches_kamradt_replication(spark):
     from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
 
-    text = (
-        "spark spark spark spark spark spark spark spark spark spark. "
-        "spark spark spark spark spark spark spark spark spark spark. "
-        "llama llama llama llama llama llama llama llama llama llama. "
-        "llama llama llama llama llama llama llama llama llama llama."
+    texts = [
+        # two clear topic blocks → the top-1 distance must cut between them
+        (" ".join(["spark shuffle join merge"] * 12)
+         + " " + " ".join(["llama vicuna alpaca guanaco"] * 12)),
+        # three blocks, longer
+        (" ".join(["alpha beta gamma delta epsilon"] * 15)
+         + " " + " ".join(["one two three four five"] * 15)
+         + " " + " ".join(["red green blue cyan magenta"] * 15)),
+        # shorter than avg_chunk_size → k=0 → single chunk
+        "tiny document with just a few words",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
     )
-    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     out = chunking.chunk_semantic(
-        docs, hashed_embedder_udf(16), min_chunk_size=30
+        docs, hashed_embedder_udf(16), avg_chunk_size=60, min_chunk_size=10
     ).collect()
-    assert len(out) >= 1
-    merged = " ".join(r.text for r in sorted(out, key=lambda r: r.chunk_index))
-    assert "spark" in merged and "llama" in merged
-    # indices are dense from 0
-    assert sorted(r.chunk_index for r in out) == list(range(len(out)))
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.chunk_index] = r.text
+    for doc_id, text in enumerate(texts):
+        expect = _kamradt_py(text, 16, avg_chunk_size=60, min_chunk_size=10)
+        chunks = [got[doc_id][i] for i in range(len(got.get(doc_id, {})))]
+        assert chunks == expect, f"doc {doc_id}"
+    assert len(got[2]) == 1  # k=0 → no cuts
 
 
 def test_adjacent_overlap_matches_constant(spark, docs):
