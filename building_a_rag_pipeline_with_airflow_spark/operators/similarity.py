@@ -151,6 +151,37 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    c_vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF centroids via MLlib KMeans (SURVEY §2.7 scale path).
+
+    Fits on the vector column (array→ml Vector, distributed Lloyd's with
+    kmeans|| init) and returns the centers as a (cell_id, cell_vec)
+    DataFrame — broadcast-small by construction (n_cells ≪ corpus), drops
+    straight into :func:`ivf_assign`. Deterministic for a fixed seed, but
+    not reproducible by an external SQL oracle — the stride subsample
+    remains the oracle-checked default."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id long, cell_vec array<double>"
+    )
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     query_vec: list[float],
@@ -159,21 +190,32 @@ def ivf_topk_cosine(
     nprobe: int = 4,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    method: str = "stride",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: bucket the corpus into cells by nearest centroid,
     probe only the ``nprobe`` cells whose centroids are closest to the query,
     exact-rank within the probed cells.
 
-    Centroid selection here is deterministic subsampling (every ``stride``-th
-    vector) so results are exactly reproducible by a SQL oracle; production
-    swaps that one line for MLlib ``KMeans.fit`` centers without touching the
-    probe path. Scale shape: centroid set stays broadcast-small, the scan
-    of non-probed cells is skipped entirely (partition pruning when the index
-    is written partitioned by cell), and the final top-k is a per-partition
-    heap (TakeOrderedAndProject), never a global sort."""
-    centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
-        F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
-    )
+    ``method="stride"`` (default) selects centroids by deterministic
+    subsampling (every ``stride``-th vector) so results are exactly
+    reproducible by a SQL oracle; ``method="kmeans"`` uses MLlib KMeans
+    centers (:func:`kmeans_centroids`) — the production path — behind the
+    identical assign/probe plan. Scale shape: centroid set stays
+    broadcast-small, the scan of non-probed cells is skipped entirely
+    (partition pruning when the index is written partitioned by cell), and
+    the final top-k is a per-partition heap (TakeOrderedAndProject), never a
+    global sort."""
+    if method == "kmeans":
+        centroids = kmeans_centroids(
+            corpus.select(c_id, c_vec),
+            n_cells or max(2, nprobe * 4),
+            c_vec=c_vec,
+        )
+    else:
+        centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
+            F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
+        )
     assigned = ivf_assign(corpus, centroids, c_id, c_vec)
 
     # Query norm is a constant: fold it on the driver with the same
@@ -263,4 +305,52 @@ def lsh_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(q_id, c_id, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def brp_similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dist_threshold: float,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Distance-threshold similarity join via MLlib
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (SURVEY §2.7 V2/J3
+    scale alternative to the hand-rolled sign-LSH).
+
+    Euclidean-distance semantics; for unit-normalized embeddings a cosine
+    threshold ``t`` maps to ``dist_threshold = sqrt(2 - 2 t)``. Approximate
+    recall (pairs must collide in at least one of ``num_hash_tables``
+    hashes) traded for a bucketed equi-join — never all-pairs. Output:
+    (q_id, c_id, dist) for every located pair within the threshold."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    fa = queries.select(
+        F.col(q_id).alias("id"),
+        array_to_vector(F.col(q_vec).cast("array<double>")).alias("features"),
+    )
+    fb = corpus.select(
+        F.col(c_id).alias("id"),
+        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(fb)
+    joined = model.approxSimilarityJoin(fa, fb, dist_threshold, distCol="dist")
+    return joined.select(
+        F.col("datasetA.id").alias(q_id),
+        F.col("datasetB.id").alias(c_id),
+        F.round("dist", 4).alias("dist"),
     )

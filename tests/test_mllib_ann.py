@@ -1,0 +1,81 @@
+"""MLlib-backed ANN variants (SURVEY §2.7 scale path): KMeans IVF centroids
+behind the same assign/probe plan as the oracle-checked stride variant, and
+BucketedRandomProjectionLSH approxSimilarityJoin."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+
+
+def test_kmeans_centroids_shape(emb):
+    cents = similarity.kmeans_centroids(emb, n_cells=8).collect()
+    assert len(cents) == 8
+    assert sorted(c.cell_id for c in cents) == list(range(8))
+    dim = len(emb.first().embedding)
+    assert all(len(c.cell_vec) == dim for c in cents)
+
+
+def test_ivf_kmeans_matches_probe_contract(emb, query_vec):
+    got = similarity.ivf_topk_cosine(
+        emb, query_vec, k=5, method="kmeans", n_cells=8, nprobe=4
+    ).collect()
+    assert len(got) == 5
+    # scores descend, ids break ties ascending
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # every hit must really score what it claims (spot-check against exact)
+    exact = {
+        r.vec_id: r.score
+        for r in similarity.topk_cosine(emb, query_vec, k=500).collect()
+    }
+    for r in got:
+        assert abs(exact[r.vec_id] - r.score) < 1e-6
+
+
+def test_ivf_kmeans_recall_vs_exact(emb, query_vec):
+    exact_ids = [
+        r.vec_id for r in similarity.topk_cosine(emb, query_vec, k=5).collect()
+    ]
+    approx_ids = [
+        r.vec_id
+        for r in similarity.ivf_topk_cosine(
+            emb, query_vec, k=5, method="kmeans", n_cells=8, nprobe=4
+        ).collect()
+    ]
+    # probing half the cells of a seeded clustering: expect most of top-5
+    assert len(set(exact_ids) & set(approx_ids)) >= 3
+
+
+def test_brp_similarity_join_pairs_are_within_threshold(emb):
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    thr = 1.0
+    got = similarity.brp_similarity_join(
+        queries, emb, dist_threshold=thr, num_hash_tables=4
+    ).collect()
+    assert got, "expected at least the self-pairs"
+    # exact distances recomputed driver-side (500×10 — tiny)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for r in got:
+        d = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(vecs[r.q_id], vecs[r.vec_id]))
+        )
+        assert d <= thr + 1e-4, (r.q_id, r.vec_id)
+        assert abs(d - r.dist) < 1e-3
+    # self-pairs (distance 0) can never be pruned by LSH bucketing
+    self_pairs = {(r.q_id, r.vec_id) for r in got if r.q_id == r.vec_id}
+    assert len(self_pairs) == 10
