@@ -22,19 +22,46 @@ EXCLUDED_FILTER_COLUMNS = {"cik", "ein", "changed", "value"}
 EXCLUDED_FILTER_SUFFIXES = ("_sk", "_dt", "_id", "_code")
 
 
+def _day(v: Any) -> Any:
+    """Truncate a datetime bound to day precision — the reference
+    strftime('%Y-%m-%d')s date-range bounds, so times never participate."""
+    if isinstance(v, _dt.datetime):
+        return v.replace(hour=0, minute=0, second=0, microsecond=0)
+    return v
+
+
 def build_filter(filters: Mapping[str, Any]) -> Column | None:
-    """Reference F4 semantics (app.py:182-198): value shapes drive predicate
-    type — list of 2 → date/value BETWEEN, tuple of 2 → numeric BETWEEN,
-    scalar → equality. ANDed together; returns None for no filters."""
+    """Reference F4 semantics (app.py:182-198) — value shape drives the
+    predicate type, exactly as the reference's WHERE-builder dispatches:
+
+    * ``list`` of 2 → DATE range: bounds truncated to day precision
+      (the reference strftime's them to 'YYYY-MM-DD'). Applied when the
+      bounds are date/datetime values or the column is a known date column
+      (DATE_COLUMNS); otherwise the filter is silently dropped — the
+      reference only emits list filters for detected date fields.
+    * ``tuple`` of 2 → numeric BETWEEN, bounds used as-is.
+    * scalar → equality, skipped for falsy values (app.py's
+      ``elif value and value != ""`` — an empty widget selection filters
+      nothing).
+
+    Predicates AND together; returns None when nothing applies. All are
+    plain Column comparisons, so Catalyst pushes them to the scan."""
     pred: Column | None = None
     for col, val in filters.items():
         c = F.col(col)
-        if isinstance(val, (list, tuple)) and len(val) == 2:
+        if isinstance(val, list) and len(val) == 2:
             lo, hi = val
-            if isinstance(lo, (_dt.date, _dt.datetime)) or isinstance(val, list):
-                p = c.between(F.lit(lo), F.lit(hi))
-            else:
-                p = c.between(F.lit(lo), F.lit(hi))
+            is_date_filter = (
+                isinstance(lo, (_dt.date, _dt.datetime))
+                or col.lower() in DATE_COLUMNS
+            )
+            if not is_date_filter:
+                continue
+            p = c.between(F.lit(_day(lo)), F.lit(_day(hi)))
+        elif isinstance(val, tuple) and len(val) == 2:
+            p = c.between(F.lit(val[0]), F.lit(val[1]))
+        elif not val:
+            continue
         else:
             p = c == F.lit(val)
         pred = p if pred is None else (pred & p)
@@ -183,7 +210,6 @@ def classify_quarter(text_col: Column | str, url_col: Column | str) -> Column:
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     u = F.col(url_col) if isinstance(url_col, str) else url_col
     blacklisted = F.lower(u).rlike("commentary|presentation|trend")
-    by_text = None
     expr = F.lit(None).cast("string")
     for q in ("q4", "q3", "q2", "q1"):
         expr = F.when(F.lower(t).startswith(q), F.lit(q.upper())).otherwise(expr)

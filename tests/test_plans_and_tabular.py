@@ -1,5 +1,6 @@
 """Unit tests: read-only SQL gate, TTL cache, tabular helpers, text fns."""
 
+import datetime as dt
 import time
 
 import pytest
@@ -83,6 +84,66 @@ def test_build_filter_shapes(spark):
         df, filters={"v": (15.0, 35.0), "c": "x"}, order_by=["id"], limit=10
     ).collect()
     assert [r.id for r in out] == [3]
+
+
+def test_build_filter_date_list_truncates_to_day(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9, 30)), (2, dt.datetime(2024, 1, 2, 23, 0)),
+         (3, dt.datetime(2024, 1, 5, 0, 0))],
+        "id long, ts timestamp",
+    )
+    # datetime bounds with times: reference strftime's to day precision, so
+    # 23:00 on the end day is EXCLUDED (bound becomes midnight)
+    out = tabular.fetch_filtered(
+        df,
+        filters={"ts": [dt.datetime(2024, 1, 1, 18, 45), dt.datetime(2024, 1, 2, 6, 0)]},
+        order_by=["id"], limit=10,
+    ).collect()
+    assert [r.id for r in out] == [1]
+    # plain date bounds work unchanged
+    out2 = tabular.fetch_filtered(
+        df, filters={"ts": [dt.date(2024, 1, 2), dt.date(2024, 1, 5)]},
+        order_by=["id"], limit=10,
+    ).collect()
+    assert [r.id for r in out2] == [2, 3]
+
+
+def test_build_filter_non_date_list_is_dropped(spark):
+    # the reference only emits list filters for detected date columns;
+    # a list of non-date values on a non-date column filters nothing
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    out = tabular.fetch_filtered(
+        df, filters={"v": [15.0, 35.0]}, order_by=["id"], limit=10
+    ).collect()
+    assert [r.id for r in out] == [1, 2]
+    # but the same bounds as a TUPLE are a numeric BETWEEN
+    out2 = tabular.fetch_filtered(
+        df, filters={"v": (15.0, 35.0)}, order_by=["id"], limit=10
+    ).collect()
+    assert [r.id for r in out2] == [2]
+
+
+def test_build_filter_named_date_column_accepts_string_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 2, 1))],
+        "id long, ddate date",
+    )
+    out = tabular.fetch_filtered(
+        df, filters={"ddate": ["2024-01-15", "2024-02-15"]},
+        order_by=["id"], limit=10,
+    ).collect()
+    assert [r.id for r in out] == [2]
+
+
+def test_build_filter_falsy_scalar_is_dropped(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "")], "id long, c string")
+    # "" and None mirror the reference's `elif value and value != ""` gate
+    assert tabular.build_filter({"c": ""}) is None
+    assert tabular.build_filter({"c": None}) is None
+    out = tabular.fetch_filtered(
+        df, filters={"c": ""}, order_by=["id"], limit=10
+    ).collect()
+    assert [r.id for r in out] == [1, 2]
 
 
 def test_filterable_columns():
