@@ -56,26 +56,33 @@ def punct_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(r"[.!?,;:]")).cast("int")
 
 
+def stopword_hits_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """Stopword hit count over an already-materialized token array —
+    callers that need several per-language counts project ``tokens(col)``
+    to a column ONCE and pass it here, so the text is never re-split
+    (same lesson as :func:`ngrams_from_tokens`)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("int")
+
+
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:
     """Number of tokens (with multiplicity) found in the language's list."""
-    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t))).cast(
-        "int"
-    )
+    return stopword_hits_from_tokens(tokens(col), lang)
 
 
-def quality_score(col: Column | str) -> Column:
-    """Heuristic document quality in [0, 1]: rewards mid-length docs, real
-    sentence punctuation, and a sane stopword ratio. All built-ins."""
+def quality_score_from_tokens(col: Column | str, toks: Column) -> Column:
+    """Quality score over a pre-materialized token array (one tokenization
+    feeds token count and stopword ratio)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
+    n_tok = F.size(toks).cast("int")
     length_component = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
     punct_component = F.least(
         punct_count(c) / F.greatest(n_tok.cast("double"), F.lit(1.0)) * 5.0,
         F.lit(1.0),
     )
     stop_component = F.least(
-        stopword_hits(c, "en") / F.greatest(n_tok.cast("double"), F.lit(1.0)) * 4.0,
+        stopword_hits_from_tokens(toks, "en")
+        / F.greatest(n_tok.cast("double"), F.lit(1.0)) * 4.0,
         F.lit(1.0),
     )
     return (
@@ -83,13 +90,21 @@ def quality_score(col: Column | str) -> Column:
     ).cast("double")
 
 
-def lang_id(col: Column | str) -> Column:
-    """Stopword-vote language id: argmax language by stopword hits, 'und'
-    when nothing matches. Ties break alphabetically (deterministic)."""
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs, real
+    sentence punctuation, and a sane stopword ratio. All built-ins."""
+    return quality_score_from_tokens(col, tokens(col))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Language id over a pre-materialized token array — the five
+    per-language counts share ONE split instead of re-tokenizing the text
+    per language."""
     scored = F.array(
         *[
             F.struct(
-                stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang")
+                stopword_hits_from_tokens(toks, lang).alias("hits"),
+                F.lit(lang).alias("lang"),
             )
             for lang in sorted(STOPWORDS)
         ]
@@ -100,6 +115,12 @@ def lang_id(col: Column | str) -> Column:
     # sort and taking max on (hits, reversed-rank).
     best = F.array_max(scored)
     return F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language id: argmax language by stopword hits, 'und'
+    when nothing matches. Ties break alphabetically (deterministic)."""
+    return lang_id_from_tokens(tokens(col))
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -638,9 +638,16 @@ def doc_quality_scores(spark, sf_dir):
     """Text-quality scoring (north-star text analysis): length + punctuation
     + stopword-ratio composite."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(tx.quality_score("text"), 4).alias("quality")
-    ).orderBy("doc_id")
+    return (
+        docs.withColumn("_toks", tx.tokens("text"))
+        .select(
+            "doc_id",
+            F.round(
+                tx.quality_score_from_tokens(F.col("text"), F.col("_toks")), 4
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -675,9 +682,14 @@ def lang_id_documents(spark, sf_dir):
     """Language-id heuristic (stopword vote; argmax with alphabetically-last
     tiebreak, mirrored exactly in the oracle CASE chain)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", tx.lang_id("text").alias("predicted")
-    ).orderBy("doc_id")
+    return (
+        docs.withColumn("_toks", tx.tokens("text"))
+        .select(
+            "doc_id", "lang",
+            tx.lang_id_from_tokens(F.col("_toks")).alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,39 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
     )
 
 
+def extract_archives(src_dir: str, dest_dir: str,
+                     remove_source: bool = False) -> list[str]:
+    """Driver-side ZIP extraction (reference S7,
+    testing_airflow_sec_pipeline.py:171-185): every ``*.zip`` in ``src_dir``
+    extracts into ``dest_dir/<archive-stem>/``; corrupt archives are skipped
+    (reference prints and continues). Returns the extracted folder paths —
+    feed them to :func:`read_tsv` for the tab-delimited SEC extracts.
+
+    ``remove_source=True`` mirrors the reference's delete-after-extract;
+    default keeps inputs. Driver-side by design: archive listings are tiny
+    control-plane work — the extracted files are what Spark reads in
+    parallel."""
+    import os
+    import zipfile
+
+    extracted: list[str] = []
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".zip"):
+            continue
+        zip_path = os.path.join(src_dir, name)
+        out_dir = os.path.join(dest_dir, name[: -len(".zip")])
+        os.makedirs(out_dir, exist_ok=True)
+        try:
+            with zipfile.ZipFile(zip_path, "r") as zf:
+                zf.extractall(out_dir)
+        except zipfile.BadZipFile:
+            continue
+        extracted.append(out_dir)
+        if remove_source:
+            os.remove(zip_path)
+    return extracted
+
+
 def load_config(path: str) -> dict:
     """Driver-side JSON config (reference S12, dags:33-47)."""
     with open(path) as fh:

@@ -1,0 +1,48 @@
+"""IO-layer tests: S7 archive extraction feeding the TSV reader."""
+
+import os
+import zipfile
+
+from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+
+
+def _make_zip(path, members):
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+
+
+def test_extract_archives_feeds_read_tsv(spark, tmp_path):
+    src = tmp_path / "downloads"
+    dest = tmp_path / "extracted"
+    src.mkdir()
+    _make_zip(
+        src / "2023q4.zip",
+        {"num.txt": "adsh\tvalue\nA-1\t10\nA-2\t20\n"},
+    )
+    _make_zip(
+        src / "2024q1.zip",
+        {"num.txt": "adsh\tvalue\nB-1\t30\n"},
+    )
+    (src / "corrupt.zip").write_bytes(b"not a zip at all")
+    (src / "notes.txt").write_text("ignored: not a zip")
+
+    out = eio.extract_archives(str(src), str(dest))
+    # corrupt archive skipped, non-zip ignored, stems become folder names
+    assert [os.path.basename(p) for p in out] == ["2023q4", "2024q1"]
+    assert all(os.path.isdir(p) for p in out)
+    # source zips kept by default
+    assert (src / "2023q4.zip").exists()
+
+    df = eio.read_tsv(spark, f"{dest}/*/num.txt")
+    rows = sorted((r.adsh, r.value) for r in df.collect())
+    assert rows == [("A-1", 10), ("A-2", 20), ("B-1", 30)]
+
+
+def test_extract_archives_remove_source(tmp_path):
+    src = tmp_path / "dl"
+    src.mkdir()
+    _make_zip(src / "a.zip", {"f.txt": "x"})
+    out = eio.extract_archives(str(src), str(tmp_path / "ex"), remove_source=True)
+    assert len(out) == 1
+    assert not (src / "a.zip").exists()
