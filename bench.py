@@ -27,6 +27,8 @@ HEADLINE = [
     "q18_large_orders",
     # RAG path
     "chunk_fixed_documents",
+    "chunk_recursive_documents",
+    "chunk_semantic_documents",
     "chunk_stats",
     "token_counts_documents",
     "doc_quality_scores",

@@ -19,3 +19,12 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def require_nonempty(df: DataFrame, what: str = "input") -> DataFrame:
+    """Reference F10 emptiness guard (the pipeline skips/raises on empty
+    intermediate sets). ``isEmpty`` probes one partition via limit(1) — never
+    a full count — so the guard is O(first row) at any scale."""
+    if df.isEmpty():
+        raise ValueError(f"empty {what}: expected at least one row")
+    return df

@@ -124,3 +124,28 @@ def write_chunks_json(chunks: DataFrame, path: str) -> None:
     """Chunks → JSON lines (reference K3 chunks.json,
     chunk_visualizer.py:12-52; distributed instead of one json.dump)."""
     chunks.write.mode("overwrite").json(path)
+
+
+def write_binary_files(df: DataFrame, out_dir: str,
+                       name_col: str = "file_name",
+                       data_col: str = "data") -> None:
+    """K5 sink: one file per row, payload bytes written verbatim — the
+    reference's per-image/per-markdown write loops (MistralTest.py:76-82,
+    :88-91) distributed across tasks via ``foreachPartition`` (genuinely
+    imperative per-row IO; nothing returns to the driver). String payloads
+    encode utf-8. ``out_dir`` must be shared/visible to executors at scale;
+    file-name uniqueness is the caller's contract."""
+    import os
+
+    def _write_partition(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            payload = r[data_col]
+            if payload is None:
+                continue
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            with open(os.path.join(out_dir, r[name_col]), "wb") as fh:
+                fh.write(bytes(payload))
+
+    df.select(name_col, data_col).foreachPartition(_write_partition)

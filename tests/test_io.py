@@ -46,3 +46,36 @@ def test_extract_archives_remove_source(tmp_path):
     out = eio.extract_archives(str(src), str(tmp_path / "ex"), remove_source=True)
     assert len(out) == 1
     assert not (src / "a.zip").exists()
+
+
+def test_write_binary_files_roundtrip(spark, tmp_path):
+    out = tmp_path / "media_out"
+    df = spark.createDataFrame(
+        [("a.png", bytearray(b"\x89PNG fake")), ("b.md", bytearray(b"# doc")),
+         ("skip.bin", None)],
+        "file_name string, data binary",
+    )
+    eio.write_binary_files(df, str(out))
+    assert (out / "a.png").read_bytes() == b"\x89PNG fake"
+    assert (out / "b.md").read_bytes() == b"# doc"
+    assert not (out / "skip.bin").exists()  # null payloads skipped
+
+
+def test_write_binary_files_string_payload(spark, tmp_path):
+    out = tmp_path / "md_out"
+    df = spark.createDataFrame(
+        [("page1.md", "# Page 1\n\nbody")], "file_name string, data string"
+    )
+    eio.write_binary_files(df, str(out))
+    assert (out / "page1.md").read_text() == "# Page 1\n\nbody"
+
+
+def test_require_nonempty(spark):
+    import pytest as _pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    df = spark.range(3)
+    assert require_nonempty(df) is df
+    with _pytest.raises(ValueError, match="empty docs"):
+        require_nonempty(df.where("id < 0"), what="docs")
