@@ -126,6 +126,28 @@ def write_chunks_json(chunks: DataFrame, path: str) -> None:
     chunks.write.mode("overwrite").json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 64,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (K1 scale layout): two tables bucketed on
+    the same key with the same bucket count join WITHOUT a shuffle exchange
+    (the bucketing IS the hash partitioning — verified in
+    tests/test_scale_plans.py), and sorted buckets skip the sort of a
+    sort-merge join. The 100 TB story for repeated joins/aggregations on a
+    stable key: pay the shuffle once at write time, never at read time."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_binary_files(df: DataFrame, out_dir: str,
                        name_col: str = "file_name",
                        data_col: str = "data") -> None:

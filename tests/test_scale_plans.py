@@ -1,0 +1,129 @@
+"""Scale-shape tests: bucketed joins skip the exchange, salted ops equal
+their unsalted twins, stateful streaming operators match batch semantics."""
+
+import contextlib
+import io as _io
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark import schemas
+from building_a_rag_pipeline_with_airflow_spark.plans import skew
+from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+from building_a_rag_pipeline_with_airflow_spark.streaming import stateful as ST
+from building_a_rag_pipeline_with_airflow_spark.streaming.windows import (
+    read_events_stream,
+)
+
+
+def _explain_str(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    customer = schemas.load_table(spark, sf_dir, "customer")
+    eio.write_bucketed(orders, "b_orders", ["o_custkey"], num_buckets=8)
+    eio.write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ["o_custkey"], num_buckets=8,
+    )
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_customer")
+        joined = a.hint("merge").join(b, "o_custkey")
+        plan = _explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and the join is actually correct
+        expect = orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = schemas.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    got = skew.salted_join(orders, customer, ["o_custkey"], n_salts=4)
+    plain = orders.join(customer, "o_custkey")
+    assert got.count() == plain.count()
+    a = sorted(map(tuple, got.select("o_orderkey", "c_name").collect()))
+    b = sorted(map(tuple, plain.select("o_orderkey", "c_name").collect()))
+    assert a == b
+
+
+def test_salted_collect_set_equals_plain(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    got = {
+        r.o_custkey: list(r.values)
+        for r in skew.salted_collect_set(
+            orders, ["o_custkey"], "o_orderpriority", n_salts=4
+        ).collect()
+    }
+    plain = {
+        r.o_custkey: sorted(r.s)
+        for r in orders.groupBy("o_custkey")
+        .agg(F.collect_set("o_orderpriority").alias("s"))
+        .collect()
+    }
+    assert got == plain
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("events_stateful")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _drain(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stateful_first_seen_matches_batch_min(spark, sf_dir, events_dir):
+    raw = read_events_stream(spark, events_dir)
+    out = _drain(spark, ST.first_seen(raw), "first_seen_mem", "append")
+    got = {(r.user_id, r.first_ts) for r in out.collect()}
+    batch = schemas.load_table(spark, sf_dir, "events")
+    expect = {
+        (r.user_id, r.first_ts)
+        for r in batch.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_stateful_running_counts_matches_batch(spark, sf_dir, events_dir):
+    raw = read_events_stream(spark, events_dir)
+    out = _drain(spark, ST.running_counts(raw), "running_counts_mem", "update")
+    # single availableNow batch → one update per key, totals = batch counts
+    got = {(r.event_type, r.n) for r in out.collect()}
+    batch = schemas.load_table(spark, sf_dir, "events")
+    expect = {
+        (r.event_type, r.n)
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
