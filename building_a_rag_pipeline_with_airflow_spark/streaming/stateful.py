@@ -62,6 +62,21 @@ def first_seen(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving within
+    the watermark horizon drop; key state expires as the watermark advances
+    — the production default over :func:`first_seen`'s forever-markers when
+    duplicates are near-time (replays, at-least-once sources)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def running_counts(
     stream: DataFrame,
     key_col: str = "event_type",

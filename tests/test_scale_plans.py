@@ -127,3 +127,20 @@ def test_stateful_running_counts_matches_batch(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_dedup_within_watermark_drops_replayed_file(spark, sf_dir, tmp_path):
+    # replay the same events file twice — an at-least-once delivery double
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    raw = read_events_stream(spark, str(d))
+    out = _drain(
+        spark,
+        ST.dedup_within_watermark(raw, delay="30 days"),
+        "dedup_wm_mem",
+        "append",
+    )
+    batch = schemas.load_table(spark, sf_dir, "events")
+    assert out.count() == batch.select("event_id").distinct().count()
