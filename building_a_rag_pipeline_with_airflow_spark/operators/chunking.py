@@ -226,12 +226,20 @@ def chunk_recursive(
             lambda t: recursive_split_py(t or "", chunk_size, chunk_overlap, seps)
         )
 
+    # posexplode_outer, NOT posexplode: the non-outer Generate implies a
+    # `size(arr) > 0` filter that Catalyst pushes below the repartition
+    # exchange, evaluating the splitter UDF twice per row (once for the
+    # filter, once for the explode — visible as two ArrowEvalPython nodes).
+    # The outer variant generates no filter; the null row an empty doc
+    # produces is dropped by a cheap post-filter instead.
     exploded = (
         ensure_min_partitions(docs)
         .select(F.col(id_col), _split(F.col(text_col)).alias("_chunks"))
         .select(
-            id_col, F.posexplode("_chunks").alias("chunk_index", "chunk_text")
+            id_col,
+            F.posexplode_outer("_chunks").alias("chunk_index", "chunk_text"),
         )
+        .where(F.col("chunk_index").isNotNull())
     )
     return _finish(exploded, text_col, id_col)
 
@@ -312,10 +320,16 @@ def chunk_semantic(
             )
         )
 
+    # posexplode_outer + null filter, same double-eval avoidance as
+    # chunk_recursive (the implicit non-empty filter of a plain posexplode
+    # pushes below the exchange and re-runs the sentence UDF).
     sent = (
         ensure_min_partitions(docs)
         .select(F.col(id_col), _sentences(F.col(text_col)).alias("_s"))
-        .select(id_col, F.posexplode("_s").alias("sent_idx", "sent_text"))
+        .select(
+            id_col, F.posexplode_outer("_s").alias("sent_idx", "sent_text")
+        )
+        .where(F.col("sent_idx").isNotNull())
     )
 
     w = Window.partitionBy(id_col).orderBy("sent_idx")
