@@ -354,3 +354,40 @@ def brp_similarity_join(
         F.col("datasetB.id").alias(c_id),
         F.round("dist", 4).alias("dist"),
     )
+
+
+def brp_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Single-query ANN top-k via MLlib
+    ``BucketedRandomProjectionLSH.approxNearestNeighbors`` (the SURVEY §2.7
+    V2 scale alternative to the exact TakeOrdered scan). Returns
+    (c_id, dist) rows, nearest first, Euclidean distance — on normalized
+    vectors rank order equals cosine rank order."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    fb = corpus.select(
+        F.col(c_id).alias("id"),
+        array_to_vector(F.col(c_vec).cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(fb)
+    hits = model.approxNearestNeighbors(
+        fb, Vectors.dense([float(x) for x in query_vec]), k, distCol="dist"
+    )
+    return hits.select(F.col("id").alias(c_id), F.round("dist", 4).alias("dist"))

@@ -79,3 +79,18 @@ def test_brp_similarity_join_pairs_are_within_threshold(emb):
     # self-pairs (distance 0) can never be pruned by LSH bucketing
     self_pairs = {(r.q_id, r.vec_id) for r in got if r.q_id == r.vec_id}
     assert len(self_pairs) == 10
+
+
+def test_brp_topk_nearest_first(emb, query_vec):
+    got = similarity.brp_topk(emb, query_vec, k=5, num_hash_tables=4).collect()
+    assert len(got) == 5
+    dists = [r.dist for r in got]
+    assert dists == sorted(dists)
+    # vec_id 0 IS the query vector — its own row must be the nearest hit
+    assert got[0].vec_id == 0 and got[0].dist == 0.0
+    # approx hits must rank-overlap the exact top-5 (normalized vectors:
+    # euclidean rank == cosine rank)
+    exact_ids = {
+        r.vec_id for r in similarity.topk_cosine(emb, query_vec, k=5).collect()
+    }
+    assert len(exact_ids & {r.vec_id for r in got}) >= 3
