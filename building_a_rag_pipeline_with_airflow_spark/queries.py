@@ -492,6 +492,41 @@ def rollup_returnflag_status(spark, sf_dir):
     )
 
 
+@q(
+    "cube_priority_segment",
+    """
+    SELECT coalesce(o.o_orderpriority, 'ALL') AS priority,
+           coalesce(c.c_mktsegment, 'ALL')   AS segment,
+           round(sum(o.o_totalprice), 2)     AS sum_price,
+           count(*)                          AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (o.o_orderpriority, c.c_mktsegment)
+    ORDER BY priority, segment
+    """,
+)
+def cube_priority_segment(spark, sf_dir):
+    """Full grouping-sets aggregation via CUBE over a broadcast dim join
+    (completes §2.5 beside rollup: all four grouping combinations in one
+    pass — partial aggregation applies per grouping set)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .cube("o_orderpriority", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "sum_price",
+            "n",
+        )
+        .orderBy("priority", "segment")
+    )
+
+
 _SQL_TOP_CUSTOMERS = """
     SELECT n_name, c_name, revenue, rnk FROM (
       SELECT n.n_name, c.c_name,
@@ -1766,11 +1801,23 @@ def q10_returned_revenue(spark, sf_dir):
     )
 
 
+# With more oracle-bearing queries than the driver's ~50-entry check window,
+# the overflow is an explicit choice, not definition-order accident: these
+# two have a same-family sibling inside the window (rollup covers grouping
+# sets; distinct + anti cover set ops), so losing their driver row loses the
+# least signal. Both stay fully checked by tests/test_oracle_parity.py.
+_DEPRIORITIZED = ("cube_priority_segment", "union_distinct_values")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered oracle-bearing first: the driver harness checks the
-    first 50 entries, so rows-only (no-oracle) queries sort last to keep every
-    oracle-verifiable query inside the checked window."""
-    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[1][1] is None)
+    first 50 entries, so rows-only (no-oracle) queries sort last — and the
+    _DEPRIORITIZED oracle queries sort just before them — to keep every
+    uniquely-informative oracle query inside the checked window."""
+    ordered = sorted(
+        REGISTRY.items(),
+        key=lambda kv: (kv[1][1] is None, kv[0] in _DEPRIORITIZED),
+    )
     return {name: spec[0] for name, spec in ordered}
 
 
