@@ -3,7 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query time = plan build + execution + collect of the (small) result.
+Methodology (since r3): each query runs 3 times in the shared session;
+``queries`` holds the per-query MEDIAN (plan build + execution + collect of
+the small result) and ``value`` is the sum of medians. ``cold_queries``
+keeps the first-run (cold) time. Rationale: with n=1 in a shared session,
+a query's number absorbs whatever the previous query left behind (JIT,
+Python worker churn, GC) — r2's apparent `doc_quality_scores` 2.7×
+"regression" was exactly that: isolated runs showed 0.11 s warm / 1.1 s
+cold, and reordering the two Python-UDF chunkers before/after it moved the
+n=1 reading between 1.5 s and 2.4 s with an identical physical plan.
+Medians make real plan regressions unambiguous.
 """
 
 from __future__ import annotations
@@ -68,13 +77,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            fn(spark, sf_dir).collect()
-            times[name] = round(time.time() - t0, 3)
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                runs.append(round(time.time() - t0, 3))
+            cold[name] = runs[0]
+            times[name] = sorted(runs)[len(runs) // 2]
         except Exception as exc:  # a failed query must not hide the rest
             times[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -88,6 +103,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "cold_queries": cold,
+                "methodology": (
+                    f"median of {n_runs} runs/query, one shared session; "
+                    "cold_queries = first-run times (include plan build + "
+                    "prior-query session noise)"
+                ),
             }
         )
     )
