@@ -94,3 +94,43 @@ def test_brp_topk_nearest_first(emb, query_vec):
         r.vec_id for r in similarity.topk_cosine(emb, query_vec, k=5).collect()
     }
     assert len(exact_ids & {r.vec_id for r in got}) >= 3
+
+
+def test_cosine_scores_pandas_matches_hof(spark, emb, query_vec):
+    """The Arrow/BLAS bulk scorer (warm-path winner, vectors.py docstring)
+    must agree with the interpreted-HOF form to rounding precision, and
+    handle null/zero vectors identically."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
+        cosine_scores_pandas,
+        cosine_similarity,
+    )
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    hof = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", F.round(cosine_similarity("embedding", q), 4).alias("s")
+        ).collect()
+    }
+    pdu = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id",
+            F.round(cosine_scores_pandas(query_vec)("embedding"), 4).alias("s"),
+        ).collect()
+    }
+    assert hof.keys() == pdu.keys()
+    mism = {k for k in hof if abs(hof[k] - pdu[k]) > 1e-9}
+    assert not mism, sorted(mism)[:5]
+
+    edge = spark.createDataFrame(
+        [(0, None), (1, [0.0] * len(query_vec))],
+        "id int, embedding array<float>",
+    )
+    rows = {
+        r.id: r.s
+        for r in edge.select(
+            "id", cosine_scores_pandas(query_vec)("embedding").alias("s")
+        ).collect()
+    }
+    assert rows[0] is None and rows[1] == 0.0
