@@ -38,6 +38,7 @@ HEADLINE = [
     "chunk_fixed_documents",
     "chunk_recursive_documents",
     "chunk_semantic_documents",
+    "chunk_semantic_refconst",
     "chunk_stats",
     "token_counts_documents",
     "doc_quality_scores",
@@ -50,6 +51,8 @@ HEADLINE = [
     "topk_cosine",
     "knn_join",
     "ivf_topk_cosine",
+    "ivf_topk_cosine_kmeans",
+    "brp_topk",
     # multimodal plumbing
     "media_image_meta",
     "embedding_norms",

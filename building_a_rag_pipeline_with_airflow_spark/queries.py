@@ -1946,6 +1946,53 @@ def q10_returned_revenue(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Bench-only entries (oracle=None BY DESIGN): production-ANN and
+# reference-constant costs tracked in BENCH_r{N}, not correctness rows.
+# Each has an oracle-checked sibling covering the same semantics
+# (ivf_topk_cosine / topk_cosine / chunk_semantic_documents); these vary
+# only the non-SQL-reproducible part (MLlib KMeans / BRP internals, or the
+# constants) so an external oracle is impossible by construction.
+# --------------------------------------------------------------------------
+
+
+@q("ivf_topk_cosine_kmeans", None)
+def ivf_topk_cosine_kmeans(spark, sf_dir):
+    """Production IVF path: MLlib KMeans centers behind the identical
+    assign/probe plan as the oracle-checked stride variant. Bench-only —
+    distributed Lloyd's is not reproducible by an external SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.ivf_topk_cosine(
+        emb, [float(x) for x in qvec], k=5, method="kmeans", n_cells=16, nprobe=4
+    )
+
+
+@q("brp_topk", None)
+def brp_topk_q(spark, sf_dir):
+    """Production single-query ANN: MLlib BucketedRandomProjectionLSH
+    approxNearestNeighbors. Bench-only — hash tables are MLlib-internal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return similarity.brp_topk(emb, [float(x) for x in qvec], k=5)
+
+
+@q("chunk_semantic_refconst", None)
+def chunk_semantic_refconst(spark, sf_dir):
+    """T3 at the reference's constants (chromadb_rag.py:88-90 —
+    avg_chunk_size=300, min_chunk_size=50) over the FULL documents table,
+    so the reference-constant cost is visible in the bench. Bench-only:
+    the oracle-checked sibling (chunk_semantic_documents) runs avg 30 /
+    min 10 on a 100-doc slice, sized so the short synthetic docs exercise
+    real cuts."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_semantic(
+        docs, hashed_embedder_udf(16), avg_chunk_size=300, min_chunk_size=50
+    ).orderBy("doc_id", "chunk_index")
+
+
 # With more oracle-bearing queries (54, all of them since r3) than the
 # driver's ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
