@@ -10,10 +10,12 @@ Three strategies, matching ``Chunking_Strats/chromadb_rag.py:49-93``:
   ``array<string>`` then exploded.
 * semantic / Kamradt (``KamradtModifiedChunker``, :75-93 and
   ``kamredt_chunking.py:113-131``) — re-expressed as a multi-stage DataFrame
-  plan: sentence-ish min-chunks → embed → neighbor cosine via a ``lag``
-  window → percentile breakpoint threshold → running-sum group ids →
-  ``concat_ws`` merge. Distributes cleanly: every window partitions by
-  doc_id, so no cross-document shuffle coupling.
+  plan: sentence-ish min-chunks → ±buffer combine → embed → consecutive
+  cosine distance via a ``lead`` window → cut at the top-K distances
+  (K = tokens // avg_chunk_size, the closed form of the reference's
+  binary-searched threshold) → running-sum group ids → ``concat_ws``
+  merge. Distributes cleanly: every window partitions by doc_id, so no
+  cross-document shuffle coupling.
 
 Scale note: chunking is embarrassingly parallel per document; the only
 shuffles in this module are the per-doc windows in the semantic path, which
@@ -254,8 +256,11 @@ def chunk_paragraphs(
     The SQL-expressible core of the recursive cascade's first level
     (separator "\\n\\n", chromadb_rag.py:70) — pure Catalyst (split +
     posexplode + filter), giving the T2 split semantics a full external
-    oracle while the imperative cascade is pinned by golden tests. No
-    shuffle: explode and filter are narrow; ordering is per-doc.
+    oracle while the imperative cascade is pinned by golden tests. The
+    split/explode/filter stages are narrow; densifying chunk_index after
+    the empty-piece filter (row_number over a per-doc window) costs one
+    hash exchange on doc_id — the same exchange every chunker pays in
+    ``_finish``-style renumbering, and the only one in this path.
     """
     pieces = (
         ensure_min_partitions(docs)

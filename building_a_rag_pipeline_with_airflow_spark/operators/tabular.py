@@ -58,7 +58,13 @@ def build_filter(filters: Mapping[str, Any]) -> Column | None:
             if not is_date_filter:
                 continue
             p = c.between(F.lit(_day(lo)), F.lit(_day(hi)))
-        elif isinstance(val, tuple) and len(val) == 2:
+        elif isinstance(val, tuple):
+            # the reference's builder indexes value[0]/value[1] for ANY
+            # tuple (app.py numeric range widgets); tuples too short to
+            # have bounds filter nothing rather than crash or fall through
+            # to a bogus col == lit(tuple) equality
+            if len(val) < 2:
+                continue
             p = c.between(F.lit(val[0]), F.lit(val[1]))
         elif not val:
             continue

@@ -38,7 +38,20 @@ def salted_join(
     wire until the shuffle). The join key becomes (on..., _salt), so a hot
     key's rows spread over n_salts reducers instead of one straggler.
     Result is identical to the unsalted join — every (row, match) pair still
-    meets exactly once, on the salt value the skewed row drew."""
+    meets exactly once, on the salt value the skewed row drew.
+
+    Only left-preserving joins are salt-safe: an unmatched SMALL-side row
+    exists n_salts times after replication, so right/full outer would emit
+    it n_salts times; those types are rejected rather than silently
+    wrong."""
+    salt_safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in salt_safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (the replicated "
+            f"small side would duplicate unmatched rows); use one of "
+            f"{sorted(salt_safe)}"
+        )
     on = list(on)
     left = skewed.withColumn("_salt", _row_salt(n_salts))
     right = small.withColumn(

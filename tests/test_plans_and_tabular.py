@@ -204,3 +204,18 @@ def test_column_profile_one_pass(spark):
     rows = {r.column: r for r in tabular.column_profile(df).collect()}
     assert rows["c"].min_value == "a" and rows["c"].max_value == "b"
     assert rows["id"].n_distinct == 3
+
+
+def test_build_filter_short_tuple_filters_nothing(spark):
+    # a 1-tuple has no (lo, hi) bounds: skip it (the scalar-equality branch
+    # would produce col == lit(tuple), an analysis error); 3+-tuples use
+    # their first two elements like the reference's value[0]/value[1]
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    out = tabular.fetch_filtered(df, filters={"v": (15.0,)}, order_by=["id"])
+    assert [r.id for r in out.collect()] == [1, 2, 3]
+    out = tabular.fetch_filtered(
+        df, filters={"v": (15.0, 25.0, 99.0)}, order_by=["id"]
+    )
+    assert [r.id for r in out.collect()] == [2]

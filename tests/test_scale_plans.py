@@ -144,3 +144,86 @@ def test_dedup_within_watermark_drops_replayed_file(spark, sf_dir, tmp_path):
     )
     batch = schemas.load_table(spark, sf_dir, "events")
     assert out.count() == batch.select("event_id").distinct().count()
+
+
+def test_dedup_within_watermark_late_replay_not_deduped(spark, tmp_path):
+    """The bounded-state contract, negative side: a duplicate key arriving
+    AFTER the watermark expired its state is emitted AGAIN (state really is
+    dropped — memory stays bounded, at the price of not catching replays
+    beyond the horizon). Two availableNow runs over one checkpoint model the
+    two micro-batches; the happy path (within-horizon dup dropped) rides in
+    run 1 as the control."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        # file sink, not memory: only a durable sink supports restarting
+        # from the checkpoint, which is what carries the watermark + state
+        # across the two runs
+        raw = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(str(src))
+        )
+        q = (
+            ST.dedup_within_watermark(raw, keys=("event_id",), delay="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.event_id, str(r.ts))
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # run 1: id=1 twice within the horizon (control: dropped once), id=99
+    # two hours later advances the watermark far past id=1's expiry
+    write(
+        "a.parquet",
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:00:30"),
+            (99, "2024-01-01 12:00:00"),
+        ],
+    )
+    out1 = drain()
+    assert [e for e, _ in out1] == [1, 99]  # within-horizon dup deduped
+
+    # run 2: id=1 replays above the committed watermark (11:50) but long
+    # after its state expired (10:10) — MUST come through again
+    write("b.parquet", [(1, "2024-01-01 12:01:00")])
+    out2 = drain()
+    assert (1, "2024-01-01 12:01:00") in out2, out2
+    assert len([e for e, _ in out2 if e == 1]) == 2
+
+
+def test_salted_join_rejects_right_preserving_joins(spark, sf_dir):
+    # the n_salts-replicated small side would emit each unmatched right row
+    # n_salts times under right/full outer — reject instead of silently wrong
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    customer = schemas.load_table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        skew.salted_join(orders, customer, ["o_custkey"], how="full_outer")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        skew.salted_join(orders, customer, ["o_custkey"], how="right")
