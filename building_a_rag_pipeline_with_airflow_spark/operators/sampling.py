@@ -1,0 +1,87 @@
+"""Deterministic, oracle-reproducible sampling for training-data curation.
+
+``df.sample`` is seed-stable but partition-layout-dependent (the seed mixes
+with the partition index), so the same call over the same rows in a
+different file layout samples different rows — useless for reproducible
+dataset releases and impossible to oracle externally. These operators
+sample by *content*: an md5-derived bucket of a key column decides
+membership, the same trick the dedup ladder uses for shingle ids
+(``operators/dedup.py``), so membership is a pure function of the row,
+reproducible in any engine, and stable under repartitioning, shuffles, and
+re-runs. That is exactly the property a 100 TB train/eval split needs —
+the split travels with the data, not with the job that produced it.
+
+Cost at scale: a map-only predicate per row (md5 of one column) — no
+shuffle, no sort, pushes through any downstream plan. The hash is NOT
+cryptographic sampling-theory-perfect but md5's avalanche is far beyond
+what sampling needs; the 10000-bucket resolution bounds the fraction
+granularity at 0.01%.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS): md5 of the key's string form
+    (15 hex chars = 60 bits, same slice as dedup.shingle_id so DuckDB's
+    ``CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)`` reproduces it), mod
+    BUCKETS. ``salt`` decorrelates independent samples over the same key."""
+    c = F.col(key) if isinstance(key, str) else key
+    s = F.concat(c.cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(BUCKETS)
+    ).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` of the bucket space.
+    All rows sharing a key are kept or dropped TOGETHER — sampling by
+    entity (user, document), not by row, which is what leakage-free
+    train/eval splits require."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(key, salt) < int(round(fraction * BUCKETS)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the content-hash analog of
+    ``df.sampleBy``): each stratum value gets its own keep-fraction;
+    unlisted strata keep ``default_fraction``. One map-side CASE over the
+    bucket — no shuffle, no per-stratum scans."""
+    thr: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for val, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+        thr = (
+            F.when(F.col(strata_col) == F.lit(val), F.lit(int(round(frac * BUCKETS))))
+            .otherwise(thr)
+        )
+    return df.where(hash_bucket(key, salt) < thr)
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) partition of ``df`` by entity key — complementary
+    predicates over one bucket expression, so the split is exhaustive,
+    disjoint, and identical on every re-run and relayout."""
+    cut = int(round(eval_fraction * BUCKETS))
+    b = hash_bucket(key, salt)
+    return df.where(b >= cut), df.where(b < cut)

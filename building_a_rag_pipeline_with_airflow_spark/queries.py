@@ -26,8 +26,10 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     chunking,
     dedup,
     multimodal,
+    sampling,
     similarity,
     tabular,
+    temporal,
 )
 from building_a_rag_pipeline_with_airflow_spark.plans.sqlgate import run_read_only
 
@@ -1947,6 +1949,343 @@ def q10_returned_revenue(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (as-of / interval) — operators/temporal.py. The reference
+# has no time-travel join; these are the training-pipeline extensions, each
+# with a full external oracle (DuckDB ASOF JOIN / theta BETWEEN).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_events_orders",
+    """
+    WITH daily AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS od_ts,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           e.user_id,
+           strftime(d.od_ts, '%Y-%m-%d %H:%M:%S.%f') AS od_ts,
+           d.n_orders, d.day_total
+    FROM events e ASOF LEFT JOIN daily d
+      ON e.user_id = d.user_id AND e.ts >= d.od_ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    """Point-in-time join: each event picks the user's most recent order-day
+    aggregate at-or-before the event. Right side is pre-aggregated per
+    (user, day) so the winner is unique — the determinism contract
+    as_of_join documents. Union-window plan: one shuffle on user_id, no
+    fan-out (vs. the range-join+rerank formulation that explodes on every
+    earlier order)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("od_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+        )
+    )
+    out = temporal.as_of_join(
+        ev, daily, on=["user_id"], left_ts="ts", right_ts="od_ts"
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        F.date_format("od_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("od_ts"),
+        "n_orders",
+        "day_total",
+    ).orderBy("event_id")
+
+
+@q(
+    "interval_join_purchase_follow",
+    """
+    WITH iv AS (
+      SELECT event_id AS anchor_id, user_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT iv.anchor_id, count(*) AS n_follow, round(sum(e.value), 4) AS follow_value
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+     AND e.event_id <> iv.anchor_id
+    GROUP BY iv.anchor_id
+    ORDER BY iv.anchor_id
+    """,
+)
+def interval_join_purchase_follow(spark, sf_dir):
+    """Interval join: events within [purchase_ts, +1h) for the same user —
+    follow-on activity per purchase. Bucketed plan (operators/temporal.py):
+    intervals explode to covered hour-cells, points equi-join on
+    (user_id, cell) with a residual range filter — bounded fan-out, never
+    all-pairs, AQE-friendly equi-shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts", "value")
+    joined = temporal.interval_join(
+        pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on=["user_id"], bucket_width_seconds=3600,
+    ).where(F.col("event_id") != F.col("anchor_id"))
+    return (
+        joined.groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_follow"),
+            F.round(F.sum("value"), 4).alias("follow_value"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic content-hash sampling — operators/sampling.py. Membership
+# is a pure function of the key (md5 bucket), so the identical predicate
+# runs in DuckDB: full value-level oracles, and the split is stable under
+# any relayout — the property df.sample (partition-seeded) cannot give.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "hash_sample_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15) AS BIGINT)
+          % {sampling.BUCKETS} < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def hash_sample_orders(spark, sf_dir):
+    """10% deterministic sample by order key: md5-bucket membership, a
+    map-only scan predicate (no shuffle, no seed/layout dependence)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        sampling.hash_sample(orders, "o_orderkey", 0.10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "stratified_sample_customers",
+    f"""
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE CAST('0x' || substr(md5(c_custkey::VARCHAR), 1, 15) AS BIGINT)
+          % {sampling.BUCKETS}
+          < CASE c_mktsegment WHEN 'BUILDING' THEN 3000
+                              WHEN 'MACHINERY' THEN 1000
+                              ELSE 0 END
+    ORDER BY c_custkey
+    """,
+)
+def stratified_sample_customers(spark, sf_dir):
+    """Per-stratum deterministic sampling (sampleBy's reproducible twin):
+    30% of BUILDING, 10% of MACHINERY, 0% elsewhere, one CASE over the
+    md5 bucket — single map-side predicate, no per-stratum scans."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        sampling.stratified_hash_sample(
+            cust, "c_mktsegment",
+            {"BUILDING": 0.30, "MACHINERY": 0.10},
+            key="c_custkey",
+        )
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes expressible on the slimmed schemas (no
+# commit/receipt dates, shipmodes, partsupp, phones — q4/q12/q21/q11/q16/
+# q20/q22 are out of reach by column availability, documented here).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (bi-national trade volume by year): two broadcast
+    nation dims applied BEFORE the fact-fact joins, so the supplier/customer
+    fan-in filters cut the lineitem stream early; the OR-pair predicate
+    stays a post-join filter over two broadcast-joined name columns."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n = nation.where(F.col("n_name").isin(*pair))
+    s = supplier.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    c = customer.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    return (
+        lineitem.join(s.select("s_suppkey", "supp_nation"),
+                      lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem["l_orderkey"] == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "cust_nation"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count histogram): left-outer join so
+    zero-order customers count, then a second (tiny) aggregation over the
+    per-customer counts — the two-level agg never materializes more than
+    |customers| rows."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the revenue CTE
+    computes once; the max is a scalar broadcast back as a filter (window
+    max over an empty partition would force all rows to one reducer —
+    a rank-1 window over the 100-row agg output would too, but the scalar
+    join keeps the plan shuffle-free past the first agg)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supplier.join(revenue, supplier["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): the correlated AVG
+    subquery becomes an explicit per-part aggregate joined back — the
+    standard decorrelation, and what Catalyst would rewrite anyway. The
+    avg threshold is exact in double (integral quantities sum exactly), so
+    the < comparison cannot diverge between engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    thresholds = lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey")),
+                      lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Bench-only entries (oracle=None BY DESIGN): production-ANN and
 # reference-constant costs tracked in BENCH_r{N}, not correctness rows.
 # Each has an oracle-checked sibling covering the same semantics
@@ -1993,22 +2332,39 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (54, all of them since r3) than the
-# driver's ~50-entry check window, the overflow is an explicit choice, not
+# With more oracle-bearing queries (62 as of r3) than the driver's
+# ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
-# query gets driver evidence at least once. r3 rotation: last round's
-# overflow (cube_priority_segment, union_distinct_values) and the two
-# newly-oracled queries (rag_retrieve_context, lsh_knn_join) move INTO the
-# window; these four long-stable queries move out, each with a same-family
-# sibling still inside (rollup ↔ cube grouping sets; distinct + anti ↔
-# union set ops; brand_revenue_topk ↔ topk_orders sort-desc-take-k; norms
-# are a sub-expression of every in-window cosine query). All stay fully
-# checked by tests/test_oracle_parity.py every round.
+# query gets driver evidence at least once. r3 rotation: r2's overflow
+# (cube_priority_segment, union_distinct_values), the two newly-oracled
+# queries (rag_retrieve_context, lsh_knn_join), and the eight NEW r3
+# queries (as-of/interval joins, hash sampling, q7/q13/q15/q17) move INTO
+# the window; twelve long-stable queries move out, every one carrying a
+# green CORRECTNESS_r02 row and a same-family sibling still inside:
+#   rollup ↔ cube grouping sets; distinct + anti ↔ union set ops;
+#   topk_orders / brand_revenue_topk ↔ q3/q10/q18 sort-desc-take-k;
+#   embedding_norms / near_dup_embeddings_exact ↔ the in-window cosine
+#   queries (norms are a sub-expression of each) + minhash_lsh_pairs for
+#   the near-dup banding; minhash_signatures ↔ minhash_lsh_pairs (the
+#   banding consumes the signatures); orders_year_quarter ↔
+#   quarter_classification (same quarter-from-date core); q5/q6/q14 ↔
+#   q7 (multi-join revenue rollup) and q17 (single-row conditional agg);
+#   pagination_orders ↔ filter_pushdown_orders (same fetch_filtered path).
+# All 62 stay fully value-checked by tests/test_oracle_parity.py every
+# round regardless of window position.
 _DEPRIORITIZED = (
     "rollup_returnflag_status",
     "distinct_nation_segments",
     "topk_orders",
     "embedding_norms",
+    "near_dup_embeddings_exact",
+    "minhash_signatures",
+    "orders_year_quarter",
+    "brand_revenue_topk",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q14_promo_revenue",
+    "pagination_orders",
 )
 
 

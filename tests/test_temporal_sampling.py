@@ -1,0 +1,194 @@
+"""as-of / interval joins vs reference implementations (pandas merge_asof,
+naive theta join) and determinism contracts for content-hash sampling."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark import schemas
+from building_a_rag_pipeline_with_airflow_spark.operators import sampling, temporal
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    # classic as-of fixture: trades pick the prevailing quote
+    quotes = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 09:00:00", 10.0),
+            ("A", "2024-01-01 09:00:05", 10.5),
+            ("A", "2024-01-01 09:00:10", 11.0),
+            ("B", "2024-01-01 09:00:03", 20.0),
+        ],
+        "sym string, qts string, px double",
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    trades = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 09:00:04", 100),
+            (2, "A", "2024-01-01 09:00:05", 200),   # exact-ts tie → matches
+            (3, "A", "2024-01-01 08:59:59", 300),   # before any quote → null
+            (4, "B", "2024-01-01 09:10:00", 400),
+            (5, "C", "2024-01-01 09:00:04", 500),   # unknown key → null
+        ],
+        "tid int, sym string, tts string, qty int",
+    ).withColumn("tts", F.col("tts").cast("timestamp"))
+    return quotes, trades
+
+
+def test_asof_backward_matches_pandas(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r.tid: (r.px, str(r.qts) if r.qts else None)
+        for r in temporal.as_of_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    ref = pd.merge_asof(
+        trades.toPandas().sort_values("tts"),
+        quotes.toPandas().sort_values("qts"),
+        left_on="tts", right_on="qts", by="sym", direction="backward",
+    )
+    expect = {
+        int(r.tid): (None if pd.isna(r.px) else r.px,
+                     None if pd.isna(r.qts) else str(r.qts))
+        for r in ref.itertuples()
+    }
+    assert got == expect
+
+
+def test_asof_forward_matches_pandas(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r.tid: None if r.px is None else r.px
+        for r in temporal.as_of_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            direction="forward",
+        ).collect()
+    }
+    ref = pd.merge_asof(
+        trades.toPandas().sort_values("tts"),
+        quotes.toPandas().sort_values("qts"),
+        left_on="tts", right_on="qts", by="sym", direction="forward",
+    )
+    expect = {
+        int(r.tid): None if pd.isna(r.px) else r.px for r in ref.itertuples()
+    }
+    assert got == expect
+
+
+def test_asof_tolerance_nulls_distant_matches(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r.tid: r.px
+        for r in temporal.as_of_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            tolerance_seconds=30,
+        ).collect()
+    }
+    # trade 4 is 9m57s after B's only quote → tolerance nulls it
+    assert got[4] is None
+    assert got[1] == 10.0 and got[2] == 10.5
+
+
+def test_asof_rejects_bad_direction(quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError, match="backward|forward"):
+        temporal.as_of_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            direction="nearest",
+        )
+
+
+def test_interval_join_equals_theta_join(spark, sf_dir):
+    ev = schemas.load_table(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    got = temporal.interval_join(
+        pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on=["user_id"], bucket_width_seconds=1800,
+    )
+    naive = pts.alias("p").join(
+        iv.withColumnRenamed("user_id", "iv_user").alias("i"),
+        (F.col("p.user_id") == F.col("iv_user"))
+        & (F.col("i.start_ts") <= F.col("p.ts"))
+        & (F.col("p.ts") < F.col("i.end_ts")),
+    )
+    a = sorted((r.event_id, r.anchor_id) for r in got.collect())
+    b = sorted((r.event_id, r.anchor_id) for r in naive.collect())
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_left_semi(spark, sf_dir):
+    ev = schemas.load_table(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    semi = temporal.interval_join(
+        pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on=["user_id"], bucket_width_seconds=1800, how="left_semi",
+    )
+    inner = temporal.interval_join(
+        pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on=["user_id"], bucket_width_seconds=1800,
+    )
+    assert semi.columns == pts.columns
+    assert {r.event_id for r in semi.collect()} == {
+        r.event_id for r in inner.select("event_id").distinct().collect()
+    }
+
+
+def test_hash_sample_stable_under_relayout(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    a = {r.o_orderkey for r in sampling.hash_sample(orders, "o_orderkey", 0.2).collect()}
+    b = {
+        r.o_orderkey
+        for r in sampling.hash_sample(
+            orders.repartition(17, "o_custkey"), "o_orderkey", 0.2
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < orders.count()
+    # and roughly the right size (md5 is uniform; 20% ± 5 points)
+    assert abs(len(a) / orders.count() - 0.2) < 0.05
+
+
+def test_stratified_fractions_and_salt(spark, sf_dir):
+    cust = schemas.load_table(spark, sf_dir, "customer")
+    out = sampling.stratified_hash_sample(
+        cust, "c_mktsegment", {"BUILDING": 1.0, "MACHINERY": 0.0}, key="c_custkey"
+    )
+    got = {r.c_mktsegment for r in out.select("c_mktsegment").distinct().collect()}
+    assert got == {"BUILDING"}
+    assert (
+        out.count()
+        == cust.where(F.col("c_mktsegment") == "BUILDING").count()
+    )
+    # a different salt draws a different (but still deterministic) sample
+    s1 = {r.o for r in sampling.hash_sample(
+        cust.select(F.col("c_custkey").alias("o")), "o", 0.3, salt="a").collect()}
+    s2 = {r.o for r in sampling.hash_sample(
+        cust.select(F.col("c_custkey").alias("o")), "o", 0.3, salt="b").collect()}
+    assert s1 != s2
+
+
+def test_train_eval_split_disjoint_exhaustive(spark, sf_dir):
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    train, ev = sampling.train_eval_split(docs, "doc_id", eval_fraction=0.25)
+    n_train, n_eval, n = train.count(), ev.count(), docs.count()
+    assert n_train + n_eval == n
+    ids_t = {r.doc_id for r in train.select("doc_id").collect()}
+    ids_e = {r.doc_id for r in ev.select("doc_id").collect()}
+    assert not (ids_t & ids_e)
+    assert abs(n_eval / n - 0.25) < 0.07
+
+
+def test_hash_sample_rejects_bad_fraction(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.hash_sample(orders, "o_orderkey", 1.5)
