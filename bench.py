@@ -34,6 +34,15 @@ HEADLINE = [
     "histogram_quantity",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q13_order_count_distribution",
+    # temporal / sampling / analytics
+    "asof_join_events_orders",
+    "interval_join_purchase_follow",
+    "hash_sample_orders",
+    "percentiles_by_returnflag",
+    "rolling_revenue_7d",
+    "sketch_distinct_profile",
     # RAG path
     "chunk_fixed_documents",
     "chunk_recursive_documents",

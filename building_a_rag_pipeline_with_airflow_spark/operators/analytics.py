@@ -1,0 +1,138 @@
+"""Distribution analytics: exact/approximate percentiles, mergeable
+distinct-count sketches, and time-rolling aggregates.
+
+The reference's stats surface is pandas ``describe``-style one-liners over
+collected frames (``Chunking_Strats/kamredt_chunking.py:52-105``,
+``Frontend/app.py`` widget aggs); none of it survives 100 TB. These
+operators are the distributed replacements:
+
+* **exact percentiles** — ``percentile()`` (linear interpolation, the same
+  type-7 definition DuckDB's ``quantile_cont`` uses, so results oracle
+  bit-for-bit). Exact percentile is a full sort per group — fine for
+  grouped slices, wrong for whole-table scans at scale; that's what the
+  approx variant is for.
+* **approx percentiles** — ``percentile_approx`` (Greenwald-Khanna):
+  single pass, bounded memory, mergeable partials — the 100 TB default.
+* **distinct-count sketches** — ``approx_count_distinct`` (HyperLogLog++)
+  for one-shot estimates, and Apache DataSketches HLL via
+  ``hll_sketch_agg`` for the *mergeable* form: per-partition/per-day
+  sketch columns that union later WITHOUT rescanning raw data — the only
+  sane way to track "distinct users per day/week/all-time" over 100 TB.
+* **rolling aggregates** — event-time RANGE windows over pre-aggregated
+  frames. The window is global-ordered but runs over one-row-per-period
+  input (the upstream groupBy did the heavy reduction), so the
+  single-partition window holds thousands of rows, not billions — that
+  invariant is the operator's contract, asserted in its docstring rather
+  than discovered in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_profile(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    ps: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentiles of ``value_col``, optionally per group.
+
+    ``exact=True`` → ``percentile()`` (full sort within each group — use on
+    grouped/filtered slices); ``exact=False`` → ``percentile_approx``
+    (single-pass GK sketch with ``accuracy``; error ≤ 1/accuracy of rank,
+    constant memory, the whole-table default at scale). Output: one row per
+    group with ``p_<pct>`` columns.
+    """
+    arr = "array({})".format(
+        ", ".join(f"CAST({p} AS DOUBLE)" for p in ps)
+    )
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    agg = F.expr(f"{fn}({value_col}, {arr}{extra})").alias("_ps")
+    out = df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return out.select(
+        *by,
+        *[
+            F.col("_ps").getItem(i).alias(f"p_{str(p).replace('.', '_')}")
+            for i, p in enumerate(ps)
+        ],
+    )
+
+
+def distinct_count_estimate(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.02
+) -> DataFrame:
+    """One-pass HyperLogLog++ distinct-count estimates for several columns
+    at once (relative std dev ``rsd``). One row out; no shuffle beyond the
+    final partial-merge — this is the scan you run instead of N separate
+    ``COUNT(DISTINCT ...)`` sorts."""
+    return df.agg(
+        *[
+            F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct")
+            for c in cols
+        ]
+    )
+
+
+def hll_partials(
+    df: DataFrame, by: Sequence[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketches (binary column) — the
+    MERGEABLE form of distinct counting. Persist these per day/partition;
+    :func:`hll_rollup` unions them into coarser grains without touching raw
+    rows again. ``lg_k=12`` → ~2.5% error at ~4 KB per sketch."""
+    return df.groupBy(*by).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_rollup(
+    partials: DataFrame, by: Sequence[str] = (), sketch_col: str = "hll"
+) -> DataFrame:
+    """Union per-group HLL sketches up to a coarser grouping (possibly
+    global) and estimate. Input rows = sketches, not data — this is the
+    re-aggregation path that costs KB per group instead of a raw rescan."""
+    merged = (
+        partials.groupBy(*by).agg(F.hll_union_agg(sketch_col).alias("hll"))
+        if by
+        else partials.agg(F.hll_union_agg(sketch_col).alias("hll"))
+    )
+    return merged.select(
+        *by, F.hll_sketch_estimate("hll").alias("distinct_estimate")
+    )
+
+
+def rolling_agg(
+    period_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_periods: int,
+    period_seconds: int = 86400,
+    out_col: str = "rolling_sum",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window sum over a PRE-AGGREGATED frame (one row per
+    ``period_seconds`` per partition key): RANGE window of
+    ``window_periods`` periods ending at the current row.
+
+    Contract: ``period_df`` must already be reduced to per-period rows
+    (e.g. daily revenue). The window then spans thousands of rows per
+    partition — when ``partition_by`` is empty that's a deliberate
+    single-partition sort over the tiny aggregate, not a scale bug; pass
+    keys to parallelize per-entity rollups."""
+    span = (window_periods - 1) * period_seconds
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+        .rangeBetween(-span, 0)
+    )
+    return period_df.select(
+        "*", F.sum(value_col).over(w).alias(out_col)
+    )

@@ -23,6 +23,7 @@ from building_a_rag_pipeline_with_airflow_spark import schemas
 from building_a_rag_pipeline_with_airflow_spark.functions import text as tx
 from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity, l2_norm
 from building_a_rag_pipeline_with_airflow_spark.operators import (
+    analytics,
     chunking,
     dedup,
     multimodal,
@@ -2286,6 +2287,90 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Distribution analytics — operators/analytics.py. Exact percentile uses
+# the same type-7 linear interpolation as DuckDB quantile_cont (oracle
+# bit-exact); the approx/sketch variants are bench-only by construction.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "percentiles_by_returnflag",
+    """
+    SELECT l_returnflag,
+           q[1] AS p_0_25, q[2] AS p_0_5, q[3] AS p_0_75, q[4] AS p_0_9
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS q
+      FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+)
+def percentiles_by_returnflag(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation): full sort within
+    each of 3 groups — the exact path is for grouped slices like this;
+    whole-table scans use the GK approx variant (bench entry)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.percentile_profile(
+        li, "l_quantity", by=["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+@q(
+    "rolling_revenue_7d",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           round(rev, 2) AS rev,
+           round(sum(rev) OVER (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+                 2) AS rev_7d
+    FROM daily ORDER BY d
+    """,
+)
+def rolling_revenue_7d(spark, sf_dir):
+    """Trailing 7-day revenue over the daily aggregate. The RANGE window is
+    global-ordered by design: its input is one row per DAY (the groupBy
+    did the 100,000:1 reduction first), so the single-partition sort holds
+    ~2.5k rows at any corpus scale — operators/analytics.py:rolling_agg
+    documents this contract."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    return (
+        analytics.rolling_agg(
+            daily, "d", "rev", window_periods=7, out_col="rev_7d"
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.round("rev", 2).alias("rev"),
+            F.round("rev_7d", 2).alias("rev_7d"),
+        )
+        .orderBy("d")
+    )
+
+
+@q("sketch_distinct_profile", None)
+def sketch_distinct_profile(spark, sf_dir):
+    """Bench-only (approximate by construction): one-pass HLL++ distinct
+    estimates over three orders columns + a GK approx-percentile profile.
+    Accuracy bounds vs exact are pytest-asserted (test_analytics.py); an
+    external oracle cannot reproduce engine-internal sketch states."""
+    orders = _t(spark, sf_dir, "orders")
+    est = analytics.distinct_count_estimate(
+        orders, ["o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    pct = analytics.percentile_profile(
+        orders, "o_totalprice", exact=False, accuracy=10_000
+    )
+    return est.crossJoin(pct)
+
+
+# --------------------------------------------------------------------------
 # Bench-only entries (oracle=None BY DESIGN): production-ANN and
 # reference-constant costs tracked in BENCH_r{N}, not correctness rows.
 # Each has an oracle-checked sibling covering the same semantics
@@ -2332,7 +2417,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (62 as of r3) than the driver's
+# With more oracle-bearing queries (64 as of r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -2349,8 +2434,11 @@ def chunk_semantic_refconst(spark, sf_dir):
 #   banding consumes the signatures); orders_year_quarter ↔
 #   quarter_classification (same quarter-from-date core); q5/q6/q14 ↔
 #   q7 (multi-join revenue rollup) and q17 (single-row conditional agg);
-#   pagination_orders ↔ filter_pushdown_orders (same fetch_filtered path).
-# All 62 stay fully value-checked by tests/test_oracle_parity.py every
+#   pagination_orders ↔ filter_pushdown_orders (same fetch_filtered path);
+#   histogram_quantity ↔ percentiles_by_returnflag (quantile/binning
+#   family over the same column); media_frame_counts ↔ media_image_meta
+#   (same one-way-Arrow multimodal meta path).
+# All 64 stay fully value-checked by tests/test_oracle_parity.py every
 # round regardless of window position.
 _DEPRIORITIZED = (
     "rollup_returnflag_status",
@@ -2365,6 +2453,8 @@ _DEPRIORITIZED = (
     "q6_revenue_forecast",
     "q14_promo_revenue",
     "pagination_orders",
+    "histogram_quantity",
+    "media_frame_counts",
 )
 
 

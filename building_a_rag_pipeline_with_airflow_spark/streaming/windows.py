@@ -120,3 +120,22 @@ def read_events_stream(spark, path: str) -> DataFrame:
     return stream_from_directory(spark, path, raw_schema).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: "list[str] | str",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension, broadcast so no stream-side shuffle or state is
+    involved (stream-static joins are stateless by definition — the dim is
+    re-resolved per batch, picking up storage-level updates between
+    batches). Works identically on a batch DataFrame, which is how the
+    parity test pins it. Stream must be the left/preserved side: Spark
+    rejects right/full joins that would need to emit dim rows for data the
+    stream hasn't seen."""
+    return stream.join(
+        F.broadcast(dim), on=[on] if isinstance(on, str) else list(on), how=how
+    )

@@ -1,0 +1,130 @@
+"""Accuracy bounds for the approximate analytics (sketches must land within
+their documented error), exactness for the windowed/percentile paths, and
+stream-static join parity."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark import schemas
+from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+from building_a_rag_pipeline_with_airflow_spark.streaming import windows as W
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    est = analytics.distinct_count_estimate(
+        orders, ["o_custkey", "o_orderpriority"], rsd=0.02
+    ).first()
+    exact_cust = orders.select("o_custkey").distinct().count()
+    exact_prio = orders.select("o_orderpriority").distinct().count()
+    # HLL++ rsd=0.02 → allow 5 sigma
+    assert abs(est["o_custkey_approx_distinct"] - exact_cust) <= max(
+        3, 0.10 * exact_cust
+    )
+    assert est["o_orderpriority_approx_distinct"] == exact_prio  # tiny card
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    li = schemas.load_table(spark, sf_dir, "lineitem")
+    exact = analytics.percentile_profile(li, "l_quantity").first()
+    approx = analytics.percentile_profile(
+        li, "l_quantity", exact=False, accuracy=10_000
+    ).first()
+    for c in ("p_0_25", "p_0_5", "p_0_75", "p_0_9"):
+        assert abs(exact[c] - approx[c]) <= 1.0, c
+
+
+def test_hll_partials_merge_matches_global(spark, sf_dir):
+    """The mergeability contract: daily sketches unioned == one global
+    sketch over the raw rows (same lg_k), and both land near the exact
+    count — re-aggregation without raw rescan."""
+    ev = schemas.load_table(spark, sf_dir, "events")
+    daily = analytics.hll_partials(
+        ev.withColumn("d", F.to_date("ts")), ["d"], "user_id"
+    )
+    merged = analytics.hll_rollup(daily).first()["distinct_estimate"]
+    direct = analytics.hll_rollup(
+        analytics.hll_partials(ev.withColumn("g", F.lit(1)), ["g"], "user_id")
+    ).first()["distinct_estimate"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct  # identical sketch state either way
+    assert abs(merged - exact) <= max(3, 0.10 * exact)
+
+
+def test_hll_rollup_grouped(spark, sf_dir):
+    ev = schemas.load_table(spark, sf_dir, "events")
+    parts = analytics.hll_partials(
+        ev.withColumn("d", F.to_date("ts")), ["d", "event_type"], "user_id"
+    )
+    weekly = analytics.hll_rollup(parts, by=["event_type"])
+    got = {r.event_type: r.distinct_estimate for r in weekly.collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in got:
+        assert abs(got[k] - exact[k]) <= max(3, 0.10 * exact[k]), k
+
+
+def test_rolling_agg_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01", 1.0),
+            ("a", "2024-01-02", 2.0),
+            ("a", "2024-01-05", 4.0),
+            ("b", "2024-01-01", 10.0),
+        ],
+        "k string, d string, v double",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = {
+        (r.k, str(r.d)): r.rolling_sum
+        for r in analytics.rolling_agg(
+            df, "d", "v", window_periods=3, partition_by=["k"]
+        ).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): 1.0,
+        ("a", "2024-01-02"): 3.0,   # day1+day2 within 3-day trailing range
+        ("a", "2024-01-05"): 4.0,   # day2 is 3 days back -> outside
+        ("b", "2024-01-01"): 10.0,  # keys don't mix
+    }
+
+
+@pytest.fixture()
+def events_stream_dir(tmp_path, sf_dir):
+    d = tmp_path / "enrich_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_enrich_with_dim_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    batch = schemas.load_table(spark, sf_dir, "events")
+    expect = sorted(
+        (r.event_id, r.category)
+        for r in W.enrich_with_dim(batch, dim, "event_type").collect()
+    )
+    stream = W.read_events_stream(spark, events_stream_dir)
+    q = (
+        W.enrich_with_dim(stream, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.category) for r in spark.table("enrich_mem").collect()
+    )
+    assert got == expect and len(got) > 0
