@@ -104,22 +104,35 @@ def stream_from_directory(spark, path: str, schema) -> DataFrame:
 
 
 def read_events_stream(spark, path: str) -> DataFrame:
-    """Stream the events table from a directory, converting the parquet's
-    TIMESTAMP(NANOS) (read as long under nanosAsLong) to a true µs timestamp
-    — mirror of schemas.load_table for the batch side."""
+    """Stream the events table from a directory — mirror of
+    ``schemas.load_table`` for the batch side.
+
+    The synthetic events parquet has shipped with ``ts`` as both
+    TIMESTAMP(MICROS) (reads natively as TimestampType) and TIMESTAMP(NANOS)
+    (reads as a ns long under ``nanosAsLong``). Streaming sources need the
+    schema up front, so probe the directory's footer once with a batch read
+    (metadata-only, no data scan) and build the matching stream schema —
+    converting ns → µs only when the file actually stores nanos.
+    """
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, T.LongType
+    )
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField(
+                "ts", T.LongType() if ts_is_long else T.TimestampType()
+            ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    return stream_from_directory(spark, path, raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    out = stream_from_directory(spark, path, raw_schema)
+    if ts_is_long:
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
 
 
 def enrich_with_dim(
