@@ -156,23 +156,44 @@ def kmeans_centroids(
     n_cells: int,
     c_vec: str = "embedding",
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,
+    train_per_cell: int = 256,
 ) -> DataFrame:
     """IVF centroids via MLlib KMeans (SURVEY §2.7 scale path).
 
-    Fits on the vector column (array→ml Vector, distributed Lloyd's with
-    kmeans|| init) and returns the centers as a (cell_id, cell_vec)
-    DataFrame — broadcast-small by construction (n_cells ≪ corpus), drops
-    straight into :func:`ivf_assign`. Deterministic for a fixed seed, but
-    not reproducible by an external SQL oracle — the stride subsample
-    remains the oracle-checked default."""
+    Fits on the vector column (array→ml Vector, distributed Lloyd's) and
+    returns the centers as a (cell_id, cell_vec) DataFrame —
+    broadcast-small by construction (n_cells ≪ corpus), drops straight
+    into :func:`ivf_assign`. Deterministic for a fixed seed, but not
+    reproducible by an external SQL oracle — the stride subsample remains
+    the oracle-checked default.
+
+    Centroid quality needs a bounded training sample, not the full corpus:
+    IVF (FAISS-style) trains on ~O(100) vectors per cell, so the fit is
+    capped at ``train_per_cell * n_cells`` rows via a seeded ``sample``
+    whose fraction comes from an exact count of the corpus (one cheap
+    count job — at 100 TB you'd pass the known table size instead).
+    ``initMode=random`` + bounded ``maxIter``: kmeans|| spends several
+    full passes picking seeds, which buys nothing for IVF cells where
+    sampled-random seeds converge to comparable inertia in a handful of
+    Lloyd iterations; each avoided pass is a full scan at scale."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    target = train_per_cell * n_cells
+    n = feats.count()
+    if n > target:
+        feats = feats.sample(fraction=target / n, seed=seed)
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        tol=1e-4,
+    ).fit(feats)
     rows = [
         (i, [float(x) for x in center])
         for i, center in enumerate(model.clusterCenters())
