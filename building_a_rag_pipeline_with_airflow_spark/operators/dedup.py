@@ -105,7 +105,17 @@ def ngram_jaccard_pairs(
     degrades every later job in a long-lived session. At scale the right
     reuse mechanism is materializing the shingle table once
     (``write.parquet`` an inverted index) and building pair stats from
-    that."""
+    that.
+
+    Two measured negative results at sf0.1 (kept for the record, don't
+    re-attempt): (1) a collect_list-posting-list formulation that computes
+    the explosion once and emits pairs via nested array transforms was
+    3-5× slower — interpreted HOF pair generation over ~1000-struct lists
+    loses far more than the saved scans; (2) riding ``|A|`` along the
+    exploded rows (size-before-explode) to drop the sizes branch was
+    ~2.5× slower warm — widening every row through the shingle self-join
+    shuffle costs more than the extra branch plus two tiny post-agg
+    broadcast joins. Keep shuffled rows narrow; join small stats late."""
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_shingles"))
     posting_ok = (
