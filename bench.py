@@ -3,16 +3,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology (since r3): each query runs 3 times in the shared session;
-``queries`` holds the per-query MEDIAN (plan build + execution + collect of
-the small result) and ``value`` is the sum of medians. ``cold_queries``
-keeps the first-run (cold) time. Rationale: with n=1 in a shared session,
-a query's number absorbs whatever the previous query left behind (JIT,
-Python worker churn, GC) — r2's apparent `doc_quality_scores` 2.7×
-"regression" was exactly that: isolated runs showed 0.11 s warm / 1.1 s
-cold, and reordering the two Python-UDF chunkers before/after it moved the
-n=1 reading between 1.5 s and 2.4 s with an identical physical plan.
-Medians make real plan regressions unambiguous.
+Methodology (since r3): 3 INTERLEAVED rounds over the whole headline list
+in one shared session; ``queries`` holds the per-query MEDIAN (plan build +
+execution + collect of the small result) and ``value`` is the sum of
+medians. ``cold_queries`` keeps the first-run (cold) time. Rationale: with
+n=1 in a shared session, a query's number absorbs whatever the previous
+query left behind (JIT, Python worker churn, GC) — r2's apparent
+`doc_quality_scores` 2.7× "regression" was exactly that: isolated runs
+showed 0.11 s warm / 1.1 s cold, and reordering the two Python-UDF chunkers
+before/after it moved the n=1 reading between 1.5 s and 2.4 s with an
+identical physical plan. And the runs are interleaved rather than
+back-to-back because this VM shows sporadic multi-second scheduling spikes
+(same plan, 0.25 s → 5.4 s): three consecutive runs share the spike's
+wall-clock window, three spread runs don't, so the median survives it.
 """
 
 from __future__ import annotations
@@ -90,21 +93,34 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _ = REGISTRY[name]
-        runs: list[float] = []
-        try:
-            for _ in range(n_runs):
+    # Interleaved rounds: run the whole headline list once, then repeat.
+    # Three consecutive runs of one query all land in the same ~5 s of
+    # wall-clock, so a host-side noise burst (this VM shows sporadic 5-10×
+    # scheduling spikes) corrupts all three and the median with them;
+    # spreading a query's runs across rounds decorrelates the burst, and
+    # the median recovers the true time.
+    all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    failed: set[str] = set()
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            if name in failed:
+                continue
+            fn, _ = REGISTRY[name]
+            try:
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
-                runs.append(round(time.time() - t0, 3))
-            cold[name] = runs[0]
-            times[name] = sorted(runs)[len(runs) // 2]
-        except Exception as exc:  # a failed query must not hide the rest
+                all_runs[name].append(round(time.time() - t0, 3))
+            except Exception as exc:  # a failed query must not hide the rest
+                failed.add(name)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name, runs in all_runs.items():
+        if name in failed or not runs:
             times[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            continue
+        cold[name] = runs[0]
+        times[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
@@ -117,9 +133,11 @@ def main() -> None:
                 "sf": sf,
                 "cold_queries": cold,
                 "methodology": (
-                    f"median of {n_runs} runs/query, one shared session; "
-                    "cold_queries = first-run times (include plan build + "
-                    "prior-query session noise)"
+                    f"median of {n_runs} INTERLEAVED rounds over the "
+                    "headline list, one shared session (a query's runs are "
+                    "spread across rounds so host-side noise bursts can't "
+                    "corrupt all of them); cold_queries = first-run times "
+                    "(include plan build + prior-query session noise)"
                 ),
             }
         )
