@@ -412,3 +412,97 @@ def brp_topk(
         fb, Vectors.dense([float(x) for x in query_vec]), k, distCol="dist"
     )
     return hits.select(F.col("id").alias(c_id), F.round("dist", 4).alias("dist"))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    method: str = "stride",
+    stride: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> None:
+    """Materialize an IVF index on storage: vectors partitioned by cell.
+
+    This is the durable form of :func:`ivf_topk_cosine`'s in-plan index —
+    the assign step runs ONCE at build time, and the layout does the work
+    at query time: ``<path>/vectors/cell_id=N/`` directories mean a probe
+    reads exactly the ``nprobe`` cells it needs via partition PRUNING (the
+    scan never opens the other cells' files), which is the difference
+    between O(corpus) and O(corpus/n_cells·nprobe) IO at 100 TB. Centroids
+    land beside the vectors (``<path>/centroids``) — they are the
+    broadcast-small query-time metadata.
+
+    Per-vector norms are precomputed into the layout (``_vnorm``) so every
+    future query skips the norm pass entirely — storage pays once what
+    each query would otherwise recompute."""
+    if method == "kmeans":
+        centroids = kmeans_centroids(corpus.select(c_id, c_vec), n_cells, c_vec=c_vec)
+    else:
+        centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
+            F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
+        )
+    assigned = ivf_assign(corpus, centroids, c_id, c_vec).withColumn(
+        "_vnorm", l2_norm(c_vec)
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = TOP_K,
+    nprobe: int = 4,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine against a :func:`build_ivf_index` layout, reading ONLY
+    the probed cells.
+
+    The nprobe cell ids are resolved on the driver from the centroids
+    parquet (index METADATA — a few KB, the same class of driver work as
+    reading a footer; the data path stays fully distributed) so the cell
+    predicate is literal at plan time and Catalyst turns it into partition
+    pruning: the FileScan's ``PartitionFilters`` drops every other
+    ``cell_id=N`` directory without opening it. Scoring reuses the stored
+    ``_vnorm`` — no per-query norm recomputation — and top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    q_norm = F.lit(qn**0.5)
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe_cells = [
+        r["cell_id"]
+        for r in centroids.select(
+            "cell_id",
+            F.round(
+                dot_product(F.col("cell_vec"), q) / (l2_norm("cell_vec") * q_norm),
+                4,
+            ).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell_id").isin(probe_cells)
+    )
+    return (
+        vectors.select(
+            F.col(c_id),
+            F.col("cell_id"),
+            F.round(
+                dot_product(F.col(c_vec), q) / (F.col("_vnorm") * q_norm), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(c_id))
+        .limit(k)
+    )

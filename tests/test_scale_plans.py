@@ -227,3 +227,43 @@ def test_salted_join_rejects_right_preserving_joins(spark, sf_dir):
         skew.salted_join(orders, customer, ["o_custkey"], how="full_outer")
     with pytest.raises(ValueError, match="not salt-safe"):
         skew.salted_join(orders, customer, ["o_custkey"], how="right")
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, method="stride", stride=16)
+
+    got = sim.query_ivf_index(spark, idx, qvec, k=5, nprobe=4)
+    # parity with the oracle-checked in-plan IVF (same stride centroids)
+    expect = sim.ivf_topk_cosine(emb, qvec, k=5, stride=16, nprobe=4)
+    assert [tuple(r) for r in got.select("vec_id", "score").collect()] == [
+        tuple(r) for r in expect.select("vec_id", "score").collect()
+    ]
+
+    # the probe scan must PRUNE: partition filters on cell_id present, and
+    # the executed scan reads fewer files than the index holds cells
+    plan = _explain_str(got)
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    n_cells = spark.read.parquet(f"{idx}/centroids").count()
+    pruned = spark.read.parquet(f"{idx}/vectors").where(
+        F.col("cell_id").isin([0, 1])
+    )
+    assert pruned.rdd.getNumPartitions() <= n_cells
+
+
+def test_ivf_index_stored_norms_match(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import l2_norm
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf2")
+    sim.build_ivf_index(emb, idx, method="stride", stride=32)
+    stored = spark.read.parquet(f"{idx}/vectors").select(
+        "vec_id", F.round("_vnorm", 6).alias("n")
+    )
+    fresh = emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("n"))
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, fresh.collect()))
