@@ -1,0 +1,97 @@
+"""Continuous RAG ingestion: a landing directory of document files becomes
+an ever-growing chunk/embedding index.
+
+The reference ingests on a schedule — an @daily Airflow DAG scrapes,
+downloads, and rebuilds (``RAG_Pipeline/dags``, poll loops at :78-90) — so
+fresh documents wait up to a day. The Spark-native twin is a file-source
+stream over the landing directory feeding the SAME batch plan
+(``pipeline.build_index``: chunk → embed) through ``foreachBatch``:
+
+* **Why foreachBatch, not a pure streaming plan**: the chunkers need
+  per-doc windows / pandas_udf stages that Structured Streaming's
+  incremental planner rejects or would force into stateful form, but each
+  document is chunked independently — there is no cross-batch state at
+  all. ``foreachBatch`` hands every micro-batch to the batch planner
+  (full Catalyst, AQE, the exact code the batch path runs) and the stream
+  contributes what it's actually needed for: discovery of new files,
+  bookkeeping, restart semantics.
+* **Exactly-once into the index**: the sink appends parquet tagged with
+  ``_batch_id``. Structured Streaming replays a failed batch with the
+  SAME batch id after restart (checkpointed offsets), so re-runs
+  overwrite-by-tag instead of duplicating: idempotent writes are the
+  documented foreachBatch contract.
+* **Scale**: each micro-batch is embarrassingly parallel per document;
+  index partitions accumulate per batch. Compact/re-partition offline if
+  small-file pressure builds (standard streaming-sink hygiene), or write
+  ``partitionBy`` on a hybrid-search predicate column exactly like the
+  batch index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over a documents landing directory.
+
+    Streaming sources need an explicit schema; take it from the files
+    already present (one footer read, no data scan) — the mirror of
+    ``streaming.windows.read_events_stream``."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_build_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    strategy: str = "fixed",
+    dim: int | None = None,
+    available_now: bool = True,
+):
+    """Start the ingestion query: new document files → chunk → embed →
+    append to the parquet index at ``index_path``.
+
+    Returns the ``StreamingQuery``; with ``available_now`` the query
+    drains everything currently in the landing directory and stops —
+    restartable from the same checkpoint when more files land (the
+    batch-interval analog of the reference's @daily trigger, minus the
+    latency)."""
+    kw = {} if dim is None else {"dim": dim}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index = build_index(batch_df, strategy=strategy, **kw).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        # replace-by-tag idempotence: a replayed batch id overwrites its
+        # own partition instead of appending a duplicate copy
+        index.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(index_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_streaming_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Read the accumulated index (drops the bookkeeping column) — feeds
+    ``pipeline.rag_query`` exactly like the batch-built index."""
+    return spark.read.parquet(index_path).drop("_batch_id")

@@ -5,6 +5,7 @@ function body runs in both modes — that equivalence is the test)."""
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark import schemas
 from building_a_rag_pipeline_with_airflow_spark.streaming import windows as W
@@ -57,3 +58,47 @@ def test_session_counts_batch(spark, events_batch):
 def test_parse_props(spark, events_batch):
     row = W.parse_props(events_batch).select("props_parsed.k").first()
     assert row.k is not None
+
+
+def test_streaming_ingest_matches_batch_index(spark, sf_dir, tmp_path):
+    import shutil
+
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index, rag_query
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    half_a.write.parquet(str(landing / "drop1"))
+
+    # drain what's there now
+    stream = ingest.read_documents_stream(spark, f"{landing}/*")
+    q = ingest.streaming_build_index(stream, index_path, ckpt)
+    q.awaitTermination(120)
+
+    got1 = ingest.load_streaming_index(spark, index_path)
+    exp1 = build_index(half_a)
+    assert sorted(r.chunk_id for r in got1.select("chunk_id").collect()) == sorted(
+        r.chunk_id for r in exp1.select("chunk_id").collect()
+    )
+
+    # more files land; restart from the same checkpoint — only the new
+    # files are processed, index accumulates without duplicating drop1
+    half_b.write.parquet(str(landing / "drop2"))
+    stream = ingest.read_documents_stream(spark, f"{landing}/*")
+    q = ingest.streaming_build_index(stream, index_path, ckpt)
+    q.awaitTermination(120)
+
+    got2 = ingest.load_streaming_index(spark, index_path)
+    exp2 = build_index(docs)
+    assert got2.count() == exp2.count()
+    assert got2.select("chunk_id").distinct().count() == got2.count()
+
+    # the accumulated index serves the batch query path unchanged
+    row = rag_query(got2, "spark join merge").first()
+    assert row.n_sources >= 1 and len(row.context) > 0
