@@ -39,6 +39,8 @@ HEADLINE = [
     "q18_large_orders",
     "q7_volume_shipping",
     "q13_order_count_distribution",
+    "q8_market_share",
+    "q19_disjunctive_revenue",
     # temporal / sampling / analytics
     "asof_join_events_orders",
     "interval_join_purchase_follow",
