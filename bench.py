@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_quality_scores",
     "lang_id_documents",
     "dedup_exact_documents",
+    "gopher_quality_flags",
+    "decontaminate_documents",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "winnow_fingerprints",

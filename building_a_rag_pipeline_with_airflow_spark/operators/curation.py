@@ -1,0 +1,201 @@
+"""Training-corpus curation: published-rule quality gates, within-doc
+repetition signals, and benchmark decontamination.
+
+The reference curates implicitly — whatever the scrape returns is chunked
+and indexed (``RAG_Pipeline/dags`` download path, no filtering stage). A
+100 TB pretraining pipeline gates documents first; this module implements
+the standard published filter families so the engine covers that stage:
+
+* **Gopher-style rules** (Rae et al. 2021, "Scaling Language Models",
+  table A1): word-count bounds, mean-word-length band, symbol-to-word
+  ratio, stopword evidence. Expressed entirely in Catalyst built-ins over
+  one shared tokenization — a pure map, no shuffle, linear scan at any
+  scale.
+* **Repetition signals** (same family; also C4's dedup-by-line): fraction
+  of duplicated word bigrams inside the document. High values mark
+  boilerplate/spam. Per-doc array ops — no shuffle.
+* **Decontamination** (n-gram collision against a held-out benchmark
+  set): inverted-index semi-join on shingles — the dedup module's
+  candidate-pair shape pointed at an external contamination set. Never
+  all-pairs; the benchmark side is tiny and broadcast.
+
+Thresholds are parameters; defaults are tuned DOWN to the short synthetic
+documents (~50 words) so both outcomes occur in tests — production values
+from the papers are noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.functions.text import (
+    ngrams_from_tokens,
+    stopword_hits_from_tokens,
+    tokens,
+)
+from building_a_rag_pipeline_with_airflow_spark.operators import (
+    ensure_min_partitions,
+)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: duplicate-bigram fraction.
+
+    ``1 - distinct_bigrams / total_bigrams`` over word 2-grams (0.0 for
+    docs too short to have one). All array built-ins on the row — the
+    whole thing is a projection."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        )
+    )
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_total.cast("bigint").alias("n_bigrams"),
+        F.when(n_total <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(1.0 - n_distinct / n_total.cast("double"), 4)
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 1,
+    max_dup_bigram_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style per-document quality gates, one row per doc with each
+    component, each boolean flag, and the conjunctive ``keep``.
+
+    Production thresholds (Rae et al. table A1): 50..100k words, mean
+    word length 3..10, ≤0.1 symbol-to-word (#/…), ≥2 of a stopword list;
+    defaults here are relaxed for ~50-word synthetic docs. One shared
+    tokenization feeds every component; the whole operator is a single
+    projection — at 100 TB this runs at scan speed with zero shuffle."""
+    toks_col = tokens(F.lower(F.col(text_col)))
+    out = df.select(F.col(id_col), F.col(text_col), toks_col.alias("_toks"))
+    n_words = F.size("_toks").cast("bigint")
+    mean_wl = F.when(n_words <= 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform("_toks", lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words.cast("double")
+    )
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[#@\{\}\[\]<>|\\~^]", ""))
+    ).cast("bigint")
+    symbol_ratio = F.when(n_words <= 0, F.lit(0.0)).otherwise(
+        n_symbols / n_words.cast("double")
+    )
+    stop_hits = stopword_hits_from_tokens(F.col("_toks"), "en").cast("bigint")
+    grams = F.when(
+        F.size("_toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(" ", F.col("_toks")[i], F.col("_toks")[i + 1]),
+        )
+    )
+    dup_frac = F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
+    )
+    comp = out.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+    )
+    return comp.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "ok_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbol_ratio"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
+        (F.col("dup_bigram_frac") <= max_dup_bigram_frac).alias("ok_repetition"),
+    ).select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_stopwords")
+            & F.col("ok_repetition")
+        ).alias("keep"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_collisions: int = 2,
+) -> DataFrame:
+    """Flag training documents that collide with a held-out benchmark set
+    on ≥ ``min_collisions`` distinct word n-grams (the published
+    decontamination recipe: n-gram overlap against eval sets).
+
+    Plan: explode distinct n-grams on both sides; the benchmark side is
+    small by definition (eval sets are thousands of docs, not billions)
+    so its gram set broadcasts; one semi-ish equi-join + per-doc distinct
+    count. The corpus never shuffles on anything but its own gram
+    explosion; output is (doc_id, n_collisions, contaminated)."""
+    corpus = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.explode(
+            ngrams_from_tokens(tokens(F.lower(F.col(text_col))), n)
+        ).alias("gram"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(
+                ngrams_from_tokens(tokens(F.lower(F.col(bench_text_col))), n)
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_collisions"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) >= min_collisions).alias(
+                "contaminated"
+            ),
+        )
+    )

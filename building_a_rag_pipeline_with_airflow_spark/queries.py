@@ -25,6 +25,7 @@ from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_
 from building_a_rag_pipeline_with_airflow_spark.operators import (
     analytics,
     chunking,
+    curation,
     dedup,
     multimodal,
     sampling,
@@ -728,6 +729,119 @@ def lang_id_documents(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_LOWER_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_BIGRAMS_SQL = f"""
+      CASE WHEN len({_LOWER_TOKS_SQL}) < 2 THEN []
+           ELSE list_transform(generate_series(1, len({_LOWER_TOKS_SQL}) - 1),
+                               i -> {_LOWER_TOKS_SQL}[i] || ' ' || {_LOWER_TOKS_SQL}[i+1])
+      END"""
+
+
+@q(
+    "repetition_stats_documents",
+    f"""
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(g) <= 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                 / CAST(len(g) AS DOUBLE), 4)
+           END AS dup_bigram_frac
+    FROM (SELECT doc_id, {_BIGRAMS_SQL} AS g
+          FROM documents WHERE length(trim(text)) > 0) t
+    ORDER BY doc_id
+    """,
+)
+def repetition_stats_documents(spark, sf_dir):
+    """Within-doc repetition signal (duplicate word-bigram fraction) —
+    Gopher/C4-family boilerplate detector; pure projection."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    return curation.repetition_stats(docs).orderBy("doc_id")
+
+
+@q(
+    "gopher_quality_flags",
+    f"""
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+           dup_bigram_frac,
+           (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_mean_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+           (stopword_hits >= 1) AS ok_stopwords,
+           (dup_bigram_frac <= 0.3) AS ok_repetition,
+           ((n_words >= 20 AND n_words <= 100000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+            AND (symbol_ratio <= 0.1)
+            AND (stopword_hits >= 1)
+            AND (dup_bigram_frac <= 0.3)) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CASE WHEN len(t) <= 0 THEN 0.0
+                  ELSE round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                             / CAST(len(t) AS DOUBLE), 4) END AS mean_word_len,
+             CASE WHEN len(t) <= 0 THEN 0.0
+                  ELSE round(CAST(length(text)
+                                  - length(regexp_replace(text, '[#@{{}}\\[\\]<>|\\\\~^]', '', 'g'))
+                                  AS DOUBLE)
+                             / CAST(len(t) AS DOUBLE), 4) END AS symbol_ratio,
+             CAST(len(list_filter(t, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT)
+               AS stopword_hits,
+             CASE WHEN len(g) <= 0 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                   / CAST(len(g) AS DOUBLE), 4) END AS dup_bigram_frac
+      FROM (SELECT doc_id, text, {_LOWER_TOKS_SQL} AS t, {_BIGRAMS_SQL} AS g
+            FROM documents WHERE length(trim(text)) > 0) raw
+    ) comp
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags_q(spark, sf_dir):
+    """Gopher-style quality gates (word count / mean word length / symbol
+    ratio / stopword evidence / repetition) + conjunctive keep."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    return curation.gopher_quality_flags(docs).orderBy("doc_id")
+
+
+@q(
+    "decontaminate_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx
+    ),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_collisions
+      FROM grams g JOIN bench b ON g.shingle = b.shingle GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_collisions, 0) AS n_collisions,
+           coalesce(h.n_collisions, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: training docs colliding with the held-out
+    set (doc_id % 97 == 0 here) on ≥2 distinct word 3-grams."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(docs, bench).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2664,7 +2778,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (68 as of late r3) than the driver's
+# With more oracle-bearing queries (71 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -2716,6 +2830,17 @@ _DEPRIORITIZED = (
     "value_counts_mktsegment",
     "topk_cosine",
     "dedup_exact_documents",
+    # Added when the curation trio (repetition/gopher/decontaminate)
+    # joined late in r3 — same rule: two green driver rounds (r1+r2) and
+    # an in-window sibling each. chunk_fixed_documents ↔ chunk_stats
+    # (aggregates the fixed chunker's output) + both other chunkers;
+    # token_counts_documents ↔ doc_quality_scores + gopher_quality_flags
+    # (same shared-tokenization core); column_profile_orders ↔
+    # sketch_distinct_profile (the same profile over the same columns,
+    # sketch-backed).
+    "chunk_fixed_documents",
+    "token_counts_documents",
+    "column_profile_orders",
 )
 
 

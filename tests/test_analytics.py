@@ -128,3 +128,49 @@ def test_enrich_with_dim_stream_equals_batch(spark, sf_dir, events_stream_dir):
         (r.event_id, r.category) for r in spark.table("enrich_mem").collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_gopher_flags_components_consistent(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.gopher_quality_flags(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.keep == (r.ok_word_count and r.ok_mean_word_len
+                           and r.ok_symbol_ratio and r.ok_stopwords
+                           and r.ok_repetition))
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        if r.n_words > 0:
+            assert r.mean_word_len > 0
+
+
+def test_decontaminate_benchmark_self_hits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = curation.decontaminate(docs, bench)
+    # every benchmark doc with >= min_collisions grams collides with itself
+    bench_rows = (
+        out.join(bench.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col("n_collisions") >= 2)
+        .collect()
+    )
+    assert all(r.contaminated for r in bench_rows)
+    # result covers every input doc exactly once
+    assert out.count() == docs.count()
+
+
+def test_repetition_stats_detects_repeats(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.repetition_stats(df).collect()}
+    assert rows[1].dup_bigram_frac > 0.5
+    assert rows[2].dup_bigram_frac == 0.0
