@@ -267,3 +267,32 @@ def test_ivf_index_stored_norms_match(spark, sf_dir, tmp_path):
     )
     fresh = emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("n"))
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q3_shipping_priority", "q5_region_revenue", "q7_volume_shipping",
+     "q8_market_share", "q9_profit_by_nation_year", "q10_returned_revenue",
+     "q19_disjunctive_revenue", "q22_idle_rich_customers"],
+)
+def test_tpch_plans_broadcast_their_dims(spark, sf_dir, qname):
+    """Guard the 100 TB shape of every join-heavy TPC-H query: dimension
+    sides must broadcast (no accidental shuffle of a small side), and at
+    least one scan must receive pushed filters."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY[qname][0](spark, sf_dir)
+    plan = _explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{qname}: no broadcast join in plan"
+    )
+    assert "PushedFilters: [" in plan, f"{qname}: no pushed filters at all"
+    # a pushed filter that is more than IsNotNull on at least one scan
+    import re as _re
+
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        p and any(tok not in ("", " ") and not tok.strip().startswith("IsNotNull")
+                  for tok in p.split(","))
+        for p in pushed
+    ), f"{qname}: only IsNotNull pushed"
