@@ -13,8 +13,19 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     explosion otherwise runs single-threaded. The guard is a no-op on any
     healthily-partitioned input (a 100 TB table always has >> cores
     partitions), so the extra shuffle exists only in the degenerate case it
-    fixes — and it shuffles the *pre-explosion* (small) rows."""
+    fixes — and it shuffles the *pre-explosion* (small) rows.
+
+    The partition-count probe (``df.rdd.getNumPartitions``) runs no job but
+    does build the physical plan once per call, driver-side. Pipelines whose
+    inputs are known to be well-partitioned can switch the guard off
+    session-wide — probe and all — with
+    ``spark.conf.set("spark.graft.ensureMinPartitions", "off")``; splitting
+    the file scan itself (``spark.sql.files.minPartitionNum``) is NOT an
+    alternative, because a single-row-group parquet file yields empty byte-
+    range splits and the explosion still lands on one task."""
     spark = df.sparkSession
+    if spark.conf.get("spark.graft.ensureMinPartitions", "on") == "off":
+        return df
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
