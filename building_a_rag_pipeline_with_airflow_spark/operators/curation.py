@@ -199,3 +199,52 @@ def decontaminate(
             ),
         )
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    token_col: str = "token_length",
+    budget: int = 512,
+    n_streams: int = 8,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_index",
+) -> DataFrame:
+    """Pack chunks into fixed token-budget training sequences (the
+    pretraining "sequence packing" step: concatenate documents up to the
+    context length so no compute is wasted on padding).
+
+    Distributed shape: chunks hash into ``n_streams`` independent packing
+    streams (``doc_id % n_streams`` — documents never split across
+    streams); within a stream, chunks pack in deterministic (doc, index)
+    order by cumulative token count: ``pack_no = floor(tokens_before /
+    budget)``. This is BLOCKED packing — a pack can overshoot the budget
+    by at most one chunk (the straddling chunk belongs to the pack where
+    its first token falls), which is what makes it a pure window
+    expression on both Spark and any SQL oracle. True greedy first-fit
+    (reset at the boundary) needs sequential per-stream state — an
+    ``applyInPandasWithState`` job, not a window — and changes pack
+    totals by < one chunk either way.
+
+    One shuffle (stream hash); each stream's window is independent, so
+    parallelism = n_streams — size it to cores (or to target file counts)
+    at scale. Output: one row per chunk with its (stream, pack_no,
+    seq_in_pack) assignment."""
+    from pyspark.sql import Window
+
+    stream = F.pmod(F.col(doc_col), F.lit(n_streams)).cast("int")
+    w = Window.partitionBy("_stream").orderBy(doc_col, idx_col)
+    before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    assigned = chunks.withColumn("_stream", stream).select(
+        "*",
+        F.floor(before / F.lit(budget)).cast("bigint").alias("_pack_no"),
+    )
+    w2 = Window.partitionBy("_stream", "_pack_no").orderBy(doc_col, idx_col)
+    return assigned.select(
+        F.col("_stream").alias("stream"),
+        F.col("_pack_no").alias("pack_no"),
+        F.row_number().over(w2).cast("int").alias("seq_in_pack"),
+        *[F.col(c) for c in chunks.columns],
+    )

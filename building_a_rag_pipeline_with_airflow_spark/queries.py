@@ -595,6 +595,53 @@ def chunk_fixed_documents(spark, sf_dir):
 
 
 @q(
+    "pack_training_sequences",
+    _CHUNK_CTE
+    + """
+    , toks AS (
+      SELECT doc_id, chunk_index,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM chunks
+    ),
+    packed AS (
+      SELECT doc_id % 8 AS stream, doc_id, chunk_index, tok,
+             coalesce(sum(tok) OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id, chunk_index
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS before
+      FROM toks
+    )
+    SELECT CAST(stream AS INT) AS stream,
+           CAST(floor(before / 256) AS BIGINT) AS pack_no,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(tok) AS BIGINT) AS tok_sum,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY stream, pack_no ORDER BY stream, pack_no
+    """,
+)
+def pack_training_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: fixed chunks → 8 hash streams →
+    blocked token-budget packs (budget 256). Result is per-pack occupancy —
+    the padding-waste report a training-data pipeline reads before
+    materializing packed sequences."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunking.chunk_fixed(docs)
+    packed = curation.pack_sequences(
+        chunks, token_col="token_length", budget=256, n_streams=8
+    )
+    return (
+        packed.groupBy("stream", "pack_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("token_length").cast("bigint").alias("tok_sum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("stream", "pack_no")
+    )
+
+
+@q(
     "chunk_stats",
     _CHUNK_CTE
     + """
@@ -2778,7 +2825,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (71 as of late r3) than the driver's
+# With more oracle-bearing queries (72 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -2841,6 +2888,10 @@ _DEPRIORITIZED = (
     "chunk_fixed_documents",
     "token_counts_documents",
     "column_profile_orders",
+    # Added when pack_training_sequences joined: latest_order_per_customer
+    # (green r1+r2) ↔ asof_join_events_orders in-window (the same
+    # latest-per-key ordered-window carry, generalized).
+    "latest_order_per_customer",
 )
 
 

@@ -174,3 +174,29 @@ def test_repetition_stats_detects_repeats(spark):
     rows = {r.doc_id: r for r in curation.repetition_stats(df).collect()}
     assert rows[1].dup_bigram_frac > 0.5
     assert rows[2].dup_bigram_frac == 0.0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import chunking, curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunking.chunk_fixed(docs)
+    packed = curation.pack_sequences(chunks, budget=256, n_streams=8)
+    # every chunk exactly once, doc never split across streams
+    assert packed.count() == chunks.count()
+    assert packed.select("doc_id", "stream").distinct().groupBy("doc_id").count() \
+        .where(F.col("count") > 1).count() == 0
+    # blocked-packing bound: every pack except possibly a stream's last is
+    # within budget + max single chunk
+    stats = packed.groupBy("stream", "pack_no").agg(
+        F.sum("token_length").alias("tok")
+    )
+    max_chunk = chunks.agg(F.max("token_length")).first()[0]
+    assert stats.where(F.col("tok") > 256 + max_chunk).count() == 0
+    # packs are dense per stream: 0..max with no gaps
+    dense = stats.groupBy("stream").agg(
+        F.count("*").alias("n"), (F.max("pack_no") + 1).alias("m")
+    )
+    assert dense.where(F.col("n") != F.col("m")).count() == 0
