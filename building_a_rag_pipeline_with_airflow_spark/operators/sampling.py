@@ -85,3 +85,56 @@ def train_eval_split(
     cut = int(round(eval_fraction * BUCKETS))
     b = hash_bucket(key, salt)
     return df.where(b >= cut), df.where(b < cut)
+
+
+def mixture_reweight(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+    key: str,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> tuple[DataFrame, DataFrame]:
+    """Domain-mixture reweighting: sample each stratum so the output mix is
+    proportional to ``weights``, at the largest total the data can supply
+    (the standard pretraining mixture step — upweight curated domains,
+    downweight crawl — done by deletion, not duplication).
+
+    Planning runs on the stratum COUNTS (one aggregation collected to the
+    driver — strata are domains, a handful of rows): the feasible total is
+    capped by the scarcest stratum (``cap = min(n_s / w_s)``), each
+    stratum keeps ``min(1, cap * w_s / n_s)`` of its rows, and thresholds
+    are ``floor(fraction * BUCKETS)`` — floor, not round, so any SQL
+    engine reproduces them bit-for-bit (Python ``round`` is banker's).
+    The apply step is :func:`hash_bucket` membership — map-only,
+    layout-stable, no shuffle of the data being sampled.
+
+    Returns ``(sampled_df, plan_df)``; the plan (stratum, total, weight,
+    fraction, cut) is the auditable record a dataset release ships."""
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        raise ValueError("mixture_reweight: input has no rows")
+    cap = min(
+        n / weights.get(s, default_weight) for s, n in counts.items()
+    )
+    plan_rows = []
+    for s, n in sorted(counts.items()):
+        wt = weights.get(s, default_weight)
+        frac = min(1.0, cap * wt / n)
+        plan_rows.append((s, n, float(wt), frac, int(math.floor(frac * BUCKETS))))
+    plan_df = df.sparkSession.createDataFrame(
+        plan_rows,
+        f"{strata_col} string, total bigint, weight double, "
+        "fraction double, cut bigint",
+    )
+    sampled = (
+        df.join(F.broadcast(plan_df.select(strata_col, "cut")), strata_col)
+        .where(hash_bucket(key, salt) < F.col("cut"))
+        .drop("cut")
+    )
+    return sampled, plan_df

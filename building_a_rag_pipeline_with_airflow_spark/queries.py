@@ -2242,6 +2242,66 @@ def hash_sample_orders(spark, sf_dir):
 
 
 @q(
+    "mixture_reweight_documents",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS total
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, total,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 2.0 ELSE 1.0 END AS weight
+      FROM counts
+    ),
+    capped AS (SELECT min(total / weight) AS cap FROM weighted),
+    plan AS (
+      SELECT source, total, weight,
+             least(1.0, (SELECT cap FROM capped) * weight / total) AS fraction,
+             CAST(floor(least(1.0, (SELECT cap FROM capped) * weight / total)
+                        * {sampling.BUCKETS}) AS BIGINT) AS cut
+      FROM weighted
+    ),
+    kept AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS kept
+      FROM documents d JOIN plan p ON p.source = d.source
+      WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15) AS BIGINT)
+            % {sampling.BUCKETS} < p.cut
+      GROUP BY d.source
+    )
+    SELECT p.source, p.total, coalesce(k.kept, 0) AS kept,
+           round(p.fraction, 4) AS fraction
+    FROM plan p LEFT JOIN kept k ON k.source = p.source
+    ORDER BY p.source
+    """,
+)
+def mixture_reweight_documents(spark, sf_dir):
+    """Domain-mixture reweighting audit: upweight src0-4 2×, sample every
+    source to the largest feasible proportional mix, report per-source
+    planned fraction and achieved kept count. The apply step is a
+    map-only content-hash predicate — layout-stable, reproducible by any
+    engine."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": 2.0 for i in range(5)}
+    sampled, plan = sampling.mixture_reweight(
+        docs, "source", weights, key="doc_id"
+    )
+    kept = sampled.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("kept")
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "total",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+            F.round("fraction", 4).alias("fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "stratified_sample_customers",
     f"""
     SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
@@ -2825,7 +2885,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (72 as of late r3) than the driver's
+# With more oracle-bearing queries (73 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -2892,6 +2952,10 @@ _DEPRIORITIZED = (
     # (green r1+r2) ↔ asof_join_events_orders in-window (the same
     # latest-per-key ordered-window carry, generalized).
     "latest_order_per_customer",
+    # Added when mixture_reweight_documents joined: q3 (green r1+r2) ↔
+    # q18 in-window (the same join→agg→sort-desc-top-k revenue family;
+    # q10's deprioritization already leans on q18 the same way).
+    "q3_shipping_priority",
 )
 
 

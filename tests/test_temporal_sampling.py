@@ -192,3 +192,24 @@ def test_hash_sample_rejects_bad_fraction(spark, sf_dir):
     orders = schemas.load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError, match="fraction"):
         sampling.hash_sample(orders, "o_orderkey", 1.5)
+
+
+def test_mixture_reweight_proportions_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 2.0, "src1": 2.0}
+    s1, plan = sampling.mixture_reweight(docs, "source", weights, key="doc_id")
+    # upweighted strata keep everything when all strata are equal-sized
+    pl = {r.source: r for r in plan.collect()}
+    assert pl["src0"].fraction == 1.0
+    assert all(abs(r.fraction - 0.5) < 0.01 for s, r in pl.items() if s not in weights)
+    # deterministic: re-running yields the identical sample
+    s2, _ = sampling.mixture_reweight(docs, "source", weights, key="doc_id")
+    a = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    b = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert a == b
+    # sample is a subset of the input, keyed rows intact
+    assert len(a) == s1.count() and s1.count() < docs.count()
