@@ -216,3 +216,59 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 32,
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, schema=frame)
+
+
+def extract_audio_meta(df: DataFrame, data_col: str = "data",
+                       id_col: str = "media_id",
+                       sample_rate: int = 16_000,
+                       bytes_per_sample: int = 2) -> DataFrame:
+    """Audio metadata extraction (duration / sample count / RMS level),
+    completing the image/audio/video column triple.
+
+    The decode core is the documented stub — byte length plays the role of
+    the PCM sample count and a byte-RMS stands in for signal level; swap in
+    soundfile/librosa behind the same signature for real decoding. The
+    Spark side is production-shaped: one-way Arrow crossing (payload never
+    returns from Python), typed meta struct joined back by id."""
+    meta_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(
+                "audio_meta",
+                T.StructType(
+                    [
+                        T.StructField("n_samples", T.LongType()),
+                        T.StructField("duration_s", T.DoubleType()),
+                        T.StructField("rms", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            metas = []
+            for b in pdf[data_col]:
+                raw = bytes(b) if b is not None else b""
+                n = len(raw) // bytes_per_sample
+                arr = (
+                    np.frombuffer(raw[: n * bytes_per_sample], dtype=np.int16)
+                    .astype("float64")
+                    if n
+                    else np.array([], "float64")
+                )
+                rms = float(np.sqrt(np.mean(arr * arr))) if n else 0.0
+                metas.append(
+                    {
+                        "n_samples": n,
+                        "duration_s": round(n / sample_rate, 6),
+                        "rms": round(rms, 4),
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "audio_meta": metas})
+
+    meta_df = df.select(id_col, data_col).mapInPandas(op, schema=meta_schema)
+    return df.join(meta_df, id_col)

@@ -113,3 +113,20 @@ def test_acquisition_manifest_pipeline(spark):
     keys = {r.key for r in keyed.collect()}
     assert "bucket/nvidia_quarterly_report/2024/q1.pdf" in keys
     assert "bucket/nvidia_quarterly_report/2024/q4.pdf" in keys
+
+
+def test_audio_meta_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=16, kind="audio")
+    out = mm.extract_audio_meta(media)
+    rows = out.select("media_id", "audio_meta.*", F.length("data").alias("nb")).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.n_samples == r.nb // 2
+        assert abs(r.duration_s - r.n_samples / 16000) < 1e-9
+        assert r.rms >= 0.0
+    # payload column untouched (one-way crossing keeps the binary intact)
+    assert out.schema["data"].dataType.typeName() == "binary"
