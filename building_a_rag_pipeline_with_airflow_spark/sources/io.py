@@ -171,3 +171,45 @@ def write_binary_files(df: DataFrame, out_dir: str,
                 fh.write(bytes(payload))
 
     df.select(name_col, data_col).foreachPartition(_write_partition)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    min_files_to_compact: int = 8,
+) -> str | None:
+    """Compact a small-file parquet directory (streaming-sink hygiene for
+    :mod:`..streaming.ingest`'s per-batch appends).
+
+    Sizing comes from the directory's actual bytes (file-status listing,
+    no data scan): ``ceil(total_bytes / target_file_mb)`` output files via
+    ``coalesce`` — a narrow, shuffle-free rewrite. The compacted copy
+    lands beside the original as ``<path>__compact_<n>`` and the path is
+    returned for an atomic catalog/manifest swap; this function never
+    deletes the source (object stores want swap-then-expire, not
+    in-place rewrites — in-place would corrupt concurrent readers).
+    Returns None when the directory is already within budget."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = [
+        (f.getPath().toString(), f.getLen())
+        for f in fs.listStatus(jvm_path)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    sub = [s for s in fs.listStatus(jvm_path) if s.isDirectory()]
+    for d in sub:  # partitioned layout: count leaf files too
+        files += [
+            (f.getPath().toString(), f.getLen())
+            for f in fs.listStatus(d.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
+    if len(files) < min_files_to_compact:
+        return None
+    total = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = f"{path}__compact_{len(files)}to{n_out}"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(out)
+    return out

@@ -79,3 +79,19 @@ def test_require_nonempty(spark):
     assert require_nonempty(df) is df
     with _pytest.raises(ValueError, match="empty docs"):
         require_nonempty(df.where("id < 0"), what="docs")
+
+
+def test_compact_parquet_reduces_files_preserving_rows(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+
+    src = str(tmp_path / "many")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.parquet(src)
+    out = eio.compact_parquet(spark, src, target_file_mb=128)
+    assert out is not None
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == docs.count()
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) < len(glob.glob(f"{src}/*.parquet"))
+    # under the threshold: no-op
+    assert eio.compact_parquet(spark, out, min_files_to_compact=8) is None
