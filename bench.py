@@ -89,7 +89,16 @@ def main() -> None:
 
     spark = get_spark(
         app_name="building_a_rag_pipeline_with_airflow_spark-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # ~130 query executions per bench run, some (MLlib fits) tens of
+            # jobs each: cap the status-listener backlog so late queries
+            # aren't taxed by the session's own accumulated bookkeeping.
+            "spark.ui.enabled": "false",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+            "spark.sql.ui.retainedExecutions": "50",
+        },
     )
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # engine, not first-call JIT (this VM has very slow JVM warm-up).

@@ -437,17 +437,26 @@ def build_ivf_index(
     Per-vector norms are precomputed into the layout (``_vnorm``) so every
     future query skips the norm pass entirely — storage pays once what
     each query would otherwise recompute."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
     if method == "kmeans":
         centroids = kmeans_centroids(corpus.select(c_id, c_vec), n_cells, c_vec=c_vec)
     else:
         centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
             F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
         )
-    assigned = ivf_assign(corpus, centroids, c_id, c_vec).withColumn(
-        "_vnorm", l2_norm(c_vec)
+    # an empty centroid set (e.g. a stride that misses every id in a
+    # filtered corpus) would silently write an EMPTY index; fail loudly
+    require_nonempty(centroids, "ivf centroids")
+    assigned = (
+        ivf_assign(corpus, centroids, c_id, c_vec)
+        .withColumn("_vnorm", l2_norm(c_vec))
+        # base build = batch -1; streaming_extend_ivf_index appends under
+        # its own _batch_id values so a replayed batch overwrites itself
+        .withColumn("_batch_id", F.lit(-1))
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+    assigned.write.mode("overwrite").partitionBy("cell_id", "_batch_id").parquet(
         f"{path}/vectors"
     )
 

@@ -95,3 +95,52 @@ def load_streaming_index(spark: SparkSession, index_path: str) -> DataFrame:
     """Read the accumulated index (drops the bookkeeping column) — feeds
     ``pipeline.rag_query`` exactly like the batch-built index."""
     return spark.read.parquet(index_path).drop("_batch_id")
+
+
+def streaming_extend_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    available_now: bool = True,
+):
+    """Keep a :func:`~building_a_rag_pipeline_with_airflow_spark.operators.\
+similarity.build_ivf_index` layout fresh: assign each micro-batch of new
+    vectors to the EXISTING centroids and append into the same
+    ``cell_id=N`` partition directories.
+
+    This is how IVF indexes grow in production — assignment is cheap
+    (broadcast centroids, one pass over the batch), re-clustering is an
+    offline decision made when cell-balance statistics drift, not per
+    arrival. Queries through ``query_ivf_index`` see new vectors as soon
+    as their batch commits, with the identical pruned-probe plan; a
+    replayed batch id overwrites its own rows via the ``_batch_id`` tag
+    (same idempotence contract as :func:`streaming_build_index`)."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import l2_norm
+    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        centroids = spark.read.parquet(f"{index_path}/centroids")
+        assigned = (
+            ivf_assign(batch_df, centroids, c_id, c_vec)
+            .withColumn("_vnorm", l2_norm(c_vec))
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        assigned.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell_id", "_batch_id").parquet(f"{index_path}/vectors")
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -102,3 +102,37 @@ def test_streaming_ingest_matches_batch_index(spark, sf_dir, tmp_path):
     # the accumulated index serves the batch query path unchanged
     row = rag_query(got2, "spark join merge").first()
     assert row.n_sources >= 1 and len(row.context) > 0
+
+
+def test_streaming_extend_ivf_index(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # base keeps the odd ids (stride centroids select vec_id % 16 == 1,
+    # which an even-only corpus would never satisfy)
+    base = emb.where(F.col("vec_id") % 2 == 1)
+    new = emb.where(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, idx, method="stride", stride=16)
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+    new.write.parquet(str(landing / "drop1"))
+    schema = spark.read.parquet(str(landing / "drop1")).schema
+    stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+    q = ingest.streaming_extend_ivf_index(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    vectors = spark.read.parquet(f"{idx}/vectors")
+    assert vectors.count() == emb.count()
+    assert vectors.select("vec_id").distinct().count() == emb.count()
+    # streamed vectors landed in the SAME cells the batch assigner picks
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    expect = sim.ivf_assign(new, centroids).select("vec_id", "cell_id")
+    got = vectors.where(F.col("_batch_id") >= 0).select("vec_id", "cell_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    # and the pruned query path serves the merged index
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    top = sim.query_ivf_index(spark, idx, qvec, k=5, nprobe=4).collect()
+    assert len(top) == 5 and top[0].vec_id == 1
