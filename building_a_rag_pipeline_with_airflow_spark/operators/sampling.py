@@ -119,6 +119,11 @@ def mixture_reweight(
     }
     if not counts:
         raise ValueError("mixture_reweight: input has no rows")
+    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "mixture_reweight: weights must be > 0 (drop a domain by "
+            "filtering it out, not by zero-weighting it)"
+        )
     cap = min(
         n / weights.get(s, default_weight) for s, n in counts.items()
     )

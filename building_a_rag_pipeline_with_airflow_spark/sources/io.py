@@ -178,6 +178,7 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     min_files_to_compact: int = 8,
+    partition_by: Sequence[str] = (),
 ) -> str | None:
     """Compact a small-file parquet directory (streaming-sink hygiene for
     :mod:`..streaming.ingest`'s per-batch appends).
@@ -189,7 +190,11 @@ def compact_parquet(
     returned for an atomic catalog/manifest swap; this function never
     deletes the source (object stores want swap-then-expire, not
     in-place rewrites — in-place would corrupt concurrent readers).
-    Returns None when the directory is already within budget."""
+    Returns None when the directory is already within budget.
+
+    Reading a hive-partitioned layout hoists the partition columns into
+    the data; pass ``partition_by`` to re-write them as partitions (and
+    keep downstream pruning) — otherwise the compacted copy is FLAT."""
     import math
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -211,5 +216,13 @@ def compact_parquet(
     total = sum(sz for _, sz in files)
     n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     out = f"{path}__compact_{len(files)}to{n_out}"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(path)
+    if partition_by:
+        # repartition on the partition keys so each output partition dir
+        # gets coherent files (coalesce alone would interleave them)
+        df.repartition(n_out, *partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(out)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(out)
     return out

@@ -95,3 +95,19 @@ def test_compact_parquet_reduces_files_preserving_rows(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/*.parquet")) < len(glob.glob(f"{src}/*.parquet"))
     # under the threshold: no-op
     assert eio.compact_parquet(spark, out, min_files_to_compact=8) is None
+
+
+def test_compact_parquet_preserves_partition_layout(spark, sf_dir, tmp_path):
+    import glob
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+
+    src = str(tmp_path / "part")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(12).write.partitionBy("o_orderstatus").parquet(src)
+    out = eio.compact_parquet(
+        spark, src, target_file_mb=128, partition_by=["o_orderstatus"]
+    )
+    assert out is not None
+    assert glob.glob(f"{out}/o_orderstatus=*"), "partition dirs lost"
+    assert spark.read.parquet(out).count() == orders.count()
