@@ -420,3 +420,99 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster step
+    that turns the ladder's candidate PAIRS into dedup GROUPS (one
+    canonical doc survives per component; the rest drop).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and keeps the minimum
+    seen; convergence when a round changes nothing. Components' labels end
+    as their minimum member id — deterministic and engine-independent, so
+    a SQL oracle (recursive-CTE transitive closure) reproduces the result
+    exactly.
+
+    Scale shape: each round is two shuffles (labels ⋈ edges on either
+    endpoint + a min-aggregate); rounds needed ≈ graph diameter, and
+    near-dup graphs are shallow (duplicate clusters are cliques or stars,
+    diameter ≤ ~3), so the loop runs 3-5 rounds in practice — the
+    driver-side loop only submits jobs, data never leaves the cluster.
+    ``max_iter`` bounds pathological chains; label-propagation CC at this
+    shape is the standard MapReduce formulation (hash-to-min family).
+    Output: (node, component) for every node appearing in any edge."""
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # edges are re-joined every round
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        # Truncate lineage EVERY round (localCheckpoint; swap for
+        # setCheckpointDir+checkpoint when executor loss matters): without
+        # it round N's plan nests rounds 1..N-1, Catalyst re-optimizes an
+        # exponentially growing tree, and the convergence probe re-executes
+        # the whole history — the standard iterative-DataFrame trap.
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("_nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Near-dup clusters: Jaccard candidate pairs above ``threshold`` →
+    connected components → (doc, component, is_canonical). The keep-set is
+    ``is_canonical`` rows plus every doc in no pair (those never enter the
+    edge list and are trivially canonical)."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, max_posting=max_posting
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -912,6 +912,63 @@ def dedup_exact_documents(spark, sf_dir):
     return dedup.exact_duplicates(docs).orderBy("fingerprint")
 
 
+@q(
+    "dedup_clusters_documents",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) t WHERE j >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.src AS doc_id,
+           least(n.src, min(r.dst)) AS component,
+           least(n.src, min(r.dst)) = n.src AS is_canonical
+    FROM (SELECT DISTINCT src FROM edges) n
+    LEFT JOIN reach r ON r.src = n.src
+    GROUP BY n.src ORDER BY doc_id
+    """,
+)
+def dedup_clusters_documents(spark, sf_dir):
+    """Near-dup clustering: Jaccard pairs (>=0.3) → connected components
+    (iterative min-label propagation; diameter-bounded rounds) →
+    per-doc (component, is_canonical). Oracle = recursive-CTE transitive
+    closure, exact because labels converge to the min member id."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, threshold=0.3).orderBy("doc_id")
+
+
 # DuckDB 3-gram shingles mirroring functions.text.word_ngrams: token slice
 # windows, whole-doc shingle when shorter than n, distinct.
 _SHINGLE_CTE = """
@@ -2885,7 +2942,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (73 as of late r3) than the driver's
+# With more oracle-bearing queries (74 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -2956,6 +3013,11 @@ _DEPRIORITIZED = (
     # q18 in-window (the same join→agg→sort-desc-top-k revenue family;
     # q10's deprioritization already leans on q18 the same way).
     "q3_shipping_priority",
+    # Added when dedup_clusters_documents joined: knn_join (green r1+r2)
+    # ↔ hybrid_topk_cosine in-window (identical norm-precompute scoring
+    # core + per-query window) and lsh_knn_join (the same join surface,
+    # banded).
+    "knn_join",
 )
 
 

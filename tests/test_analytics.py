@@ -200,3 +200,27 @@ def test_pack_sequences_invariants(spark, sf_dir):
         F.count("*").alias("n"), (F.max("pack_no") + 1).alias("m")
     )
     assert dense.where(F.col("n") != F.col("m")).count() == 0
+
+
+def test_connected_components_label_propagation(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_chain_converges(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    # a 12-node path graph needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
