@@ -2299,6 +2299,83 @@ def hash_sample_orders(spark, sf_dir):
 
 
 @q(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS rev_o,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS rev_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark, sf_dir):
+    """PIVOT family (§2.6 analytics): priority × status matrix of counts
+    and revenue via ``groupBy().pivot(values).agg()``. The explicit value
+    list keeps the plan single-pass (no distinct-scan to discover columns)
+    and is what production pivots over known domains should do; compiles
+    to one hash aggregate with conditional partials — the same plan as the
+    oracle's FILTER clauses."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(lit(1)): pivot rejects the '*' star expression
+            F.count(F.lit(1)).cast("bigint").alias("st"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F_st").alias("st_f"),
+        F.col("O_st").alias("st_o"),
+        F.col("P_st").alias("st_p"),
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("P_rev").alias("rev_p"),
+    ).orderBy("o_orderpriority")
+
+
+@q(
+    "ntile_customer_value",
+    """
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer
+    ) t GROUP BY quartile ORDER BY quartile
+    """,
+)
+def ntile_customer_value(spark, sf_dir):
+    """NTILE window (value-quartile segmentation): deterministic ordering
+    (balance desc, key tiebreak) so bucket boundaries are reproducible in
+    any engine. The global-order window is the point of the query —
+    production shards it per nation/segment partition; the quartile
+    summary keeps the result tiny."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.select(
+            "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@q(
     "mixture_reweight_documents",
     f"""
     WITH counts AS (
@@ -2942,7 +3019,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (74 as of late r3) than the driver's
+# With more oracle-bearing queries (76 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -3018,6 +3095,18 @@ _DEPRIORITIZED = (
     # core + per-query window) and lsh_knn_join (the same join surface,
     # banded).
     "knn_join",
+    # Added when pivot/ntile joined (76 oracles now compete for 50
+    # slots; every query here has two green rounds and an in-window
+    # anchor): pairwise_overlap_stats ↔ chunk_overlap_adjacent (the same
+    # overlap measurement, windowed); nations_without_suppliers ↔
+    # q22_idle_rich_customers (left_anti NOT-EXISTS shape);
+    # ngram_jaccard_pairs ↔ dedup_clusters_documents (the cluster query
+    # embeds the identical pair pipeline before the closure); simhash ↔
+    # winnow_fingerprints (md5-derived per-doc fingerprint maps).
+    "pairwise_overlap_stats",
+    "nations_without_suppliers",
+    "ngram_jaccard_pairs",
+    "simhash_documents",
 )
 
 
