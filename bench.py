@@ -60,6 +60,10 @@ HEADLINE = [
     "dedup_exact_documents",
     "gopher_quality_flags",
     "decontaminate_documents",
+    "dedup_clusters_documents",
+    "pack_training_sequences",
+    "mixture_reweight_documents",
+    "pivot_priority_by_status",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "winnow_fingerprints",
