@@ -248,3 +248,83 @@ def pack_sequences(
         F.row_number().over(w2).cast("int").alias("seq_in_pack"),
         *[F.col(c) for c in chunks.columns],
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    mixture_weights: "dict[str, float] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    near_dup_threshold: float = 0.5,
+    **gate_kw,
+) -> "tuple[DataFrame, DataFrame]":
+    """The full curation pipeline as one composition — the production
+    entry point tying the stage operators together:
+
+    1. :func:`gopher_quality_flags` — drop gated docs (map-only);
+    2. near-dup clustering — keep one canonical doc per component
+       (:func:`~.dedup.dedup_clusters`);
+    3. :func:`decontaminate` against ``benchmark`` (skipped when None);
+    4. :func:`~.sampling.mixture_reweight` to the target domain mix
+       (skipped when None).
+
+    Order matters at scale and is deliberate: the cheap projection gate
+    runs FIRST so the shuffle-bearing dedup/decontamination stages see
+    only surviving rows, and mixture sampling runs LAST so the final mix
+    is computed over what actually remains.
+
+    Returns ``(kept_docs, audit)`` where ``audit`` is one row per stage
+    with rows_in/rows_out — the lineage record a dataset card needs.
+    Laziness note: each stage's count materializes that stage once; at
+    100 TB you would checkpoint stage outputs to storage instead (the
+    counts then come from the write metrics for free)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from building_a_rag_pipeline_with_airflow_spark.operators.sampling import (
+        mixture_reweight,
+    )
+
+    spark = df.sparkSession
+    stages: list[tuple[str, int, int]] = []
+
+    n0 = df.count()
+    gates = gopher_quality_flags(df, text_col, id_col, **gate_kw)
+    kept = df.join(
+        gates.where(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    n1 = kept.count()
+    stages.append(("quality_gates", n0, n1))
+
+    clusters = dedup_clusters(
+        kept, text_col, id_col, threshold=near_dup_threshold
+    )
+    dupes = clusters.where(~F.col("is_canonical")).select(id_col)
+    kept = kept.join(dupes, id_col, "left_anti")
+    n2 = kept.count()
+    stages.append(("near_dup_dedup", n1, n2))
+
+    if benchmark is not None:
+        contaminated = (
+            decontaminate(kept, benchmark, text_col, id_col)
+            .where(F.col("contaminated"))
+            .select(id_col)
+        )
+        kept = kept.join(contaminated, id_col, "left_anti")
+    n3 = kept.count()
+    stages.append(("decontamination", n2, n3))
+
+    if mixture_weights is not None:
+        kept, _plan = mixture_reweight(
+            kept, strata_col, mixture_weights, key=id_col
+        )
+    n4 = kept.count()
+    stages.append(("mixture_reweight", n3, n4))
+
+    audit = spark.createDataFrame(
+        [(s, int(a), int(b)) for s, a, b in stages],
+        "stage string, rows_in bigint, rows_out bigint",
+    )
+    return kept, audit

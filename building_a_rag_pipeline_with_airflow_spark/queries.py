@@ -45,6 +45,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q(name: str, oracle: str | None):
     def deco(fn):
+        if name in REGISTRY:  # a dup would silently shadow its oracle row
+            raise ValueError(f"duplicate query name: {name!r}")
         REGISTRY[name] = (fn, oracle)
         return fn
 

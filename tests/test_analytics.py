@@ -224,3 +224,31 @@ def test_connected_components_chain_converges(spark):
     )
     got = {r.node: r.component for r in dedup.connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    kept, audit = curation.curate_corpus(
+        docs, benchmark=bench, mixture_weights={"src0": 2.0},
+        near_dup_threshold=0.3,
+    )
+    rows = {r.stage: r for r in audit.collect()}
+    assert list(rows) == [
+        "quality_gates", "near_dup_dedup", "decontamination",
+        "mixture_reweight",
+    ]
+    # monotone shrink, stages hand off exactly
+    order = ["quality_gates", "near_dup_dedup", "decontamination", "mixture_reweight"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].rows_in == rows[a].rows_out
+        assert rows[b].rows_out <= rows[b].rows_in
+    assert kept.count() == rows["mixture_reweight"].rows_out
+    # every stage actually dropped something on this synthetic corpus
+    assert rows["quality_gates"].rows_out < rows["quality_gates"].rows_in
+    assert rows["near_dup_dedup"].rows_out < rows["near_dup_dedup"].rows_in
+    assert rows["decontamination"].rows_out < rows["decontamination"].rows_in
