@@ -2425,8 +2425,11 @@ def mixture_reweight_documents(spark, sf_dir):
     kept = sampled.groupBy("source").agg(
         F.count("*").cast("bigint").alias("kept")
     )
+    # both sides are per-domain aggregates (dozens of rows); without the
+    # hint Catalyst sort-merge-joins them (createDataFrame side has no
+    # size stats)
     return (
-        plan.join(kept, "source", "left")
+        plan.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "total",
