@@ -296,3 +296,20 @@ def test_tpch_plans_broadcast_their_dims(spark, sf_dir, qname):
                   for tok in p.split(","))
         for p in pushed
     ), f"{qname}: only IsNotNull pushed"
+
+
+def test_plan_summary_reads_real_plans(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.plans.report import plan_summary
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    # a broadcast-heavy TPC-H shape
+    s = plan_summary(REGISTRY["q8_market_share"][0](spark, sf_dir))
+    assert s["broadcast_joins"] >= 3 and s["cartesian"] == 0
+    assert s["scans_with_pushed_filters"] >= 1
+    assert s["exchanges"] >= s["shuffle_exchanges"]
+    # a pure projection: no joins, no python, nothing cartesian
+    s2 = plan_summary(REGISTRY["doc_quality_scores"][0](spark, sf_dir))
+    assert s2["broadcast_joins"] == 0 and s2["python_workers"] == 0
+    # a pandas_udf chunker shows its Arrow boundary
+    s3 = plan_summary(REGISTRY["chunk_recursive_documents"][0](spark, sf_dir))
+    assert s3["python_workers"] >= 1
