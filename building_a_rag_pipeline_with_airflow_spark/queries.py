@@ -2300,6 +2300,24 @@ def hash_sample_orders(spark, sf_dir):
     )
 
 
+@q("curate_corpus_audit", None)  # composed pipeline — rows-only check;
+# every stage is individually oracle-checked (gopher_quality_flags,
+# dedup_clusters_documents, decontaminate_documents,
+# mixture_reweight_documents)
+def curate_corpus_audit(spark, sf_dir):
+    """The full curation pipeline's per-stage audit table (gates →
+    canonical-per-cluster dedup → decontamination → mixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    _kept, audit = curation.curate_corpus(
+        docs,
+        benchmark=bench,
+        mixture_weights={f"src{i}": 2.0 for i in range(5)},
+        near_dup_threshold=0.3,
+    )
+    return audit
+
+
 @q(
     "pivot_priority_by_status",
     """
