@@ -136,3 +136,42 @@ def test_streaming_extend_ivf_index(spark, sf_dir, tmp_path):
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
     top = sim.query_ivf_index(spark, idx, qvec, k=5, nprobe=4).collect()
     assert len(top) == 5 and top[0].vec_id == 1
+
+
+def test_events_stream_handles_both_ts_physical_types(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds; the stream reader must produce
+    identical 2024-era timestamps for either physical type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_704_067_200_000_000_000  # 2024-01-01 in ns
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    nanos_dir = tmp_path / "nanos"; nanos_dir.mkdir()
+    micros_dir = tmp_path / "micros"; micros_dir.mkdir()
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base, base + 3_600_000_000_000], pa.timestamp("ns"))}),
+        f"{nanos_dir}/e.parquet", store_schema=False,
+    )
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base // 1000, base // 1000 + 3_600_000_000], pa.timestamp("us"))}),
+        f"{micros_dir}/e.parquet",
+    )
+
+    def drain(path, name):
+        raw = W.read_events_stream(spark, path)
+        q = (raw.select("event_id", "ts").writeStream.format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return sorted((r.event_id, r.ts) for r in spark.table(name).collect())
+
+    a = drain(str(nanos_dir), "ts_nanos_mem")
+    b = drain(str(micros_dir), "ts_micros_mem")
+    assert a == b
+    assert a[0][1].year == 2024
