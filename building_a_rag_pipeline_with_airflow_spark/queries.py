@@ -454,6 +454,33 @@ def nations_without_suppliers(spark, sf_dir):
 
 
 @q(
+    "intersect_nation_segments",
+    """
+    SELECT c_nationkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    INTERSECT
+    SELECT c_nationkey FROM customer
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000
+    ORDER BY c_nationkey
+    """,
+)
+def intersect_nation_segments(spark, sf_dir):
+    """INTERSECT set op (§2.9 completeness: union/distinct/anti already
+    covered) — nations holding high-balance customers in BOTH segments.
+    Compiles to a left-semi over de-duplicated sides; one shuffle per
+    side, both filters pushed to the scan."""
+    c = _t(spark, sf_dir, "customer")
+    hot = F.col("c_acctbal") > 9000
+    building = c.where((F.col("c_mktsegment") == "BUILDING") & hot).select(
+        "c_nationkey"
+    )
+    machinery = c.where((F.col("c_mktsegment") == "MACHINERY") & hot).select(
+        "c_nationkey"
+    )
+    return building.intersect(machinery).orderBy("c_nationkey")
+
+
+@q(
     "union_distinct_values",
     """
     SELECT DISTINCT val FROM (
@@ -3042,7 +3069,7 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
-# With more oracle-bearing queries (76 as of late r3) than the driver's
+# With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
 # query gets driver evidence at least once. r3 rotation: r2's overflow
@@ -3130,6 +3157,10 @@ _DEPRIORITIZED = (
     "nations_without_suppliers",
     "ngram_jaccard_pairs",
     "simhash_documents",
+    # Added when intersect_nation_segments joined: orders_date_validation
+    # (green r1+r2) ↔ filter_pushdown_orders in-window (the same
+    # date-coercion/dispatch core, F4/F8/T12).
+    "orders_date_validation",
 )
 
 
