@@ -469,6 +469,7 @@ def query_ivf_index(
     nprobe: int = 4,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    prefilter=None,
 ) -> DataFrame:
     """Top-k cosine against a :func:`build_ivf_index` layout, reading ONLY
     the probed cells.
@@ -504,6 +505,11 @@ def query_ivf_index(
     vectors = spark.read.parquet(f"{path}/vectors").where(
         F.col("cell_id").isin(probe_cells)
     )
+    if prefilter is not None:
+        # hybrid search (V3) on the durable index: the metadata predicate
+        # composes with the cell predicate at the same scan, so it prunes
+        # row groups inside the probed partitions (parquet min/max stats)
+        vectors = vectors.where(prefilter)
     return (
         vectors.select(
             F.col(c_id),

@@ -313,3 +313,29 @@ def test_plan_summary_reads_real_plans(spark, sf_dir):
     # a pandas_udf chunker shows its Arrow boundary
     s3 = plan_summary(REGISTRY["chunk_recursive_documents"][0](spark, sf_dir))
     assert s3["python_workers"] >= 1
+
+
+def test_ivf_index_hybrid_prefilter(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    idx = str(tmp_path / "ivf_h")
+    sim.build_ivf_index(emb, idx, method="stride", stride=16)
+    hits = sim.query_ivf_index(
+        spark, idx, qvec, k=5, nprobe=4, prefilter=F.col("label") == 1
+    ).collect()
+    assert 0 < len(hits) <= 5
+    labels = {
+        r.label
+        for r in spark.read.parquet(f"{idx}/vectors")
+        .where(F.col("vec_id").isin([h.vec_id for h in hits]))
+        .select("label")
+        .collect()
+    }
+    assert labels == {1}
+    # hybrid equals in-plan hybrid over the same probed cells' semantics:
+    # every returned score must also appear in the unfiltered ranking
+    plain = {r.vec_id: r.score for r in sim.query_ivf_index(spark, idx, qvec, k=100, nprobe=4).collect()}
+    for h in hits:
+        assert plain[h.vec_id] == h.score
