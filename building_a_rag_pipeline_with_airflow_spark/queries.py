@@ -1466,28 +1466,32 @@ def chunk_recursive_documents(spark, sf_dir):
     )
 
 
-@q(
-    "chunk_semantic_documents",
-    # Full KamradtModifiedChunker oracle. Exact because every stage is
-    # deterministic and reproducible in SQL: (1) on this corpus the initial
-    # recursive split at (min_chunk_size=10, overlap=0) reduces to 10-word
-    # blocks; (2) the ±3 buffer combine is a windowed string_agg; (3) the
-    # hashed-BoW embedder is md5-derived (bucket = first-4-bytes %% dim, sign
-    # = byte-5 parity) with float32 storage — CAST(... AS REAL) reproduces
-    # the rounding; (4) cosine in double over the REAL values; (5) cuts at
-    # the top-(tokens // avg_chunk_size) distances via the (K+1)-th-largest
-    # threshold with the reference's 1e-6 search-resolution floor.
-    """
+def _semantic_oracle_sql(block: int, avg: float, doc_filter: str = "") -> str:
+    """Shared KamradtModifiedChunker oracle generator — used by BOTH
+    `chunk_semantic_documents` (block=10, avg=30) and
+    `chunk_semantic_refconst` (block=50, avg=300, the reference's
+    chromadb_rag.py:88-90 constants). Exact because every stage is
+    deterministic and reproducible in SQL: (1) on this corpus (space-only
+    separators, ≤100-word docs — re-verified against regenerated testdata
+    each round) the initial recursive split at (min_chunk_size=block,
+    overlap=0) reduces to `block`-word blocks; (2) the ±3 buffer combine is
+    a windowed string_agg; (3) the hashed-BoW embedder is md5-derived
+    (bucket = first-4-bytes % dim, sign = byte-5 parity) with float32
+    storage — CAST(... AS REAL) reproduces the rounding; (4) cosine in
+    double over the REAL values; (5) cuts at the top-(tokens // avg)
+    distances via the (K+1)-th-largest threshold with the reference's 1e-6
+    search-resolution floor."""
+    return f"""
     WITH docs AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
-      FROM documents WHERE doc_id < 100 AND length(text) > 0
+      FROM documents WHERE {doc_filter}length(text) > 0
     ),
     sents AS (
       SELECT doc_id, n, CAST(j AS INT) AS sent_idx,
-             array_to_string(list_slice(toks, j * 10 + 1, least(j * 10 + 10, n)), ' ') AS sent_text
+             array_to_string(list_slice(toks, j * {block} + 1, least(j * {block} + {block}, n)), ' ') AS sent_text
       FROM (SELECT doc_id, toks, n,
-                   unnest(generate_series(0, CAST(ceil(n / 10.0) AS BIGINT) - 1)) AS j
+                   unnest(generate_series(0, CAST(ceil(n / {float(block)}) AS BIGINT) - 1)) AS j
             FROM docs)
     ),
     combined AS (
@@ -1546,7 +1550,7 @@ def chunk_recursive_documents(spark, sf_dir):
     ),
     thr AS (
       SELECT r.doc_id,
-             max(CASE WHEN r.rn = CAST(floor(k.n / 30.0) AS BIGINT) + 1
+             max(CASE WHEN r.rn = CAST(floor(k.n / {avg}) AS BIGINT) + 1
                       THEN r.dist END) AS t
       FROM ranked r JOIN docs k USING (doc_id) GROUP BY r.doc_id
     ),
@@ -1573,7 +1577,12 @@ def chunk_recursive_documents(spark, sf_dir):
            CAST(length(text) AS INT) AS char_length,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS token_length
     FROM chunks ORDER BY doc_id, chunk_index
-    """,
+    """
+
+
+@q(
+    "chunk_semantic_documents",
+    _semantic_oracle_sql(block=10, avg=30.0, doc_filter="doc_id < 100 AND "),
 )
 def chunk_semantic_documents(spark, sf_dir):
     """T3 semantic chunking, public KamradtModifiedChunker semantics
@@ -2401,11 +2410,14 @@ def pivot_priority_by_status(spark, sf_dir):
     """,
 )
 def ntile_customer_value(spark, sf_dir):
-    """NTILE window (value-quartile segmentation): deterministic ordering
-    (balance desc, key tiebreak) so bucket boundaries are reproducible in
-    any engine. The global-order window is the point of the query —
-    production shards it per nation/segment partition; the quartile
-    summary keeps the result tiny."""
+    """NTILE window — the ORACLE-EXACTNESS variant: equal-count buckets
+    with ties split by the (balance desc, key) total order, which only a
+    single global-order window can produce. All rows shuffle to ONE
+    partition (`WindowExec: No Partition Defined`) — acceptable here only
+    because customer at test SF is small and exact tie semantics are the
+    point. The PRODUCTION path is `quantile_segment_customer_value` /
+    :func:`operators.analytics.quantile_segment`: boundary agg + map-side
+    assign, no global window, same segmentation up to tie mass."""
     customer = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
@@ -2419,6 +2431,51 @@ def ntile_customer_value(spark, sf_dir):
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
         .orderBy("quartile")
+    )
+
+
+@q(
+    "quantile_segment_customer_value",
+    """
+    WITH b AS (
+      SELECT quantile_cont(c_acctbal, [0.75, 0.5, 0.25]) AS bounds
+      FROM customer
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             1 + CAST(c_acctbal < b.bounds[1] AS INT)
+               + CAST(c_acctbal < b.bounds[2] AS INT)
+               + CAST(c_acctbal < b.bounds[3] AS INT) AS bucket
+      FROM customer, b
+    ) t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def quantile_segment_customer_value(spark, sf_dir):
+    """PRODUCTION value-quartile segmentation (the scale-safe NTILE):
+    boundaries from one `percentile` aggregate (exact here so DuckDB
+    `quantile_cont` — same type-7 interpolation — oracles bit-for-bit;
+    `percentile_approx` at 100 TB), broadcast back, bucket assigned
+    map-side. No WindowExec anywhere in the plan — asserted by
+    `tests/test_scale_plans.py::test_quantile_segment_no_window`. Ties at a
+    boundary all land in the upper bucket, so bucket counts are equal only
+    up to tie mass (NTILE's forced equal counts need the global sort this
+    operator exists to avoid)."""
+    customer = _t(spark, sf_dir, "customer")
+    seg = analytics.quantile_segment(
+        customer, "c_acctbal", n_buckets=4, descending=True, exact=True
+    )
+    return (
+        seg.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("bucket")
     )
 
 
@@ -3053,14 +3110,19 @@ def brp_topk_q(spark, sf_dir):
     return similarity.brp_topk(emb, [float(x) for x in qvec], k=5)
 
 
-@q("chunk_semantic_refconst", None)
+@q(
+    "chunk_semantic_refconst",
+    _semantic_oracle_sql(block=50, avg=300.0),
+)
 def chunk_semantic_refconst(spark, sf_dir):
     """T3 at the reference's constants (chromadb_rag.py:88-90 —
     avg_chunk_size=300, min_chunk_size=50) over the FULL documents table,
-    so the reference-constant cost is visible in the bench. Bench-only:
-    the oracle-checked sibling (chunk_semantic_documents) runs avg 30 /
-    min 10 on a 100-doc slice, sized so the short synthetic docs exercise
-    real cuts."""
+    so the reference-constant cost is visible in the bench. Oracled since
+    r4 via the same generator as the sibling `chunk_semantic_documents`
+    (block=50: on this ≤100-word corpus the min=50 recursive pre-split
+    reduces to 50-word blocks, verified at all SFs); the sibling runs
+    avg 30 / min 10 on a 100-doc slice, sized so the short synthetic docs
+    exercise real cuts."""
     from building_a_rag_pipeline_with_airflow_spark.functions.embed import hashed_embedder_udf
 
     docs = _t(spark, sf_dir, "documents")

@@ -339,3 +339,49 @@ def test_ivf_index_hybrid_prefilter(spark, sf_dir, tmp_path):
     plain = {r.vec_id: r.score for r in sim.query_ivf_index(spark, idx, qvec, k=100, nprobe=4).collect()}
     for h in hits:
         assert plain[h.vec_id] == h.score
+
+
+def test_quantile_segment_no_window(spark, sf_dir):
+    """The production NTILE replacement must have NO window operator (the
+    whole point is avoiding the single-partition `WindowExec: No Partition
+    Defined` shape) and must broadcast the boundary row."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    cust = schemas.load_table(spark, sf_dir, "customer")
+    seg = analytics.quantile_segment(cust, "c_acctbal", n_buckets=4)
+    plan = _explain_str(seg)
+    assert "Window" not in plan, "quantile_segment plan contains a window"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "boundary row should broadcast"
+    )
+    # sanity: every row bucketed 1..4, ties share a bucket
+    got = seg.groupBy("bucket").count().orderBy("bucket").collect()
+    assert [r.bucket for r in got] == [1, 2, 3, 4]
+    n = cust.count()
+    for r in got:
+        assert r["count"] >= n // 8  # roughly balanced
+
+
+def test_quantile_segment_grouped(spark, sf_dir):
+    """Grouped segmentation: per-group boundaries, no window, bucket 1 is
+    the top of each group when descending."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    cust = schemas.load_table(spark, sf_dir, "customer")
+    seg = analytics.quantile_segment(
+        cust, "c_acctbal", n_buckets=2, by=("c_mktsegment",), descending=True
+    )
+    plan = _explain_str(seg)
+    assert "Window" not in plan
+    # within each segment the min of bucket-1 balances >= max of bucket-2
+    agg = (
+        seg.groupBy("c_mktsegment", "bucket")
+        .agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+        .collect()
+    )
+    by_seg = {}
+    for r in agg:
+        by_seg.setdefault(r.c_mktsegment, {})[r.bucket] = (r.lo, r.hi)
+    for segname, buckets in by_seg.items():
+        assert set(buckets) == {1, 2}, segname
+        assert buckets[1][0] >= buckets[2][1], segname
