@@ -2336,13 +2336,153 @@ def hash_sample_orders(spark, sf_dir):
     )
 
 
-@q("curate_corpus_audit", None)  # composed pipeline — rows-only check;
-# every stage is individually oracle-checked (gopher_quality_flags,
-# dedup_clusters_documents, decontaminate_documents,
-# mixture_reweight_documents)
+@q(
+    "curate_corpus_audit",
+    # Full-pipeline composition oracle (r3 judge directive): each stage's
+    # count is the composition of the four individually-green stage oracles
+    # — gate predicate (gopher_quality_flags) → canonical-per-cluster via
+    # the recursive-CTE closure (dedup_clusters_documents) restricted to
+    # gate survivors → 3-gram collision counts (decontaminate_documents)
+    # restricted to dedup survivors → mixture floor thresholds
+    # (mixture_reweight_documents) over what remains.
+    f"""
+    WITH RECURSIVE
+    comp AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CASE WHEN len(t) <= 0 THEN 0.0
+                  ELSE round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                             / CAST(len(t) AS DOUBLE), 4) END AS mean_word_len,
+             CASE WHEN len(t) <= 0 THEN 0.0
+                  ELSE round(CAST(length(text)
+                                  - length(regexp_replace(text, '[#@{{}}\\[\\]<>|\\\\~^]', '', 'g'))
+                                  AS DOUBLE)
+                             / CAST(len(t) AS DOUBLE), 4) END AS symbol_ratio,
+             CAST(len(list_filter(t, x -> list_contains({_STOP_EN_SQL}, x))) AS BIGINT)
+               AS stopword_hits,
+             CASE WHEN len(g) <= 0 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                   / CAST(len(g) AS DOUBLE), 4) END AS dup_bigram_frac
+      FROM (SELECT doc_id, text, {_LOWER_TOKS_SQL} AS t, {_BIGRAMS_SQL} AS g
+            FROM documents WHERE length(trim(text)) > 0) raw
+    ),
+    kept1 AS MATERIALIZED (
+      SELECT doc_id FROM comp
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio <= 0.1 AND stopword_hits >= 1
+        AND dup_bigram_frac <= 0.3
+    ),
+    toksk AS MATERIALIZED (
+      SELECT d.doc_id, {_LOWER_TOKS_SQL} AS t
+      FROM documents d JOIN kept1 USING (doc_id)
+      WHERE length(trim(text)) > 0
+    ),
+    idx1 AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      FROM toksk
+    ),
+    grams1 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx1
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams1 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+      FROM grams1 a JOIN grams1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) jt WHERE j >= 0.3
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    noncanon AS MATERIALIZED (
+      SELECT en.src AS doc_id
+      FROM (SELECT DISTINCT src FROM edges) en
+      LEFT JOIN reach r ON r.src = en.src
+      GROUP BY en.src
+      HAVING least(en.src, min(r.dst)) != en.src
+    ),
+    kept2 AS MATERIALIZED (
+      SELECT doc_id FROM kept1
+      WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+    ),
+    benchg AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+      FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM (SELECT {_LOWER_TOKS_SQL} AS t FROM documents
+                  WHERE doc_id % 97 = 0 AND length(trim(text)) > 0) bt) bi
+    ),
+    contam AS MATERIALIZED (
+      SELECT g.doc_id FROM grams1 g
+      JOIN kept2 k ON k.doc_id = g.doc_id
+      JOIN benchg b ON b.shingle = g.shingle
+      GROUP BY g.doc_id
+      HAVING count(DISTINCT g.shingle) >= 2
+    ),
+    kept3 AS MATERIALIZED (
+      SELECT doc_id FROM kept2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    counts AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS total
+      FROM documents d JOIN kept3 USING (doc_id) GROUP BY d.source
+    ),
+    weighted AS (
+      SELECT source, total,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 2.0 ELSE 1.0 END AS weight
+      FROM counts
+    ),
+    capped AS (SELECT min(total / weight) AS cap FROM weighted),
+    mixplan AS (
+      SELECT source,
+             CAST(floor(least(1.0, (SELECT cap FROM capped) * weight / total)
+                        * {sampling.BUCKETS}) AS BIGINT) AS cut
+      FROM weighted
+    ),
+    kept4 AS MATERIALIZED (
+      SELECT d.doc_id
+      FROM documents d JOIN kept3 USING (doc_id)
+      JOIN mixplan p ON p.source = d.source
+      WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15) AS BIGINT)
+            % {sampling.BUCKETS} < p.cut
+    ),
+    nn AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM kept1) AS n1,
+             (SELECT count(*) FROM kept2) AS n2,
+             (SELECT count(*) FROM kept3) AS n3,
+             (SELECT count(*) FROM kept4) AS n4
+    )
+    SELECT stage, rows_in, rows_out FROM (
+      SELECT 'quality_gates' AS stage, n0 AS rows_in, n1 AS rows_out FROM nn
+      UNION ALL SELECT 'near_dup_dedup', n1, n2 FROM nn
+      UNION ALL SELECT 'decontamination', n2, n3 FROM nn
+      UNION ALL SELECT 'mixture_reweight', n3, n4 FROM nn
+    ) stages ORDER BY stage
+    """,
+)
 def curate_corpus_audit(spark, sf_dir):
     """The full curation pipeline's per-stage audit table (gates →
-    canonical-per-cluster dedup → decontamination → mixture)."""
+    canonical-per-cluster dedup → decontamination → mixture), oracled
+    since r4 by composing the four green stage oracles over the staged
+    survivor sets."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     _kept, audit = curation.curate_corpus(
@@ -2351,7 +2491,7 @@ def curate_corpus_audit(spark, sf_dir):
         mixture_weights={f"src{i}": 2.0 for i in range(5)},
         near_dup_threshold=0.3,
     )
-    return audit
+    return audit.orderBy("stage")
 
 
 @q(
@@ -3154,6 +3294,23 @@ def chunk_semantic_refconst(spark, sf_dir):
 #   (same one-way-Arrow multimodal meta path).
 # All 64 stay fully value-checked by tests/test_oracle_parity.py every
 # round regardless of window position.
+# r4 rotation (judge directive #7): q5_region_revenue, q6_revenue_forecast,
+# q14_promo_revenue, histogram_quantity move BACK INTO the window for fresh
+# driver evidence (their last green rows were aging at r1/r2), together
+# with the three newly-oracled queries (curate_corpus_audit,
+# quantile_segment_customer_value, chunk_semantic_refconst — never had a
+# driver row). Five triple-green (r1+r2+r3) queries move out to make room,
+# each with an in-window anchor:
+#   chunk_first_positions ↔ chunk_stats + chunk_overlap_adjacent (same
+#   chunk-derived measurement over the same chunker output);
+#   lang_id_documents ↔ doc_quality_scores + gopher_quality_flags (same
+#   shared-tokenization text-analysis core);
+#   q1_pricing_summary ↔ percentiles_by_returnflag (same lineitem
+#   returnflag/status group-agg) + q18 (agg family);
+#   ivf_topk_cosine ↔ hybrid_topk_cosine (identical norm-precompute
+#   scoring core) + lsh_knn_join;
+#   events_props_json ↔ events_hourly + events_sessionize (same events
+#   JSON/window family; props parsing also oracled via sessionize input).
 _DEPRIORITIZED = (
     "rollup_returnflag_status",
     "distinct_nation_segments",
@@ -3163,12 +3320,13 @@ _DEPRIORITIZED = (
     "minhash_signatures",
     "orders_year_quarter",
     "brand_revenue_topk",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "q14_promo_revenue",
     "pagination_orders",
-    "histogram_quantity",
     "media_frame_counts",
+    "chunk_first_positions",
+    "lang_id_documents",
+    "q1_pricing_summary",
+    "ivf_topk_cosine",
+    "events_props_json",
     # Added when the four new TPC-H shapes (q8/q9/q19/q22) joined mid-r3:
     # without these the window cut would have pushed out q19/q22 and the
     # two NEW analytics oracles (percentiles_by_returnflag,
