@@ -492,6 +492,19 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    else:
+        # Label propagation needs ~diameter rounds; returning a
+        # non-converged labeling would silently splinter long-chain
+        # components (multiple nodes satisfy node==component, so dedup
+        # would keep several "canonical" copies with no signal). Raise —
+        # near-dup graphs are diameter ≤ ~3, so hitting this means the
+        # edge list isn't the clique/star shape this operator assumes and
+        # the caller should raise max_iter deliberately.
+        raise RuntimeError(
+            f"connected_components: not converged after max_iter="
+            f"{max_iter} rounds; component diameter exceeds the bound "
+            "(raise max_iter, or check the edge list for chain shapes)"
+        )
     return labels
 
 

@@ -230,6 +230,13 @@ def extract_audio_meta(df: DataFrame, data_col: str = "data",
     soundfile/librosa behind the same signature for real decoding. The
     Spark side is production-shaped: one-way Arrow crossing (payload never
     returns from Python), typed meta struct joined back by id."""
+    dtypes = {1: "int8", 2: "int16", 4: "int32"}
+    if bytes_per_sample not in dtypes:
+        raise ValueError(
+            f"bytes_per_sample must be one of {sorted(dtypes)} "
+            f"(got {bytes_per_sample})"
+        )
+    sample_dtype = dtypes[bytes_per_sample]
     meta_schema = T.StructType(
         [
             df.schema[id_col],
@@ -255,7 +262,7 @@ def extract_audio_meta(df: DataFrame, data_col: str = "data",
                 raw = bytes(b) if b is not None else b""
                 n = len(raw) // bytes_per_sample
                 arr = (
-                    np.frombuffer(raw[: n * bytes_per_sample], dtype=np.int16)
+                    np.frombuffer(raw[: n * bytes_per_sample], dtype=sample_dtype)
                     .astype("float64")
                     if n
                     else np.array([], "float64")

@@ -119,6 +119,16 @@ def mixture_reweight(
     }
     if not counts:
         raise ValueError("mixture_reweight: input has no rows")
+    if None in counts:
+        # A NULL stratum would count into the plan and the scarcest-stratum
+        # cap but silently vanish at the apply equi-join (NULL never
+        # matches), leaving the plan table claiming a fraction for rows the
+        # sample dropped. Make the caller decide.
+        raise ValueError(
+            f"mixture_reweight: {counts[None]} rows have NULL "
+            f"{strata_col!r}; filter them out or fill a sentinel stratum "
+            "before reweighting"
+        )
     if default_weight <= 0 or any(w <= 0 for w in weights.values()):
         raise ValueError(
             "mixture_reweight: weights must be > 0 (drop a domain by "

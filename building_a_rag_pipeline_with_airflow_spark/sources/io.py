@@ -199,18 +199,16 @@ def compact_parquet(
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    files = [
-        (f.getPath().toString(), f.getLen())
-        for f in fs.listStatus(jvm_path)
-        if f.isFile() and f.getPath().getName().endswith(".parquet")
-    ]
-    sub = [s for s in fs.listStatus(jvm_path) if s.isDirectory()]
-    for d in sub:  # partitioned layout: count leaf files too
-        files += [
-            (f.getPath().toString(), f.getLen())
-            for f in fs.listStatus(d.getPath())
-            if f.isFile() and f.getPath().getName().endswith(".parquet")
-        ]
+    # Recursive leaf listing (listFiles(path, true)): a multi-key layout —
+    # e.g. the IVF store's (cell_id, _batch_id) vectors dir — nests leaves
+    # two+ levels deep, where a fixed one-level walk finds zero files and
+    # silently skips compaction.
+    files = []
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files.append((f.getPath().toString(), f.getLen()))
     if len(files) < min_files_to_compact:
         return None
     total = sum(sz for _, sz in files)

@@ -36,14 +36,22 @@ from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
 
 
 def read_documents_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+    schema=None,
 ) -> DataFrame:
     """File-source stream over a documents landing directory.
 
-    Streaming sources need an explicit schema; take it from the files
-    already present (one footer read, no data scan) — the mirror of
-    ``streaming.windows.read_events_stream``."""
-    schema = spark.read.parquet(path).schema
+    Streaming sources need an explicit schema. Pass ``schema`` (a
+    StructType or DDL string) to start the stream BEFORE the first file
+    lands — the normal continuous-ingestion deployment order; when omitted
+    it is inferred from files already present (one footer read, no data
+    scan — the mirror of ``streaming.windows.read_events_stream``), which
+    requires the directory to be non-empty at start and raises
+    AnalysisException otherwise."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

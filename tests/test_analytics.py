@@ -252,3 +252,17 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
     assert rows["quality_gates"].rows_out < rows["quality_gates"].rows_in
     assert rows["near_dup_dedup"].rows_out < rows["near_dup_dedup"].rows_in
     assert rows["decontamination"].rows_out < rows["decontamination"].rows_in
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    # a 12-edge path needs ~6 min-propagation rounds; max_iter=2 cannot
+    # converge and must raise rather than silently splinter the component
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        dedup.connected_components(edges, max_iter=2)

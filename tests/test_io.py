@@ -111,3 +111,27 @@ def test_compact_parquet_preserves_partition_layout(spark, sf_dir, tmp_path):
     assert out is not None
     assert glob.glob(f"{out}/o_orderstatus=*"), "partition dirs lost"
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_parquet_sees_multilevel_partitions(spark, sf_dir, tmp_path):
+    """Two-key layouts (e.g. the IVF (cell_id, _batch_id) vectors dir) nest
+    leaf files two levels deep — the recursive listing must find them."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+
+    src = str(tmp_path / "two_level")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "half", (F.col("o_orderkey") % 2).cast("int")
+    )
+    orders.repartition(8).write.partitionBy("o_orderstatus", "half").parquet(src)
+    n_leaves = len(glob.glob(f"{src}/o_orderstatus=*/half=*/*.parquet"))
+    assert n_leaves >= 4, "fixture should produce nested leaf files"
+    out = eio.compact_parquet(
+        spark, src, target_file_mb=128, min_files_to_compact=4,
+        partition_by=["o_orderstatus", "half"],
+    )
+    assert out is not None, "recursive listing missed nested leaves"
+    assert spark.read.parquet(out).count() == orders.count()

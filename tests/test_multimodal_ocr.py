@@ -130,3 +130,25 @@ def test_audio_meta_roundtrip(spark):
         assert r.rms >= 0.0
     # payload column untouched (one-way crossing keeps the binary intact)
     assert out.schema["data"].dataType.typeName() == "binary"
+
+
+def test_audio_meta_dtype_follows_bytes_per_sample(spark):
+    import pytest as _pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=4, kind="audio")
+    four = mm.extract_audio_meta(media, bytes_per_sample=4)
+    for r in four.select("audio_meta.*", "data").collect():
+        raw = bytes(r.data)
+        assert r.n_samples == len(raw) // 4
+        # RMS must be computed over int32 words, not int16 halves: check
+        # against a direct numpy int32 computation
+        import numpy as np
+
+        n = len(raw) // 4
+        arr = np.frombuffer(raw[: n * 4], dtype=np.int32).astype("float64")
+        want = float(np.sqrt(np.mean(arr * arr))) if n else 0.0
+        assert abs(r.rms - round(want, 4)) < 1e-6
+    with _pytest.raises(ValueError, match="bytes_per_sample"):
+        mm.extract_audio_meta(media, bytes_per_sample=3)

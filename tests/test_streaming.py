@@ -175,3 +175,33 @@ def test_events_stream_handles_both_ts_physical_types(spark, sf_dir, tmp_path):
     b = drain(str(micros_dir), "ts_micros_mem")
     assert a == b
     assert a[0][1].year == 2024
+
+
+def test_documents_stream_starts_on_empty_dir_with_schema(spark, sf_dir, tmp_path):
+    """Continuous ingestion starts BEFORE the first file lands: an explicit
+    schema must let the stream begin on an empty landing dir and pick up
+    files dropped later."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    landing = tmp_path / "landing_empty"
+    landing.mkdir()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # no schema + empty dir: the documented precondition failure
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        ingest.read_documents_stream(spark, f"{landing}/*")
+
+    stream = ingest.read_documents_stream(
+        spark, f"{landing}/*", schema=docs.schema
+    )
+    assert stream.isStreaming
+    docs.limit(20).write.parquet(str(landing / "drop1"))
+    q = ingest.streaming_build_index(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    got = ingest.load_streaming_index(spark, str(tmp_path / "idx"))
+    assert got.count() > 0

@@ -213,3 +213,15 @@ def test_mixture_reweight_proportions_and_determinism(spark, sf_dir):
     assert a == b
     # sample is a subset of the input, keyed rows intact
     assert len(a) == s1.count() and s1.count() < docs.count()
+
+
+def test_mixture_reweight_rejects_null_strata(spark):
+    import pytest as _pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "k long, s string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        sampling.mixture_reweight(df, "s", {"a": 1.0}, key="k")
