@@ -78,6 +78,7 @@ HEADLINE = [
     "mixture_reweight_documents",
     "pivot_priority_by_status",
     "ngram_jaccard_pairs",
+    "jaccard_index_pairs",
     "minhash_signatures",
     "winnow_fingerprints",
     # vectors

@@ -151,6 +151,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def build_shingle_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the text near-dup inverted index on storage — the
+    durable twin of :func:`ngram_jaccard_pairs`' in-plan index, parallel
+    to the vector side's ``build_ivf_index``.
+
+    The in-plan operator recomputes the shingle explosion for each of its
+    four plan branches (sizes, posting filter, both join sides) because an
+    unscoped persist inside a lazy operator can never be unpersisted
+    safely. Storage is the correct reuse mechanism at scale: explode ONCE
+    at build time, then every pair/cluster/lookup job starts from the
+    materialized postings instead of re-tokenizing the corpus.
+
+    Layout:
+
+    * ``<path>/postings/bucket=B/`` — (shingle, doc_id, shingle_df) rows,
+      hash-bucketed by shingle so a shingle's whole posting list lives in
+      one partition directory, sorted by shingle within files so point
+      lookups skip row groups via min/max stats. ``shingle_df`` (the
+      posting-list length) is precomputed into every row: query-time
+      stop-shingle filtering becomes a PUSHED parquet predicate instead of
+      a re-aggregation — the stop-shingle rows (the O(n²) hazard) are
+      dropped at the scan.
+    * ``<path>/doc_sizes/`` — (doc_id, n_shingles), the tiny side joined
+      after pair aggregation.
+    * ``<path>/meta/`` — one row recording (n, n_buckets) so readers
+      validate compatibility.
+    """
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    sh = shingles(df, text_col, id_col, n).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    require_nonempty(sh, "shingle index postings")
+    dfreq = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("shingle_df")
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    postings = sh.join(dfreq, "shingle").withColumn(
+        "bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+    )
+    # one shuffle into the bucket layout; sort within files for row-group
+    # skipping on shingle point lookups
+    (
+        postings.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("shingle")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    sizes.write.mode("overwrite").parquet(f"{path}/doc_sizes")
+    df.sparkSession.createDataFrame(
+        [(int(n), int(n_buckets))], "n int, n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def jaccard_pairs_from_index(
+    spark,
+    path: str,
+    threshold: float = 0.1,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs from a :func:`build_shingle_index` layout —
+    result-identical to :func:`ngram_jaccard_pairs` at the same (n,
+    threshold, max_posting), but the corpus is never re-tokenized: the
+    postings parquet is the only input, scanned ONCE (the self-join's two
+    sides are byte-identical scan+shuffle subtrees, so Spark's exchange
+    reuse executes one and replays it — asserted by
+    ``tests/test_scale_plans.py::test_shingle_index_scanned_once``), with
+    the stop-shingle guard pushed into the scan as a ``shingle_df <=
+    max_posting`` parquet predicate."""
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("shingle_df") <= max_posting)
+        .select("bucket", "shingle", "doc_id")
+    )
+    a = post.select("bucket", "shingle", F.col("doc_id").alias("id_a"))
+    b = post.select("bucket", "shingle", F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, ["bucket", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sizes = spark.read.parquet(f"{path}/doc_sizes")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def shingle_id(col: "F.Column | str") -> "F.Column":
     """Deterministic 60-bit shingle id in [0, p): md5 hex prefix → bigint,
     mod p. Engine-independent (DuckDB: CAST('0x'||substr(md5(s),1,15) AS

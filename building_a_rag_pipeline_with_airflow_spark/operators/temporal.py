@@ -58,6 +58,16 @@ def as_of_join(
 
     ``tolerance_seconds`` nulls out matches further than the bound from the
     left timestamp, pandas-``merge_asof(tolerance=...)`` style.
+
+    Hot-key bound: the carry window partitions by ``on``, so ALL rows of
+    one key sort-and-scan inside one task — parallelism is the number of
+    distinct keys, and a pathologically hot key (one entity with a large
+    fraction of all events) serializes on that task. That is the correct
+    trade at the usual events-per-entity shape (millions of keys, bounded
+    rows each); when single keys carry unbounded row counts use
+    :func:`as_of_join_bucketed`, which caps per-task work at one (key,
+    time-bucket) and carries payloads across buckets through a per-bucket
+    summary table.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -123,6 +133,145 @@ def as_of_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         F.col("_m_ts").alias(ts_out),
         *[F.col(f"_m_{c}").alias(out_cols[c]) for c in right_cols],
+    )
+
+
+def as_of_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    bucket_seconds: int = 86400,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join for HOT keys: result-identical to
+    :func:`as_of_join` (``direction="backward"``), but no task ever holds
+    more than one (key, time-bucket) of rows.
+
+    Plain as-of's carry window serializes each key's full history in one
+    task. This variant splits the window by ``floor(ts / bucket_seconds)``
+    and stitches buckets back together through metadata, not data:
+
+    1. **within-bucket pass** — the same union-sort carry, windowed by
+       (key, bucket): each left row sees right rows of its own bucket.
+    2. **bucket summaries** — one ``max(struct(ts, payload))`` row per
+       (key, bucket) of the right side: the payload a later bucket would
+       inherit. Size = #buckets, not #rows.
+    3. **cross-bucket carry** — a running ``last`` over the summary table
+       (window partitioned by key, ordered by bucket, rows to -1) gives
+       every bucket its incoming payload from strictly-earlier buckets.
+       The hot key's serialized work is now O(#buckets).
+    4. **stitch** — left rows with no within-bucket match take the
+       incoming carry via a (key, bucket) equi-join.
+
+    Parallelism becomes keys × buckets at the cost of two extra small
+    shuffles; size ``bucket_seconds`` so a bucket of the hottest key fits
+    a task comfortably. Ties and determinism notes from :func:`as_of_join`
+    apply; exact-ts matches at a bucket boundary belong to the boundary
+    row's own bucket (both sides bucket by the same floor)."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    right_cols = list(right_cols)
+    out_cols = {c: c + suffix if c in left.columns else c for c in right_cols}
+    ts_out = right_ts + suffix if right_ts in left.columns else right_ts
+    width = int(bucket_seconds)
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / width).cast("bigint")  # noqa: E731
+
+    l_b = left.withColumn("_b", bucket(left_ts))
+    r_b = right.withColumn("_b", bucket(right_ts))
+
+    # (1) within-bucket union-sort carry — as_of_join's window, keyed by
+    # (on..., _b) so no task sees more than one bucket of one key
+    r_u = r_b.select(
+        *on, "_b",
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_u = l_b.select(
+        *on, "_b",
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(*on, "_b")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (
+        r_u.unionByName(l_u)
+        .select(
+            "*",
+            F.last(F.when(F.col("_tag") == 0, F.col("_ts")), ignorenulls=True)
+            .over(w)
+            .alias("_m_ts"),
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
+                for c in right_cols
+            ],
+        )
+        .where(F.col("_tag") == 1)
+    )
+
+    # (2) per-(key, bucket) last right payload — metadata, one row/bucket
+    summary = r_b.groupBy(*on, "_b").agg(
+        F.max(
+            F.struct(
+                F.col(right_ts).cast("timestamp").alias("_ts"),
+                *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+            )
+        ).alias("_last")
+    )
+    # (3) running carry over the merged bucket axis (left buckets may have
+    # no right rows — they still need an incoming payload)
+    axis = (
+        l_b.select(*on, "_b")
+        .distinct()
+        .unionByName(summary.select(*on, "_b"))
+        .distinct()
+        .join(summary, [*on, "_b"], "left")
+    )
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = axis.select(
+        *on, "_b",
+        F.last("_last", ignorenulls=True).over(wc).alias("_carry"),
+    )
+    # (4) stitch: within-bucket match wins, else the incoming carry
+    stitched = within.join(carry, [*on, "_b"], "left").select(
+        "*",
+        F.coalesce(F.col("_m_ts"), F.col("_carry._ts")).alias("_f_ts"),
+        *[
+            F.coalesce(F.col(f"_m_{c}"), F.col(f"_carry._r_{c}")).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col("_ts").cast("double") - F.col("_f_ts").cast("double"))
+        keep = F.col("_f_ts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        stitched = stitched.withColumns(
+            {
+                "_f_ts": F.when(keep, F.col("_f_ts")),
+                **{f"_f_{c}": F.when(keep, F.col(f"_f_{c}")) for c in right_cols},
+            }
+        )
+    return stitched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col("_f_ts").alias(ts_out),
+        *[F.col(f"_f_{c}").alias(out_cols[c]) for c in right_cols],
     )
 
 

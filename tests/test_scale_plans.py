@@ -385,3 +385,68 @@ def test_quantile_segment_grouped(spark, sf_dir):
     for segname, buckets in by_seg.items():
         assert set(buckets) == {1, 2}, segname
         assert buckets[1][0] >= buckets[2][1], segname
+
+
+def test_shingle_index_parity_with_inplan(spark, sf_dir, tmp_path):
+    """jaccard_pairs_from_index must be result-identical to the in-plan
+    ngram_jaccard_pairs at the same (n, threshold, max_posting)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "shidx")
+    dedup.build_shingle_index(docs, idx, n=3)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs_from_index(spark, idx, threshold=0.1).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert got == want and len(got) > 0
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert (meta.n, meta.n_buckets) == (3, 32)
+
+
+def test_shingle_index_scanned_once(spark, sf_dir, tmp_path):
+    """The pair plan over the durable index must (a) scan the postings
+    parquet ONCE — the self-join's two sides are canonically identical
+    scan+shuffle subtrees, so AQE's runtime stage reuse executes one and
+    replays it as a ReusedExchange (the in-plan operator re-tokenizes the
+    corpus four times) — and (b) push the stop-shingle guard into that
+    scan. Broadcast is disabled to get the at-scale sort-merge shape (a
+    broadcast side is not an exchange Spark can reuse); the final adaptive
+    plan (post-collect) is the one inspected because AQE applies stage
+    reuse at runtime, not in the initial plan."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "shidx_plan")
+    dedup.build_shingle_index(docs, idx)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.jaccard_pairs_from_index(spark, idx, max_posting=1000)
+        pairs.collect()
+        plan = _explain_str(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re as _re
+
+    final_tree = plan.split("== Initial Plan ==")[0]
+    assert "== Final Plan ==" in final_tree
+    # resolve each final-tree scan node id to its Location detail block
+    scan_ids = _re.findall(r"Scan parquet\s+\((\d+)\)", final_tree)
+    posting_scans = 0
+    for sid in scan_ids:
+        detail = plan.split(f"({sid}) Scan parquet")[1].split("\n\n")[0]
+        if "/postings" in detail:
+            posting_scans += 1
+            assert "LessThanOrEqual(shingle_df,1000)" in detail.replace(
+                " ", ""
+            ), "stop-shingle guard not pushed to the postings scan"
+    assert posting_scans == 1, (
+        f"postings scanned {posting_scans}x in the final plan, expected "
+        "AQE exchange reuse to collapse the self-join to one scan"
+    )
+    assert "ReusedExchange" in final_tree

@@ -225,3 +225,53 @@ def test_mixture_reweight_rejects_null_strata(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         sampling.mixture_reweight(df, "s", {"a": 1.0}, key="k")
+
+
+@pytest.mark.parametrize("bucket_seconds", [60, 3600, 10_000_000_000])
+def test_asof_bucketed_equals_plain(spark, quotes_trades, bucket_seconds):
+    """The hot-key bucketed variant must be result-identical to plain
+    backward as-of at ANY bucket width — tiny buckets exercise the
+    cross-bucket carry, a huge bucket degenerates to the plain window."""
+    quotes, trades = quotes_trades
+    plain = {
+        r.tid: (r.px, str(r.qts) if r.qts else None)
+        for r in temporal.as_of_join(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    bucketed = {
+        r.tid: (r.px, str(r.qts) if r.qts else None)
+        for r in temporal.as_of_join_bucketed(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            bucket_seconds=bucket_seconds,
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_asof_bucketed_tolerance_and_events(spark, sf_dir):
+    """Cross-check on the real events/orders shape plus tolerance nulling,
+    against the plain operator."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts"), F.col("value").alias("bval"),
+        F.col("event_id").alias("bid"),
+    ).dropDuplicates(["user_id", "bts"])
+    kw = dict(on=["user_id"], left_ts="vts", right_ts="bts",
+              right_cols=["bval"], tolerance_seconds=7200.0)
+    plain = {
+        r.vid: (r.bval, str(r.bts) if r.bts else None)
+        for r in temporal.as_of_join(views, buys, **kw).collect()
+    }
+    bucketed = {
+        r.vid: (r.bval, str(r.bts) if r.bts else None)
+        for r in temporal.as_of_join_bucketed(
+            views, buys, bucket_seconds=3600, **kw
+        ).collect()
+    }
+    assert bucketed == plain and len(plain) > 0
