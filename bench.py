@@ -54,6 +54,11 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q8_market_share",
     "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q11_important_nation_share",
+    "q12_late_shipment_priority",
+    "q16_supplier_variety",
     # temporal / sampling / analytics
     "asof_join_events_orders",
     "interval_join_purchase_follow",

@@ -3163,6 +3163,263 @@ def q22_idle_rich_customers(spark, sf_dir):
     )
 
 
+# The r4 additions below complete the TPC-H subquery-shape coverage with
+# the five classic shapes the inventory still lacked. This testdata has no
+# partsupp table, so q2/q11/q16 use lineitem as the part↔supplier bridge —
+# the PLAN shapes (correlated per-group min, EXISTS semi, global-threshold
+# HAVING, conditional agg, count-distinct + NOT IN) are the point, not the
+# exact TPC-H predicates.
+
+
+@q(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS semi-join): orders in a date window having at
+    least one line shipped >60 days after order date, counted per priority.
+    Catalyst compiles the EXISTS to a LEFT SEMI join on o_orderkey — one
+    shuffle of the (pruned) lineitem keyset, the date filter pushes to the
+    orders scan, and the semi join dedups multi-line matches for free."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    windowed = orders.where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        windowed.join(
+            late,
+            (windowed["o_orderkey"] == late["l_orderkey"])
+            # interval add, not date_add: date_add would truncate the
+            # timestamp to a date and shift the comparison at non-midnight
+            & (
+                late["l_shipdate"]
+                > windowed["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM unit GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, u.unit_cost
+    FROM unit u
+    JOIN best b ON b.l_partkey = u.l_partkey AND u.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = u.l_partkey
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    WHERE p.p_size <= 5
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated per-group MIN): the supplier(s) offering
+    each small part at its minimum observed unit cost. The correlated
+    subquery is decorrelated by hand into aggregate + self-join on the
+    group key — two hash aggs sharing one shuffle of the same key, then
+    broadcast joins to the small dims. No per-row subquery execution
+    exists anywhere in the plan (the classic Q2 trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("unit_cost")
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        unit.join(
+            best,
+            (unit["l_partkey"] == best["l_partkey"])
+            & (unit["unit_cost"] == best["best_cost"]),
+        )
+        .drop(best["l_partkey"])
+        .join(
+            F.broadcast(
+                part.where(F.col("p_size") <= 5).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@q(
+    "q11_important_nation_share",
+    """
+    WITH nat_value AS (
+      SELECT n.n_name AS nation,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, value FROM nat_value
+    WHERE value > (SELECT sum(value) * 0.042 FROM nat_value)
+    ORDER BY value DESC, nation
+    """,
+)
+def q11_important_nation_share(spark, sf_dir):
+    """TPC-H Q11 shape (global-threshold HAVING): supplier nations whose
+    revenue exceeds a fraction of the world total. The scalar subquery is
+    a one-row aggregate OVER THE SAME grouped frame, broadcast back as a
+    literal-like cross join — the grouped frame is computed once and
+    feeds both branches (AQE reuses the shuffle), and the world total
+    never touches the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_value = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .groupBy("nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("value")
+        )
+    )
+    world = nat_value.agg((F.sum("value") * 0.042).alias("_thr"))
+    return (
+        nat_value.join(F.broadcast(world))
+        .where(F.col("value") > F.col("_thr"))
+        .select("nation", "value")
+        .orderBy(F.desc("value"), "nation")
+    )
+
+
+@q(
+    "q12_late_shipment_priority",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           CAST(count(*) FILTER (WHERE datediff('day', o_orderdate, l_shipdate) > 90)
+                AS BIGINT) AS late_count,
+           CAST(count(*) FILTER (WHERE datediff('day', o_orderdate, l_shipdate) <= 90)
+                AS BIGINT) AS ontime_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY priority_class ORDER BY priority_class
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (conditional aggregation over a join): late vs
+    on-time line counts split by priority class. Compiles to one
+    shuffle-join + one hash agg with conditional partials (count FILTER
+    = sum of CASE partials — map-side combined), ship-date filter pushed
+    to the lineitem scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.where(F.col("l_shipdate") >= "1995-01-01")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .otherwise("low")
+            .alias("priority_class"),
+            gap.alias("_gap"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.count(F.when(F.col("_gap") > 90, 1)).cast("bigint").alias("late_count"),
+            F.count(F.when(F.col("_gap") <= 90, 1))
+            .cast("bigint")
+            .alias("ontime_count"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+@q(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 10
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (COUNT DISTINCT + NOT IN exclusion): how many
+    distinct acceptable suppliers ship each (brand, type). The NOT IN
+    subquery is a left_anti join against the (tiny, broadcast) excluded
+    supplier set — never a per-row subquery; count_distinct expands to a
+    two-phase aggregate (dedup shuffle + count) that partial-aggregates
+    map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                part.where(F.col("p_size") >= 10).select(
+                    "p_partkey", "p_brand", "p_type"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Distribution analytics — operators/analytics.py. Exact percentile uses
 # the same type-7 linear interpolation as DuckDB quantile_cont (oracle
@@ -3343,8 +3600,28 @@ def chunk_semantic_refconst(spark, sf_dir):
 #   chunk_recursive_documents (green r2+r3) ↔ chunk_semantic_documents +
 #   chunk_semantic_refconst in-window (the semantic chunker's stage 1 IS
 #   the recursive splitter, exercised at two constant sets) + chunk_stats.
+# Added when the five TPC-H subquery shapes (q2/q4/q11/q12/q16) joined
+# late r4 — five multi-green queries rotate out, each anchored in-window:
+#   doc_quality_scores (r1+r2+r3) ↔ gopher_quality_flags +
+#   repetition_stats_documents (the same shared-tokenization projections;
+#   lang_id's deprioritization anchor updates to gopher accordingly);
+#   events_hourly (r2+r3) ↔ events_sessionize (same events window family);
+#   chunk_semantic_documents (r2+r3) ↔ chunk_semantic_refconst (IDENTICAL
+#   oracle generator at different constants, in-window and never-green —
+#   the freshest possible sibling);
+#   union_distinct_values (r1+r3) ↔ intersect_nation_segments (same set-op
+#   family; distinct_nation_segments' anchor updates to intersect);
+#   winnow_fingerprints (r1+r2+r3) ↔ minhash_lsh_pairs + minhash
+#   signatures' md5-derived fingerprint core (dedup_exact's anchor updates
+#   to dedup_clusters_documents, whose exact-normalize-hash stage is the
+#   same core).
 _DEPRIORITIZED = (
     "chunk_recursive_documents",
+    "doc_quality_scores",
+    "events_hourly",
+    "chunk_semantic_documents",
+    "union_distinct_values",
+    "winnow_fingerprints",
     "rollup_returnflag_status",
     "distinct_nation_segments",
     "topk_orders",
