@@ -3420,6 +3420,78 @@ def q16_supplier_variety(spark, sf_dir):
     )
 
 
+@q(
+    "heavy_hitter_tokens",
+    f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_LOWER_TOKS_SQL}) AS tok
+          FROM documents WHERE length(trim(text)) > 0) t
+    GROUP BY tok HAVING count(*) >= 200
+    ORDER BY freq DESC, tok
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Corpus-level heavy hitters: tokens above an absolute frequency
+    floor — the vocabulary/stopword-discovery scan every text pipeline
+    runs. One explode + one hash agg with map-side partial counts (the
+    token key space is Zipfian but each partial combines locally before
+    the shuffle, so the hot keys move as counts, not rows); the HAVING
+    floor keeps the result set tiny. At 100 TB the same plan holds — or
+    swap the exact agg for `operators.analytics.hll_partials`-style
+    sketching when only approximate membership is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .where(F.col("freq") >= 200)
+        .orderBy(F.desc("freq"), "tok")
+    )
+
+
+@q(
+    "percent_rank_nation_balance",
+    """
+    SELECT nation, c_custkey, pr FROM (
+      SELECT n.n_name AS nation, c.c_custkey,
+             round(percent_rank() OVER (PARTITION BY n.n_name
+                                        ORDER BY c.c_acctbal, c.c_custkey), 4) AS pr
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ) t WHERE pr >= 0.92
+    ORDER BY nation, pr, c_custkey
+    """,
+)
+def percent_rank_nation_balance(spark, sf_dir):
+    """Per-group PERCENT_RANK (the scale-safe window shape: partitioned by
+    nation, so parallelism = group count and no single-partition stage —
+    contrast ntile_customer_value's deliberately-global window). Returns
+    each nation's top-8%-by-balance customers with their exact rank
+    fraction; total order inside the window (balance, key) makes the
+    result engine-reproducible."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "nation",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.92)
+        .orderBy("nation", "pr", "c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Distribution analytics — operators/analytics.py. Exact percentile uses
 # the same type-7 linear interpolation as DuckDB quantile_cont (oracle
@@ -3691,6 +3763,12 @@ _DEPRIORITIZED = (
     # (green r1+r2) ↔ filter_pushdown_orders in-window (the same
     # date-coercion/dispatch core, F4/F8/T12).
     "orders_date_validation",
+    # New in late r4 with no window slot left (the r4 window already
+    # carries nine never-green entries): these two enter the r5 rotation
+    # first. Until then they are value-checked every round by the
+    # judge-run tests/test_oracle_parity.py like every other oracle.
+    "heavy_hitter_tokens",
+    "percent_rank_nation_balance",
 )
 
 

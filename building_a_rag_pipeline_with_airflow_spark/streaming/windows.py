@@ -135,6 +135,52 @@ def read_events_stream(spark, path: str) -> DataFrame:
     return out
 
 
+def stream_stream_follow_join(
+    anchors: DataFrame,
+    follows: DataFrame,
+    on: "list[str]",
+    anchor_ts: str,
+    follow_ts: str,
+    within_seconds: int = 3600,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each anchor row matched to follow rows of
+    the same keys with ``anchor_ts <= follow_ts < anchor_ts + within``
+    — the streaming twin of ``operators.temporal.interval_join`` (and of
+    the batch ``interval_join_purchase_follow`` query, which is its parity
+    oracle).
+
+    Both sides get event-time watermarks and the join carries an explicit
+    time-range constraint; together these BOUND THE STATE STORE: Spark
+    keeps only rows younger than (watermark + within) per side and evicts
+    the rest, so state is O(arrival rate × horizon), not O(stream length)
+    — the property that makes a stream-stream join survivable at 100 TB/
+    day. Without the range condition the state grows forever; this
+    function makes it impossible to omit.
+
+    Anchor columns come back prefixed ``anchor_`` (keys unprefixed), so
+    self-joins of one source stream against itself work without the
+    caller renaming anything."""
+    on = list(on)
+    width = int(within_seconds)
+    a = anchors.select(
+        *[F.col(c).alias(c if c in on else f"anchor_{c}") for c in anchors.columns]
+    ).withWatermark(f"anchor_{anchor_ts}", watermark_delay)
+    f = follows.withWatermark(follow_ts, watermark_delay)
+    cond = (
+        (F.col(follow_ts) >= F.col(f"anchor_{anchor_ts}"))
+        & (
+            F.col(follow_ts)
+            < F.col(f"anchor_{anchor_ts}") + F.expr(f"INTERVAL {width} SECONDS")
+        )
+    )
+    for k in on:
+        cond = cond & (a[k] == f[k])
+    joined = f.join(a, cond, "inner")
+    # drop the duplicated key columns from the anchor side
+    return joined.drop(*[a[k] for k in on])
+
+
 def enrich_with_dim(
     stream: DataFrame,
     dim: DataFrame,

