@@ -101,3 +101,35 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(
         _c(a).isNull() | _c(b).isNull(), F.lit(None).cast("double")
     ).otherwise(F.coalesce(F.try_divide(dot_product(a, b), denom), F.lit(0.0)))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 scalar quantization:
+    ``struct(codes array<tinyint>, scale float)`` with
+    ``scale = max(|x|) / 127`` and ``code = round(x / scale)``.
+
+    Vector storage at 100 TB is IO-bound; int8 codes cut the embedding
+    column to a quarter of float32 (scale rides along as one float). Pure
+    Catalyst ``transform``/``aggregate`` — map-only, no Python, no
+    shuffle. Per-element reconstruction error is bounded by ``scale/2``;
+    the companion test pins recall@k of cosine over dequantized vectors
+    against the full-precision ranking. All-zero vectors quantize to
+    scale 0 with zero codes and dequantize back to zeros."""
+    arr = _d(a)
+    amax = F.aggregate(arr, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("float")
+    codes = F.when(scale == 0, F.transform(arr, lambda x: F.lit(0).cast("byte"))
+    ).otherwise(
+        F.transform(arr, lambda x: F.round(x / scale).cast("byte"))
+    )
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<float>`` ≈ the original
+    vector (max per-element error ``scale/2``)."""
+    qc = _c(q)
+    return F.transform(
+        qc.getField("codes"),
+        lambda c: (c.cast("double") * qc.getField("scale")).cast("float"),
+    )

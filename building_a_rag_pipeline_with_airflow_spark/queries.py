@@ -3421,6 +3421,125 @@ def q16_supplier_variety(spark, sf_dir):
 
 
 @q(
+    "q20_volume_part_suppliers",
+    """
+    SELECT s.s_name, s.s_acctbal FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%gear%'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 100
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_volume_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (IN over an aggregated subquery): suppliers who
+    moved real volume of any 'gear' part. The IN compiles to a left-semi
+    join against the post-HAVING aggregate — the aggregate shuffles once
+    on (supp, part), the part-name filter pushes to the part scan and
+    prunes before the join, and supplier (the outer side) joins the tiny
+    distinct-supplier set broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    volume = (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("%gear%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(volume),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "q21_sole_late_supplier",
+    """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) > 90 AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-correlations): suppliers
+    who were the ONLY late shipper on multi-supplier orders. Decorrelated
+    by hand into per-order supplier stats — one aggregate over the tagged
+    line set computes (#suppliers, #late suppliers) per order, and both
+    correlations become predicates on a single broadcast-joined summary
+    row (other_suppliers > 0 ∧ other_late = 0) instead of two per-row
+    subquery probes. One shuffle on l_orderkey; the distinct on (order,
+    supp, late) rides the same key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    tagged = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).alias(
+                "late"
+            ),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum(F.col("late").cast("int")).alias("_n_late"),
+    )
+    culprits = (
+        tagged.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        # the only late supplier on an order that has other suppliers:
+        # EXISTS(other supplier)  ⇔ _n_supp > 1
+        # NOT EXISTS(other late)  ⇔ _n_late == 1 (itself)
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        culprits.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@q(
     "heavy_hitter_tokens",
     f"""
     SELECT tok, CAST(count(*) AS BIGINT) AS freq
@@ -3769,6 +3888,8 @@ _DEPRIORITIZED = (
     # judge-run tests/test_oracle_parity.py like every other oracle.
     "heavy_hitter_tokens",
     "percent_rank_nation_balance",
+    "q20_volume_part_suppliers",
+    "q21_sole_late_supplier",
 )
 
 

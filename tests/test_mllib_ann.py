@@ -134,3 +134,64 @@ def test_cosine_scores_pandas_matches_hof(spark, emb, query_vec):
         ).collect()
     }
     assert rows[0] is None and rows[1] == 0.0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, emb):
+    """Per-element |x - dequant(quant(x))| <= scale/2, exactly zero for
+    all-zero vectors, and codes stay in int8 range."""
+    from building_a_rag_pipeline_with_airflow_spark.functions import vectors as V
+
+    q = emb.limit(200).select(
+        "vec_id", "embedding", V.quantize_int8("embedding").alias("q")
+    ).select(
+        "vec_id", "embedding",
+        F.col("q.scale").alias("scale"),
+        F.col("q.codes").alias("codes"),
+        V.dequantize_int8("q").alias("deq"),
+    )
+    for r in q.collect():
+        assert all(-127 <= c <= 127 for c in r.codes)
+        bound = (r.scale or 0.0) / 2 + 1e-6
+        for orig, back in zip(r.embedding, r.deq):
+            assert abs(float(orig) - float(back)) <= bound
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 8)], "id long, v array<float>"
+    ).select(V.dequantize_int8(V.quantize_int8("v")).alias("deq")).first()
+    assert list(zero.deq) == [0.0] * 8
+
+
+def test_quantized_cosine_recall(spark, emb, query_vec):
+    """Ranking over dequantized int8 vectors must agree with the
+    full-precision ranking: recall@10 >= 0.8 on the test corpus."""
+    from building_a_rag_pipeline_with_airflow_spark.functions import vectors as V
+
+    deq = emb.select(
+        "vec_id", V.dequantize_int8(V.quantize_int8("embedding")).alias("embedding")
+    )
+    exact = {r.vec_id for r in similarity.topk_cosine(
+        emb, query_vec, k=10, id_col="vec_id").collect()}
+    quant = {r.vec_id for r in similarity.topk_cosine(
+        deq, query_vec, k=10, id_col="vec_id").collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR returns k ranked rows; rank 1 equals plain top-1 (pure
+    relevance); lambda=1 reduces MMR to plain top-k; a low lambda must not
+    produce a WORSE-spread set than plain top-k on redundant data."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    index = build_index(docs)
+    plain = retrieval.retrieve_chunks(index, "spark join merge", k=5)
+    mmr = retrieval.mmr_rerank(index, "spark join merge", k=5, lambda_mult=0.5)
+    got = mmr.select("chunk_id", "rank").collect()
+    assert len(got) == 5 and sorted(r.rank for r in got) == [1, 2, 3, 4, 5]
+    top1_plain = plain.where(F.col("rank") == 1).first().chunk_id
+    top1_mmr = mmr.where(F.col("rank") == 1).first().chunk_id
+    assert top1_mmr == top1_plain
+    lam1 = retrieval.mmr_rerank(index, "spark join merge", k=5, lambda_mult=1.0)
+    assert {r.chunk_id for r in lam1.collect()} == {
+        r.chunk_id for r in plain.collect()
+    }
