@@ -560,6 +560,46 @@ def cube_priority_segment(spark, sf_dir):
     )
 
 
+@q(
+    "grouping_sets_priority_segment",
+    """
+    SELECT coalesce(o.o_orderpriority, 'ALL') AS priority,
+           coalesce(c.c_mktsegment, 'ALL')   AS segment,
+           round(sum(o.o_totalprice), 2)     AS sum_price,
+           count(*)                          AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((o.o_orderpriority), (c.c_mktsegment))
+    ORDER BY priority, segment
+    """,
+)
+def grouping_sets_priority_segment(spark, sf_dir):
+    """Explicit GROUPING SETS (the third of the §2.5 multi-grouping trio
+    beside ROLLUP and CUBE): ONLY the two single-column marginals, no
+    combined or grand-total set — the shape dashboards ask for, at half
+    the cube's aggregate rows. One pass, partial aggregation per set."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupingSets(
+            [["o_orderpriority"], ["c_mktsegment"]],
+            "o_orderpriority",
+            "c_mktsegment",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "sum_price",
+            "n",
+        )
+        .orderBy("priority", "segment")
+    )
+
+
 _SQL_TOP_CUSTOMERS = """
     SELECT n_name, c_name, revenue, rnk FROM (
       SELECT n.n_name, c.c_name,
@@ -3890,6 +3930,7 @@ _DEPRIORITIZED = (
     "percent_rank_nation_balance",
     "q20_volume_part_suppliers",
     "q21_sole_late_supplier",
+    "grouping_sets_priority_segment",
 )
 
 
