@@ -1142,7 +1142,66 @@ def minhash_signatures_q(spark, sf_dir):
     return dedup.minhash_signatures(docs, num_perm=8, seed=42).orderBy("doc_id")
 
 
-@q("minhash_lsh_pairs", None)  # composed pipeline — rows-only check
+def _minhash_lsh_oracle_sql(
+    num_perm: int = 8, bands: int = 4, seed: int = 42, verify: float = 0.05
+) -> str:
+    """Full LSH-banding oracle (r4 — closes the last dedup-ladder oracle
+    gap): every stage is deterministic, so DuckDB reproduces the banded
+    candidate set and the candidate-only verify exactly — signatures from
+    the bit-exact minhash oracle, band keys as the same
+    'band:mh_i:mh_j' string concatenation, candidates via band equi-join,
+    true-Jaccard verify computed ONLY for candidates (the oracle mirrors
+    the operator's O(candidates) shape, not an all-pairs baseline)."""
+    params = dedup._permutation_params(num_perm, seed)
+    mh_cols = ",\n           ".join(
+        f"CAST(min(({a} * sid + {b}) % {dedup.MERSENNE_P}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    rpb = num_perm // bands
+    band_list = ",\n        ".join(
+        f"'{b}:' || "
+        + " || ':' || ".join(
+            f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM grams),
+    sig AS (SELECT doc_id, {mh_cols} FROM ids GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, unnest([
+        {band_list}]) AS band
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.shingle = ga.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             round(CAST(coalesce(m.n_common, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(m.n_common, 0)), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+    ) v WHERE jaccard >= {verify}
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+@q("minhash_lsh_pairs", _minhash_lsh_oracle_sql(8, 4, 42, 0.05))
 def minhash_lsh_pairs_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
