@@ -197,8 +197,16 @@ def build_shingle_index(
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )
-    postings = sh.join(dfreq, "shingle").withColumn(
-        "bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+    postings = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+        )
+        # base build = batch -1, mirroring the IVF layout: streaming
+        # extensions append under their own _batch_id so a replayed batch
+        # overwrites itself (dynamic partition overwrite) instead of
+        # duplicating
+        .withColumn("_batch_id", F.lit(-1))
     )
     # one shuffle into the bucket layout; sort within files for row-group
     # skipping on shingle point lookups
@@ -206,12 +214,15 @@ def build_shingle_index(
         postings.repartition(n_buckets, "bucket")
         .sortWithinPartitions("shingle")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "_batch_id")
         .parquet(f"{path}/postings")
     )
-    sizes.write.mode("overwrite").parquet(f"{path}/doc_sizes")
+    sizes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "_batch_id"
+    ).parquet(f"{path}/doc_sizes")
     df.sparkSession.createDataFrame(
-        [(int(n), int(n_buckets))], "n int, n_buckets int"
+        [(int(n), int(n_buckets), False)],
+        "n int, n_buckets int, extended boolean",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -229,12 +240,31 @@ def jaccard_pairs_from_index(
     reuse executes one and replays it — asserted by
     ``tests/test_scale_plans.py::test_shingle_index_scanned_once``), with
     the stop-shingle guard pushed into the scan as a ``shingle_df <=
-    max_posting`` parquet predicate."""
-    post = (
-        spark.read.parquet(f"{path}/postings")
-        .where(F.col("shingle_df") <= max_posting)
-        .select("bucket", "shingle", "doc_id")
-    )
+    max_posting`` parquet predicate.
+
+    Extended indexes (``streaming_extend_shingle_index`` appends under new
+    ``_batch_id`` partitions and flips ``meta.extended``): the stored
+    per-row ``shingle_df`` is batch-local there, so a shingle crossing
+    ``max_posting`` only ACROSS batches would evade a pushed-predicate
+    guard. When the meta flag says extended, the guard switches to an
+    in-plan recount (group postings by shingle, filter, semi-join back) —
+    still zero corpus re-tokenization, one extra agg over the same
+    (bucket, shingle) shuffle key."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    raw = spark.read.parquet(f"{path}/postings")
+    if meta and meta.extended:
+        base = raw.select("bucket", "shingle", "doc_id")
+        ok = (
+            base.groupBy("bucket", "shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_posting)
+            .select("bucket", "shingle")
+        )
+        post = base.join(ok, ["bucket", "shingle"])
+    else:
+        post = raw.where(F.col("shingle_df") <= max_posting).select(
+            "bucket", "shingle", "doc_id"
+        )
     a = post.select("bucket", "shingle", F.col("doc_id").alias("id_a"))
     b = post.select("bucket", "shingle", F.col("doc_id").alias("id_b"))
     inter = (

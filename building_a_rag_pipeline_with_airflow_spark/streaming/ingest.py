@@ -152,3 +152,75 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_extend_shingle_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Keep a :func:`~building_a_rag_pipeline_with_airflow_spark.operators.\
+dedup.build_shingle_index` layout fresh — the text-side twin of
+    :func:`streaming_extend_ivf_index`: each micro-batch of NEW documents
+    shingles once and appends into the same ``bucket=B`` partition
+    directories under its own ``_batch_id`` (dynamic overwrite → replayed
+    batches are idempotent). The contract is append-only new doc ids, the
+    same as the IVF side's new-vector contract.
+
+    The batch writes its own batch-local ``shingle_df`` (the stored column
+    stays schema-compatible) and flips ``meta.extended`` to true, which
+    tells ``jaccard_pairs_from_index`` to stop trusting stored doc-freqs
+    and recount in-plan — a shingle can cross ``max_posting`` only across
+    batches, and a pushed predicate over batch-local counts would miss it.
+    Re-running ``build_shingle_index`` (offline, like IVF re-clustering)
+    restores the pushed-guard fast path."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.dedup import shingles
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+        sh = shingles(batch_df, text_col, id_col, int(meta.n)).select(
+            F.col(id_col).alias("doc_id"), "shingle"
+        )
+        dfreq = sh.groupBy("shingle").agg(
+            F.count("*").cast("bigint").alias("shingle_df")
+        )
+        postings = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("shingle"), F.lit(int(meta.n_buckets))).cast(
+                    "int"
+                ),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        postings.repartition(int(meta.n_buckets), "bucket").sortWithinPartitions(
+            "shingle"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket", "_batch_id").parquet(f"{index_path}/postings")
+        sh.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_shingles")
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(f"{index_path}/doc_sizes")
+        if not meta.extended:
+            spark.createDataFrame(
+                [(int(meta.n), int(meta.n_buckets), True)],
+                "n int, n_buckets int, extended boolean",
+            ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -263,3 +263,44 @@ def test_stream_stream_follow_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_extend_shingle_index_matches_inplan(spark, sf_dir, tmp_path):
+    """Extended index == in-plan pairs over the UNION corpus, including the
+    stale-doc-freq seam: max_posting is set low enough that some shingle's
+    GLOBAL posting count crosses it only across batches, which the
+    extended-index query must catch by recounting in-plan."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "sh_idx")
+    dedup.build_shingle_index(half_a, idx, n=3)
+
+    landing = tmp_path / "sh_landing"
+    landing.mkdir()
+    half_b.write.parquet(str(landing / "drop1"))
+    stream = ingest.read_documents_stream(spark, f"{landing}/*")
+    q = ingest.streaming_extend_shingle_index(
+        stream, idx, str(tmp_path / "sh_ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(f"{idx}/meta").first().extended is True
+    for mp in (1000, 40):  # 40: stop-shingles exist only on the union
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs_from_index(
+                spark, idx, threshold=0.1, max_posting=mp
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.1, max_posting=mp
+            ).collect()
+        }
+        assert got == want, f"max_posting={mp}"
+    assert len(got) > 0 or len(want) == 0

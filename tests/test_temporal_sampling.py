@@ -275,3 +275,53 @@ def test_asof_bucketed_tolerance_and_events(spark, sf_dir):
         ).collect()
     }
     assert bucketed == plain and len(plain) > 0
+
+
+def test_asof_bucketed_boundary_and_empty_bucket_cases(spark):
+    """Adversarial seams of the bucketed variant: right rows exactly ON a
+    bucket boundary, left rows in buckets with no right rows (carry must
+    skip over them), equal left/right timestamps (exact match wins), and a
+    key with no right rows at all (nulls)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00"),   # exact-ts match on boundary
+            ("a", "2024-01-01 00:59:59"),   # same bucket as the boundary row
+            ("a", "2024-01-01 03:30:00"),   # two empty buckets later: carry
+            ("b", "2024-01-01 02:00:00"),   # key with no right rows
+        ],
+        "k string, lts string",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0),  # exactly on the hour bucket edge
+            ("a", "2023-12-31 23:59:59", 0.5),  # previous bucket
+        ],
+        "k string, rts string, px double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "px")
+
+    plain = temporal.as_of_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts"
+    )
+    bucketed = temporal.as_of_join_bucketed(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        bucket_seconds=3600,
+    )
+    key = lambda rows: sorted(
+        (r.k, str(r.lts), r.px, str(r.rts)) for r in rows
+    )
+    got, want = key(bucketed.collect()), key(plain.collect())
+    assert got == want
+    # and the semantics themselves (not just internal consistency):
+    ref = pd.merge_asof(
+        left.toPandas().sort_values("lts"),
+        right.toPandas().sort_values("rts"),
+        left_on="lts", right_on="rts", by="k", direction="backward",
+    )
+    expect = sorted(
+        (r.k, str(r.lts), None if pd.isna(r.px) else r.px,
+         "None" if pd.isna(r.rts) else str(r.rts))
+        for r in ref.itertuples()
+    )
+    assert [(k_, l, p, str(t)) for k_, l, p, t in got] == expect
