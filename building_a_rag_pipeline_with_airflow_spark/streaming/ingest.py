@@ -135,11 +135,26 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
             return
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(f"{index_path}/centroids")
-        assigned = (
-            ivf_assign(batch_df, centroids, c_id, c_vec)
-            .withColumn("_vnorm", l2_norm(c_vec))
-            .withColumn("_batch_id", F.lit(batch_id))
-        )
+        assigned = ivf_assign(batch_df, centroids, c_id, c_vec)
+        # match the existing layout: a quantized base index (int8 codes +
+        # scale) must be extended with the same coded schema
+        existing = spark.read.parquet(f"{index_path}/vectors").schema.names
+        if "_codes" in existing:
+            from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
+                dequantize_int8,
+                quantize_int8,
+            )
+
+            assigned = (
+                assigned.withColumn("_q", quantize_int8(c_vec))
+                .withColumn("_codes", F.col("_q").getField("codes"))
+                .withColumn("_scale", F.col("_q").getField("scale"))
+                .withColumn("_vnorm", l2_norm(dequantize_int8("_q")))
+                .drop("_q", c_vec)
+            )
+        else:
+            assigned = assigned.withColumn("_vnorm", l2_norm(c_vec))
+        assigned = assigned.withColumn("_batch_id", F.lit(batch_id))
         assigned.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("cell_id", "_batch_id").parquet(f"{index_path}/vectors")

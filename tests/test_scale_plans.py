@@ -464,3 +464,65 @@ def test_shingle_index_scanned_once(spark, sf_dir, tmp_path):
         "AQE exchange reuse to collapse the self-join to one scan"
     )
     assert "ReusedExchange" in final_tree
+
+
+def test_quantized_ivf_index_recall_and_pruning(spark, sf_dir, tmp_path):
+    """int8-quantized durable IVF: (a) probe plan still partition-prunes,
+    (b) the scan reads codes+scale, never a float vector column,
+    (c) recall@10 vs the unquantized index >= 0.8."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    full = str(tmp_path / "ivf_full")
+    quant = str(tmp_path / "ivf_q8")
+    sim.build_ivf_index(emb, full, method="stride", stride=16)
+    sim.build_ivf_index(emb, quant, method="stride", stride=16, quantize=True)
+
+    qdf = sim.query_ivf_index(spark, quant, qvec, k=10, nprobe=4)
+    plan = _explain_str(qdf)
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    import re as _re
+
+    read_schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    vec_scan = [s for s in read_schemas if "_codes" in s]
+    assert vec_scan and all("embedding" not in s for s in vec_scan), (
+        "quantized probe must read codes, not float vectors"
+    )
+    got = {r.vec_id for r in qdf.collect()}
+    want = {
+        r.vec_id
+        for r in sim.query_ivf_index(spark, full, qvec, k=10, nprobe=4).collect()
+    }
+    assert len(got & want) >= 8
+
+
+def test_quantized_ivf_streaming_extension_keeps_schema(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # base = odd ids so the stride rule (vec_id % 16 == 1) finds centroids
+    half_a = emb.where(F.col("vec_id") % 2 == 1)
+    half_b = emb.where(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf_q8_ext")
+    sim.build_ivf_index(half_a, idx, method="stride", stride=16, quantize=True)
+
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    half_b.write.parquet(str(landing / "drop1"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{landing}/*")
+    )
+    q = ingest.streaming_extend_ivf_index(
+        stream, idx, str(tmp_path / "ivf_ck")
+    )
+    q.awaitTermination(120)
+    vec = spark.read.parquet(f"{idx}/vectors")
+    assert "_codes" in vec.columns and "embedding" not in vec.columns
+    # every vector queryable, extension rows included
+    qvec = [float(x) for x in half_b.first().embedding]
+    hits = sim.query_ivf_index(spark, idx, qvec, k=5, nprobe=16).collect()
+    assert len(hits) == 5
