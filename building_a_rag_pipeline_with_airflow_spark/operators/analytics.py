@@ -199,3 +199,52 @@ def quantile_segment(
     return joined.withColumn(
         out_col, F.lit(1) + F.aggregate("_bounds", F.lit(0), cmp)
     ).drop("_bounds")
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: "int | None" = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each stage was
+    reached STRICTLY AFTER the previous stage (view → click → purchase
+    …), the standard product-analytics conversion operator.
+
+    Plan: one chained per-user aggregate per stage — stage k is
+    ``min(ts) WHERE type = stages[k] AND ts > stage_{k-1}_ts`` — computed
+    as successive groupBy(user) aggregations joined back on the user key.
+    Every shuffle is on the SAME key, so at scale the exchanges line up
+    (AQE reuses the partitioning) and nothing is ever quadratic; no
+    window, no per-user event array in memory. A user with billions of
+    events costs one partial min per stage, not a sort.
+
+    ``within_seconds`` bounds the WHOLE funnel: stage k counts only if
+    within the bound of stage 1's timestamp (the common "converted within
+    N hours" cut). Output: one row per user reaching stage 1, with
+    ``stage_1_ts .. stage_n_ts`` (nulls once the chain breaks).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least two stages")
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("stage_1_ts"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .select(user_col, F.col(ts_col).alias("_t"))
+            .join(cur, user_col)
+            .where(F.col("_t") > F.col(f"stage_{i - 1}_ts"))
+        )
+        if within_seconds is not None:
+            nxt = nxt.where(
+                F.col("_t").cast("double")
+                <= F.col("stage_1_ts").cast("double") + float(within_seconds)
+            )
+        nxt = nxt.groupBy(user_col).agg(F.min("_t").alias(f"stage_{i}_ts"))
+        cur = cur.join(nxt, user_col, "left")
+    return cur

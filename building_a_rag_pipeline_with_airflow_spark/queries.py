@@ -3639,6 +3639,63 @@ def q21_sole_late_supplier(spark, sf_dir):
 
 
 @q(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS stage_1_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS stage_2_ts
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.stage_1_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS stage_3_ts
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.stage_2_ts
+      GROUP BY e.user_id
+    ),
+    f AS (
+      SELECT s1.user_id, stage_1_ts, stage_2_ts, stage_3_ts
+      FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_stage1,
+           CAST(count(stage_2_ts) AS BIGINT)   AS n_stage2,
+           CAST(count(stage_3_ts) AS BIGINT)   AS n_stage3,
+           round(avg(epoch_ms(stage_2_ts) / 1000.0
+                     - epoch_ms(stage_1_ts) / 1000.0), 2) AS avg_s1_to_s2,
+           round(avg(epoch_ms(stage_3_ts) / 1000.0
+                     - epoch_ms(stage_2_ts) / 1000.0), 2) AS avg_s2_to_s3
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase) via
+    `operators.analytics.funnel`: chained per-user min aggregates, every
+    shuffle on the same user key, no windows, no event arrays — then a
+    one-row conversion summary with mean stage-to-stage latencies."""
+    ev = _t(spark, sf_dir, "events")
+    f = analytics.funnel(ev, ["view", "click", "purchase"])
+    # NTZ timestamps don't cast to double directly; via TIMESTAMP (identity
+    # under the UTC session) keeps fractional seconds
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_stage1"),
+        F.count("stage_2_ts").cast("bigint").alias("n_stage2"),
+        F.count("stage_3_ts").cast("bigint").alias("n_stage3"),
+        F.round(F.avg(sec("stage_2_ts") - sec("stage_1_ts")), 2).alias(
+            "avg_s1_to_s2"
+        ),
+        F.round(F.avg(sec("stage_3_ts") - sec("stage_2_ts")), 2).alias(
+            "avg_s2_to_s3"
+        ),
+    )
+
+
+@q(
     "heavy_hitter_tokens",
     f"""
     SELECT tok, CAST(count(*) AS BIGINT) AS freq
@@ -3990,6 +4047,7 @@ _DEPRIORITIZED = (
     "q20_volume_part_suppliers",
     "q21_sole_late_supplier",
     "grouping_sets_priority_segment",
+    "funnel_view_click_purchase",
 )
 
 

@@ -266,3 +266,41 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="not converged"):
         dedup.connected_components(edges, max_iter=2)
+
+
+def test_funnel_strict_order_and_within_bound(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            # u1: clean v->c->p
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "click", "2024-01-01 00:10:00"),
+            (1, "purchase", "2024-01-01 00:20:00"),
+            # u2: click BEFORE view — must not count
+            (2, "click", "2024-01-01 00:00:00"),
+            (2, "view", "2024-01-01 00:05:00"),
+            # u3: converts but outside the 15-min bound
+            (3, "view", "2024-01-01 00:00:00"),
+            (3, "click", "2024-01-01 01:00:00"),
+            # u4: never views — not in the funnel at all
+            (4, "purchase", "2024-01-01 00:00:00"),
+        ],
+        "user_id long, event_type string, ts string",
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+
+    rows = {r.user_id: r for r in analytics.funnel(
+        ev, ["view", "click"]).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].stage_2_ts is not None
+    assert rows[2].stage_2_ts is None  # strict order: click precedes view
+    assert rows[3].stage_2_ts is not None
+
+    bounded = {r.user_id: r for r in analytics.funnel(
+        ev, ["view", "click"], within_seconds=900).collect()}
+    assert bounded[3].stage_2_ts is None  # outside the 15-minute bound
+    assert bounded[1].stage_2_ts is not None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.funnel(ev, ["view"])
