@@ -59,6 +59,9 @@ HEADLINE = [
     "q11_important_nation_share",
     "q12_late_shipment_priority",
     "q16_supplier_variety",
+    "q21_sole_late_supplier",
+    "funnel_view_click_purchase",
+    "heavy_hitter_tokens",
     # temporal / sampling / analytics
     "asof_join_events_orders",
     "interval_join_purchase_follow",

@@ -275,7 +275,8 @@ def test_ivf_index_stored_norms_match(spark, sf_dir, tmp_path):
      "q8_market_share", "q9_profit_by_nation_year", "q10_returned_revenue",
      "q19_disjunctive_revenue", "q22_idle_rich_customers",
      "q2_min_cost_supplier", "q11_important_nation_share",
-     "q12_late_shipment_priority", "q16_supplier_variety"],
+     "q12_late_shipment_priority", "q16_supplier_variety",
+     "q20_volume_part_suppliers", "q21_sole_late_supplier"],
 )
 def test_tpch_plans_broadcast_their_dims(spark, sf_dir, qname):
     """Guard the 100 TB shape of every join-heavy TPC-H query: dimension
@@ -291,17 +292,19 @@ def test_tpch_plans_broadcast_their_dims(spark, sf_dir, qname):
     assert "PushedFilters: [" in plan, f"{qname}: no pushed filters at all"
     import re as _re
 
-    if qname == "q11_important_nation_share":
-        # q11's shape has NO selective scan predicate by construction (the
-        # threshold applies post-aggregation over the whole fact table);
-        # the scan-level win to guard is column pruning: the lineitem read
-        # must touch only the three columns the revenue agg needs
+    # Shapes with NO selective scan predicate by construction (thresholds
+    # apply post-aggregation over the whole fact table): the scan-level
+    # win to guard there is column pruning of the lineitem read.
+    pruned_only = {
+        "q11_important_nation_share": {"l_suppkey", "l_extendedprice", "l_discount"},
+        "q21_sole_late_supplier": {"l_orderkey", "l_suppkey", "l_shipdate"},
+    }
+    if qname in pruned_only:
         schemas_read = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         assert any(
-            set(s.split(",")[i].split(":")[0] for i in range(len(s.split(","))))
-            == {"l_suppkey", "l_extendedprice", "l_discount"}
+            {part.split(":")[0] for part in s.split(",")} == pruned_only[qname]
             for s in schemas_read
-        ), f"{qname}: lineitem scan not pruned to 3 columns"
+        ), f"{qname}: lineitem scan not pruned to {pruned_only[qname]}"
         return
     # a pushed filter that is more than IsNotNull on at least one scan
     pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
