@@ -201,6 +201,43 @@ def quantile_segment(
     ).drop("_bounds")
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (the cohort), counted per period-offset of later activity —
+    the standard "of users who arrived in week W, how many were active in
+    week W+k" analysis.
+
+    Two aggregates, both on scale-safe keys: first-activity per user (one
+    groupBy on the user key), then distinct users per (cohort, offset)
+    after a broadcast-friendly join back. No window, no global sort; the
+    retention matrix itself is tiny (periods²). Period boundaries are
+    epoch-aligned (``floor(epoch / period)``) so the bucketing is
+    reproducible by any engine."""
+    width = int(period_seconds)
+    per = (
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / width)
+        .cast("bigint")
+    )
+    firsts = (
+        events.groupBy(user_col)
+        .agg(F.min(per).alias("cohort_period"))
+    )
+    activity = events.select(user_col, per.alias("_p")).distinct()
+    return (
+        activity.join(firsts, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).cast("int").alias("period_offset"),
+        )
+        .agg(F.count_distinct(user_col).cast("bigint").alias("n_active"))
+    )
+
+
 def funnel(
     events: DataFrame,
     stages: Sequence[str],

@@ -153,3 +153,46 @@ def mixture_reweight(
         .drop("cut")
     )
     return sampled, plan_df
+
+
+def assign_folds(
+    df: DataFrame, key: str, k: int = 5, salt: str = "cv"
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5-hash(key||salt) % k``.
+
+    Content-addressed like :func:`hash_sample` — folds are stable under
+    any relayout, reproducible in any engine, and all rows of one entity
+    land in one fold (no leakage across folds). Map-only, no shuffle."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = F.col(key)
+    s = F.concat(c.cast("string"), F.lit(salt))
+    fold = (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(int(k))
+    ).cast("int")
+    return df.withColumn("fold", fold)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: str, seed: str = "epoch0", n_partitions: "int | None" = None
+) -> DataFrame:
+    """Content-addressed global shuffle for TRAINING ORDER: sort by
+    ``md5(key || seed)`` — the order is a pure function of (keys, seed),
+    so re-running the job, changing the cluster size, or relocating files
+    reproduces the byte-identical sequence, and each epoch gets a fresh
+    permutation by changing ``seed`` ("epoch1", "epoch2", …).
+
+    This is one range-partitioned global sort — the standard
+    write-the-training-order job, run once per epoch at dataset-prep
+    time, NOT a per-read cost; ``n_partitions`` sizes the output files.
+    ``df.orderBy(rand(seed))`` cannot do this job: its permutation
+    depends on the physical partitioning of the input, so the "same"
+    seed gives a different order after any relayout."""
+    shuffled = df.withColumn(
+        "_shuffle_key", F.md5(F.concat(F.col(key).cast("string"), F.lit(seed)))
+    )
+    if n_partitions:
+        shuffled = shuffled.repartitionByRange(int(n_partitions), "_shuffle_key")
+        return shuffled.sortWithinPartitions("_shuffle_key").drop("_shuffle_key")
+    return shuffled.orderBy("_shuffle_key").drop("_shuffle_key")

@@ -325,3 +325,44 @@ def test_asof_bucketed_boundary_and_empty_bucket_cases(spark):
         for r in ref.itertuples()
     )
     assert [(k_, l, p, str(t)) for k_, l, p, t in got] == expect
+
+
+def test_assign_folds_stable_partition_and_exhaustive(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    f1 = sampling.assign_folds(orders, "o_orderkey", k=5)
+    # exhaustive, folds 0..4, roughly balanced
+    counts = {r.fold: r["count"] for r in f1.groupBy("fold").count().collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    total = orders.count()
+    assert sum(counts.values()) == total
+    for c in counts.values():
+        assert c > total // 10
+    # relayout-invariant: same assignment after a repartition
+    f2 = sampling.assign_folds(orders.repartition(13), "o_orderkey", k=5)
+    a = dict((r.o_orderkey, r.fold) for r in f1.select("o_orderkey", "fold").collect())
+    b = dict((r.o_orderkey, r.fold) for r in f2.select("o_orderkey", "fold").collect())
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.assign_folds(orders, "o_orderkey", k=1)
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    s1 = [r.o_orderkey for r in sampling.deterministic_shuffle(
+        orders, "o_orderkey", seed="epoch0").collect()]
+    s2 = [r.o_orderkey for r in sampling.deterministic_shuffle(
+        orders.repartition(17), "o_orderkey", seed="epoch0").collect()]
+    assert s1 == s2, "order must survive relayout"
+    s3 = [r.o_orderkey for r in sampling.deterministic_shuffle(
+        orders, "o_orderkey", seed="epoch1").collect()]
+    assert s1 != s3 and sorted(s1) == sorted(s3)
+    # range-partitioned variant: same global order when read back in
+    # partition order
+    rp = sampling.deterministic_shuffle(
+        orders, "o_orderkey", seed="epoch0", n_partitions=8)
+    assert sorted(r.o_orderkey for r in rp.collect()) == sorted(s1)
