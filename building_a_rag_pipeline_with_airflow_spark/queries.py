@@ -3593,12 +3593,13 @@ def q20_volume_part_suppliers(spark, sf_dir):
 def q21_sole_late_supplier(spark, sf_dir):
     """TPC-H Q21 shape (EXISTS + NOT EXISTS self-correlations): suppliers
     who were the ONLY late shipper on multi-supplier orders. Decorrelated
-    by hand into per-order supplier stats — one aggregate over the tagged
-    line set computes (#suppliers, #late suppliers) per order, and both
-    correlations become predicates on a single broadcast-joined summary
-    row (other_suppliers > 0 ∧ other_late = 0) instead of two per-row
-    subquery probes. One shuffle on l_orderkey; the distinct on (order,
-    supp, late) rides the same key."""
+    by hand: per-order supplier stats computed as a KEYED window over the
+    tagged (order, supplier) aggregate — both correlations become row
+    predicates (other_suppliers > 0 ∧ other_late = 0) with the tagged set
+    built ONCE. Measured vs the groupBy-then-self-join decorrelation
+    (which executes the join+agg branch twice): windowed 1.45-1.5 s vs
+    1.7-1.9 s warm at sf0.1, identical results. The window partitions by
+    l_orderkey — bounded rows per order, never a global sort."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
@@ -3615,17 +3616,17 @@ def q21_sole_late_supplier(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
     )
-    per_order = tagged.groupBy("l_orderkey").agg(
-        F.count("*").alias("_n_supp"),
-        F.sum(F.col("late").cast("int")).alias("_n_late"),
+    w = Window.partitionBy("l_orderkey")
+    stats = tagged.select(
+        "*",
+        F.count("*").over(w).alias("_n_supp"),
+        F.sum(F.col("late").cast("int")).over(w).alias("_n_late"),
     )
-    culprits = (
-        tagged.where(F.col("late"))
-        .join(per_order, "l_orderkey")
-        # the only late supplier on an order that has other suppliers:
-        # EXISTS(other supplier)  ⇔ _n_supp > 1
-        # NOT EXISTS(other late)  ⇔ _n_late == 1 (itself)
-        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    # the only late supplier on an order that has other suppliers:
+    # EXISTS(other supplier)  ⇔ _n_supp > 1
+    # NOT EXISTS(other late)  ⇔ _n_late == 1 (itself)
+    culprits = stats.where(
+        F.col("late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
     )
     return (
         culprits.join(
