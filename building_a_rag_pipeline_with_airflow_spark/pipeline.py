@@ -67,10 +67,22 @@ def rag_query(
     k: int = 5,
     dim: int = DEFAULT_DIM,
     prefilter=None,
+    diversity: "str | None" = None,
 ) -> DataFrame:
     """Query-time path: top-k retrieve + context assembly; returns one row
-    (context, n_sources)."""
-    retrieved = retrieve_chunks(index, query_text, k=k, dim=dim, prefilter=prefilter)
+    (context, n_sources). ``diversity="mmr"`` swaps plain relevance top-k
+    for maximal-marginal-relevance re-ranking (retrieval.mmr_rerank) —
+    same distributed candidate scan, diversified final k."""
+    if diversity == "mmr":
+        from building_a_rag_pipeline_with_airflow_spark.operators.retrieval import mmr_rerank
+
+        retrieved = mmr_rerank(index, query_text, k=k, dim=dim)
+    elif diversity is not None:
+        raise ValueError(f"unknown diversity mode: {diversity!r}")
+    else:
+        retrieved = retrieve_chunks(
+            index, query_text, k=k, dim=dim, prefilter=prefilter
+        )
     return assemble_context(retrieved)
 
 

@@ -3640,6 +3640,64 @@ def q21_sole_late_supplier(spark, sf_dir):
 
 
 @q(
+    "scrub_pii_documents",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                  || '-42-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[ipv4]', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ssn]', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[phone]', 'g') AS text
+      FROM seeded
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, text
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def scrub_pii_documents(spark, sf_dir):
+    """PII redaction over the documents table (`operators.curation.
+    scrub_pii`). The synthetic corpus carries no natural PII, so the query
+    SEEDS one deterministic email + IP + SSN per document (same
+    construction in the oracle) — the redaction itself, pattern order, and
+    byte-identical replacement text are what the value-hash checks. All
+    JVM regex, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn "),
+            (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-42-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        curation.scrub_pii(seeded)
+        .select("doc_id", F.col("n_pii_email").alias("n_email"), "text")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "cv_folds_orders",
     f"""
     SELECT CAST(CAST('0x' || substr(md5(o_orderkey::VARCHAR || 'cv'), 1, 15)
@@ -4109,6 +4167,7 @@ _DEPRIORITIZED = (
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "cv_folds_orders",
+    "scrub_pii_documents",
 )
 
 

@@ -304,3 +304,26 @@ def test_funnel_strict_order_and_within_bound(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.funnel(ev, ["view"])
+
+
+def test_scrub_pii_patterns_and_order(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk and ip 10.0.0.255 here"),
+            (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.scrub_pii(df).collect()}
+    assert "[email]" in out[1].text and "@" not in out[1].text
+    assert "[ipv4]" in out[1].text and "10.0.0.255" not in out[1].text
+    assert out[1].n_pii_email == 1 and out[1].n_pii_ipv4 == 1
+    assert "[ssn]" in out[2].text and "123-45-6789" not in out[2].text
+    assert "[phone]" in out[2].text
+    assert out[2].n_pii_ssn == 1 and out[2].n_pii_phone >= 1
+    assert out[3].text == "clean text with no pii at all"
+    assert (out[3].n_pii_email, out[3].n_pii_ipv4,
+            out[3].n_pii_phone, out[3].n_pii_ssn) == (0, 0, 0, 0)
