@@ -3640,6 +3640,35 @@ def q21_sole_late_supplier(spark, sf_dir):
 
 
 @q(
+    "corr_lineitem_metrics",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+           round(corr(l_discount, l_extendedprice), 4)  AS corr_disc_price,
+           round(corr(l_quantity, l_tax), 4)            AS corr_qty_tax,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(stddev_samp(l_extendedprice), 2)       AS sd_price
+    FROM lineitem
+    """,
+)
+def corr_lineitem_metrics(spark, sf_dir):
+    """Numeric-profile statistics (correlation / covariance / stddev) in
+    ONE aggregate pass — all algebraic (sum/sum-of-product partials), so
+    they map-side combine and the shuffle carries five accumulator rows,
+    not data. The pandas-describe analog of the reference's stats
+    one-liners, distributed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 4).alias("corr_disc_price"),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("corr_qty_tax"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@q(
     "scrub_pii_documents",
     r"""
     WITH seeded AS (
@@ -4168,6 +4197,7 @@ _DEPRIORITIZED = (
     "cohort_retention_weekly",
     "cv_folds_orders",
     "scrub_pii_documents",
+    "corr_lineitem_metrics",
 )
 
 

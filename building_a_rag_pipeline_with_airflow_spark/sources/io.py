@@ -224,3 +224,51 @@ def compact_parquet(
     else:
         df.coalesce(n_out).write.mode("overwrite").parquet(out)
     return out
+
+
+def expire_batches(
+    spark,
+    path: str,
+    keep_latest: int,
+    batch_col: str = "_batch_id",
+    keep_base: bool = True,
+) -> "list[int]":
+    """Retention for ``_batch_id``-partitioned streaming sinks (the index
+    layouts `streaming_build_index` / `streaming_extend_*` accumulate):
+    drop all but the ``keep_latest`` newest batch partitions, returning
+    the dropped batch ids.
+
+    Works on partition METADATA only — batch ids come from directory
+    names (one listing, no data scan) and removal deletes whole partition
+    directories, so cost is O(#batches) regardless of data size.
+    ``keep_base=True`` always preserves the batch ``-1`` base-build
+    partition. Complements :func:`compact_parquet` (which merges small
+    files but keeps every row): this is the DELETION side of streaming
+    sink hygiene — only correct for sinks where old batches really are
+    expendable (e.g. a sliding-horizon feature store), never for the
+    append-forever document index."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    # batch partitions may nest under other partition levels (e.g. the
+    # shingle index's bucket=*/ layout) — walk dirs, collect batch dirs
+    batch_dirs: dict[int, list] = {}
+
+    def walk(p):
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.startswith(f"{batch_col}="):
+                bid = int(name.split("=", 1)[1])
+                batch_dirs.setdefault(bid, []).append(st.getPath())
+            else:
+                walk(st.getPath())
+
+    walk(jvm_path)
+    ids = sorted(batch_dirs)
+    candidates = [b for b in ids if not (keep_base and b == -1)]
+    drop = candidates[:-keep_latest] if keep_latest > 0 else candidates
+    for bid in drop:
+        for d in batch_dirs[bid]:
+            fs.delete(d, True)
+    return drop

@@ -135,3 +135,36 @@ def test_compact_parquet_sees_multilevel_partitions(spark, sf_dir, tmp_path):
     )
     assert out is not None, "recursive listing missed nested leaves"
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_expire_batches_drops_oldest_keeps_base(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import io as eio
+
+    path = str(tmp_path / "batched_sink")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    for bid in (-1, 0, 1, 2, 3):
+        docs.withColumn("_batch_id", F.lit(bid)).write.mode("append").partitionBy(
+            "_batch_id"
+        ).parquet(path)
+    dropped = eio.expire_batches(spark, path, keep_latest=2)
+    assert dropped == [0, 1]
+    left = {
+        r._batch_id
+        for r in spark.read.parquet(path).select("_batch_id").distinct().collect()
+    }
+    assert left == {-1, 2, 3}
+    # nested layout (bucket=*/_batch_id=*) — the shingle index shape
+    nested = str(tmp_path / "nested_sink")
+    for bid in (-1, 7, 8):
+        docs.withColumn("bucket", (F.col("doc_id") % 4).cast("int")).withColumn(
+            "_batch_id", F.lit(bid)
+        ).write.mode("append").partitionBy("bucket", "_batch_id").parquet(nested)
+    dropped = eio.expire_batches(spark, nested, keep_latest=1)
+    assert dropped == [7]
+    left = {
+        r._batch_id
+        for r in spark.read.parquet(nested).select("_batch_id").distinct().collect()
+    }
+    assert left == {-1, 8}
