@@ -98,3 +98,85 @@ def rag_pipeline(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     index = build_index(docs, strategy=strategy)
     return retrieve_chunks(index, query_text, k=k)
+
+
+N_DOC_BUCKETS = 64
+
+
+def write_index_bucketed(
+    index: DataFrame,
+    path: str,
+    n_doc_buckets: int = N_DOC_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a chunk/embedding index partitioned by a stable doc-hash
+    bucket (``doc_bucket = xxhash64(doc_id) % n``) — the layout that makes
+    DOCUMENT UPSERTS cheap: every chunk of one document lives in exactly
+    one partition directory, so revising a document rewrites one bucket,
+    not the index (see :func:`upsert_documents`).
+
+    Size ``n_doc_buckets`` so a bucket is a few files at your corpus size;
+    at 100 TB this is thousands, not 64."""
+    (
+        index.withColumn(
+            "doc_bucket",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_doc_buckets)).cast("int"),
+        )
+        .repartition(n_doc_buckets, "doc_bucket")
+        .write.mode(mode)
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )
+
+
+def upsert_documents(
+    spark: SparkSession,
+    path: str,
+    changed_docs: DataFrame,
+    strategy: str = "fixed",
+    dim: int = DEFAULT_DIM,
+    n_doc_buckets: int = N_DOC_BUCKETS,
+) -> "list[int]":
+    """Re-index REVISED (or new) documents into a
+    :func:`write_index_bucketed` layout, rewriting ONLY the hash buckets
+    those documents live in. Returns the rewritten bucket ids.
+
+    The scale contract: cost is O(changed docs' buckets), never O(index).
+    Plan per affected bucket: read the bucket's current rows, anti-join
+    away every chunk of the changed doc ids (a revised document may have
+    FEWER chunks than before — plain append-overwrite would leave stale
+    tails), union the freshly chunked+embedded replacements, and rewrite
+    just those partitions via dynamic partition overwrite. Readers see
+    old-or-new per bucket (parquet has no multi-partition transaction —
+    the same visibility contract as every dynamic-overwrite sink here);
+    a table format (Delta/Iceberg) would make the swap atomic without
+    changing this plan."""
+    bucket_of = F.pmod(
+        F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_doc_buckets)
+    ).cast("int")
+    fresh = build_index(changed_docs, strategy=strategy, dim=dim).withColumn(
+        "doc_bucket", bucket_of
+    )
+    affected = sorted(
+        r.doc_bucket
+        for r in fresh.select("doc_bucket").distinct().collect()
+    )  # bucket ids — metadata-scale driver list, becomes the partition filter
+    if not affected:
+        return []
+    changed_ids = changed_docs.select("doc_id").distinct()
+    current = spark.read.parquet(path).where(F.col("doc_bucket").isin(affected))
+    kept = current.join(F.broadcast(changed_ids), "doc_id", "left_anti")
+    out = kept.unionByName(fresh.select(*kept.columns))
+    (
+        out.repartition(len(affected), "doc_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )
+    return affected
+
+
+def read_index_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucketed index for querying (drops the layout column)."""
+    return spark.read.parquet(path).drop("doc_bucket")

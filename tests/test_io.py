@@ -168,3 +168,59 @@ def test_expire_batches_drops_oldest_keeps_base(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(nested).select("_batch_id").distinct().collect()
     }
     assert left == {-1, 8}
+
+
+def test_upsert_documents_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
+    """Document upsert contract: result == full rebuild over the revised
+    corpus; only the changed docs' bucket partitions are rewritten (file
+    mtimes of untouched buckets unchanged); shrunken documents leave no
+    stale chunk tails."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import (
+        build_index,
+        read_index_bucketed,
+        upsert_documents,
+        write_index_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    path = str(tmp_path / "bucketed_index")
+    write_index_bucketed(build_index(docs), path, n_doc_buckets=8)
+
+    mtimes_before = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{path}/doc_bucket=*/*.parquet")
+    }
+
+    # revise two documents: one grows, one SHRINKS to few words
+    changed = docs.where(F.col("doc_id").isin([3, 7])).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit(" extra tail ") , F.col("text")))
+        .otherwise(F.lit("tiny now")),
+    )
+    affected = upsert_documents(spark, path, changed, n_doc_buckets=8)
+    assert affected, "no buckets rewritten"
+
+    # equality with a full rebuild over the revised corpus
+    revised = docs.where(~F.col("doc_id").isin([3, 7])).unionByName(changed)
+    want = {
+        (r.chunk_id, r.text)
+        for r in build_index(revised).select("chunk_id", "text").collect()
+    }
+    got = {
+        (r.chunk_id, r.text)
+        for r in read_index_bucketed(spark, path).select("chunk_id", "text").collect()
+    }
+    assert got == want
+
+    # untouched buckets' files were not rewritten
+    untouched = [
+        p for p in mtimes_before
+        if not any(f"doc_bucket={b}/" in p for b in affected)
+    ]
+    assert untouched, "test needs at least one untouched bucket"
+    for p in untouched:
+        assert os.path.getmtime(p) == mtimes_before[p], f"rewrote {p}"
