@@ -377,3 +377,81 @@ def scrub_pii(
             ),
         )
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_dup: int = 3,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style line-level deduplication (Raffel et al. 2020 §2.2): drop
+    every line that occurs at least ``min_dup`` times across the corpus —
+    the pass that strips navigation bars, cookie banners, and license
+    boilerplate that whole-document dedup can't see. Returns one row per
+    input document: ``[id_col, text_col (rebuilt), n_lines, n_kept]``
+    (documents reduced to zero kept lines survive with empty text, so the
+    output is join-compatible with the input).
+
+    Plan shape, scale-first:
+
+    * explode lines with their position (``posexplode`` — position is
+      needed to reassemble in original order without a window);
+    * corpus-wide line frequencies: ONE map-side-combined hash agg keyed
+      on the line's md5 (16-byte keys shuffle instead of arbitrary-length
+      line text; boilerplate lines are exactly the hot keys, and partial
+      aggregation moves them as counts, not rows);
+    * keep-decision: join lines←frequencies on the hash. The frequency
+      relation is |distinct lines| rows — shuffle hash join in general;
+      for bounded boilerplate sets a broadcast of the ``>= min_dup``
+      subset (usually tiny) is the manual override;
+    * reassemble: group by doc, ``array_sort(collect_list(struct(pos,
+      line)))`` then join — agg-side ordered rebuild, no window, group
+      size = lines-per-doc.
+
+    Lines shorter than ``min_line_chars`` (after trim) are passed through
+    un-counted (C4 counts only ≥5-word lines; the char floor is the
+    engine-cheap analog and a parameter).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    ).withColumn(
+        "countable", F.length(F.trim("line")) >= min_line_chars
+    ).withColumn("line_h", F.md5(F.col("line")))
+    freq = (
+        lines.where("countable")
+        .groupBy("line_h")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_dup)
+        .select("line_h", F.lit(True).alias("is_boiler"))
+    )
+    kept_flag = F.coalesce(~F.col("is_boiler"), F.lit(True)) | ~F.col("countable")
+    tagged = lines.join(freq, "line_h", "left").withColumn("keep", kept_flag)
+    rebuilt = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            # when-without-otherwise -> NULL for dropped
+                            # lines; collect_list skips NULLs
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+    )
+    return rebuilt.select(id_col, text_col, "n_lines", "n_kept")

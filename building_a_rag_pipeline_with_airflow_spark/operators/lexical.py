@@ -1,0 +1,287 @@
+"""Lexical (sparse) retrieval + corpus language-model statistics.
+
+The reference retrieves by dense cosine only (ChromaDB HNSW,
+``Chunking_Strats/chromadb_rag.py:127-140``). Production RAG and
+training-data pipelines pair that with a *lexical* path — BM25 ranking,
+TF-IDF keyword extraction, and rank fusion — and score corpus text with
+cheap n-gram language models (the CCNet/RedPajama "perplexity filter"
+stage). This module supplies that family, Spark-first:
+
+* **BM25** (Robertson/Sparck-Jones; the Lucene variant with the
+  ``ln(1 + (N - df + .5)/(df + .5))`` non-negative idf): the corpus side
+  is one map (tokenize, doc length) plus one map-side-combined hash agg
+  over *query-term postings only* — the token array is filtered to the
+  query's terms **before** the explode, so corpus-wide term traffic never
+  enters the shuffle. N/avgdl ride a one-row broadcast; per-term idf is a
+  ≤|query| row broadcast. Top-k is TakeOrderedAndProject. No stage
+  touches more than the matching postings — the classic inverted-index
+  query plan, derived by Catalyst from a declarative plan.
+* **TF-IDF top terms per document**: the full (doc, term, tf) relation —
+  i.e. the inverted index as a DataFrame — joined with per-term document
+  frequencies (shuffle on term; Zipfian keys move as partial counts, not
+  rows) and cut per-doc with a window partitioned by doc_id (group size =
+  doc's distinct terms; no global window).
+* **Reciprocal-rank fusion** (Cormack et al. 2009): fuse any number of
+  ranked lists by ``sum(1/(k0 + rank))`` — a union + one hash agg,
+  rank-only (score scales never need calibrating across retrievers).
+* **Bigram-LM scoring** (CCNet-style quality signal, Wenzek et al. 2019):
+  train add-alpha-smoothed bigram counts on the corpus itself in-plan,
+  then score each document by perplexity. Counts tables shuffle on the
+  n-gram key once; the doc-side join is a standard shuffle hash join (or
+  broadcast when the vocabulary is small). Everything is Catalyst
+  built-ins — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
+from building_a_rag_pipeline_with_airflow_spark.operators import ensure_min_partitions
+
+__all__ = [
+    "bm25_score",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "rrf_fuse",
+    "bigram_lm_score",
+]
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, dl) for non-blank documents — the one shared
+    tokenization every operator here builds on (lowercased whitespace
+    tokens, same regex class as the DuckDB oracles)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("toks"))
+        .withColumn("dl", F.size("toks").cast("double"))
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query →
+    ``DataFrame[id_col, score]`` (docs matching no term are absent).
+
+    Scale shape: ``filter(toks, isin(query))`` runs BEFORE the explode, so
+    the exploded relation holds only matching postings — at 100 TB the
+    shuffle carries ~|matching docs|×|query terms| rows, not the corpus's
+    token stream. N/avgdl and the per-term idf table are metadata-scale
+    broadcasts. Repeated query workloads against a fixed corpus should
+    materialize the (doc, term, tf, dl) postings relation once (same
+    durable-index pattern as ``dedup.build_shingle_index``) instead of
+    re-tokenizing per query.
+    """
+    terms = sorted(set(query_terms))
+    base = _tokenized(df, id_col, text_col)
+    qset = F.array(*[F.lit(t) for t in terms])
+    # One row per (doc, query term present in doc) with its term frequency.
+    qtf = (
+        base.select(
+            id_col,
+            "dl",
+            F.explode(F.filter("toks", lambda t: F.array_contains(qset, t))).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = (
+        qtf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = F.col("idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        qtf.join(F.broadcast(idf), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25: global TakeOrderedAndProject over the per-doc scores
+    (ties broken by id so the cut is engine-reproducible)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scored = bm25_score(df, query_terms, **kwargs)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``n`` characteristic terms per document by tf·idf →
+    ``DataFrame[id_col, term, tf, tfidf, term_rank]``.
+
+    idf = ``ln(N / df_t)`` (plain inverse document frequency; terms in
+    every document score 0 and never surface — the behavior a keyword
+    extractor wants). The (doc, term, tf) relation shuffles once on
+    (doc, term); document frequencies reuse that relation with a second
+    map-side-combined agg on term; the per-doc cut is a window partitioned
+    by doc_id, so parallelism = document count and there is no global
+    window stage anywhere.
+    """
+    base = ensure_min_partitions(_tokenized(df, id_col, text_col))
+    tf = (
+        base.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    stats = base.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(stats))
+        .select("term", F.log(F.col("n_docs") / F.col("df_t")).alias("idf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 4))
+        .withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("term_rank") <= n)
+        .select(id_col, "term", F.col("tf").cast("int").alias("tf"), "tfidf", "term_rank")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of any number of ranked lists →
+    ``DataFrame[id_col, rrf, n_lists]``.
+
+    Each input needs (id, rank) with rank 1-based. ``score = Σ 1/(k0 +
+    rank)`` over the lists the id appears in — rank-only, so BM25 and
+    cosine (incomparable score scales) fuse without calibration. Plan:
+    union of the (tiny, already-top-k) lists + one hash agg — at any
+    scale this runs on k×lists rows, never the corpus.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    slim = [r.select(F.col(id_col), F.col(rank_col).alias("rank")) for r in ranked]
+    u = slim[0]
+    for r in slim[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(float(k0)) + F.col("rank"))), 6).alias("rrf"),
+            F.count("*").cast("int").alias("n_lists"),
+        )
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Score every document under an add-alpha bigram LM trained on the
+    corpus itself → ``DataFrame[id_col, n_bigrams, avg_logp, ppl]``.
+
+    The CCNet-style quality signal: docs whose word sequences are unlike
+    the corpus (spam, mojibake, boilerplate) get high perplexity; a
+    downstream gate drops the top tail. Here the LM is trained in the same
+    plan (two hash aggs over the exploded bigram/unigram streams); in a
+    real deployment the count tables are built once on a reference corpus,
+    written as parquet, and the scoring join reads them — identical plan
+    shape either way.
+
+    ``P(w2 | w1) = (c(w1 w2) + α) / (c(w1) + α·V)`` with ``c(w1)`` the
+    corpus count of w1 as a bigram *history* (all positions except each
+    doc's last token) and V the distinct-token vocabulary. Per-doc score =
+    mean ln P over its bigrams; ``ppl = exp(-avg_logp)``. Docs with < 2
+    tokens carry no bigram and are absent from the output.
+
+    Scale: bigram/unigram counts are map-side-combined aggs (Zipfian keys
+    combine locally); the scoring join shuffles on the bigram key —
+    hash-partitioned both sides — or broadcasts when the trained table is
+    small. No window, no Python.
+    """
+    base = _tokenized(df, id_col, text_col).where(F.size("toks") >= 2)
+    # The CASE guard is load-bearing even though `base` is already
+    # filtered: ProjectCollapse + subexpression elimination can evaluate
+    # this expression while testing the filter predicate on short-doc
+    # rows, and ANSI array indexing throws there. WHEN short-circuits
+    # per row, so the index arithmetic only ever runs on size >= 2.
+    bg_expr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bigrams = base.select(id_col, bg_expr.alias("bg")).select(
+        id_col, F.explode("bg").alias("g")
+    )
+    doc_bigrams = bigrams.select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c2 = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
+    c1 = doc_bigrams.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    vocab = (
+        base.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("v"))
+    )
+    probs = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c2") + alpha) / (F.col("c1") + alpha * F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        doc_bigrams.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+        )
+    )

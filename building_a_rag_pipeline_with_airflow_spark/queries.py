@@ -27,6 +27,7 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     chunking,
     curation,
     dedup,
+    lexical,
     multimodal,
     sampling,
     similarity,
@@ -4049,6 +4050,266 @@ def chunk_semantic_refconst(spark, sf_dir):
     ).orderBy("doc_id", "chunk_index")
 
 
+# --------------------------------------------------------------------------
+# Lexical retrieval + LM statistics — operators/lexical.py (the sparse
+# counterpart to the vector path: BM25, TF-IDF keywords, RRF hybrid
+# fusion, CCNet-style bigram-LM perplexity) and C4 line-level dedup
+# (operators/curation.py). All tokenization is lowercased whitespace
+# splitting, byte-identical to the DuckDB string_split_regex oracles.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "spark", "window")
+
+_BM25_CTE = r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    qtf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS tok FROM base
+      ) WHERE tok IN ('join', 'spark', 'window')
+      GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT term,
+             ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+                    / (count(*) + 0.5)) AS idf
+      FROM qtf GROUP BY term
+    ),
+    bm25 AS (
+      SELECT t.doc_id,
+             round(sum(i.idf * t.tf * 2.2 /
+                       (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 4)
+               AS score
+      FROM qtf t JOIN dl d USING (doc_id) JOIN idf i USING (term), stats s
+      GROUP BY t.doc_id
+    )
+"""
+
+
+@q(
+    "bm25_topk_documents",
+    _BM25_CTE
+    + """
+    SELECT doc_id, score FROM bm25
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk_documents(spark, sf_dir):
+    """Lexical BM25 top-k (Lucene idf variant, k1=1.2 b=0.75) for a
+    3-term query. The token array is filtered to the query's terms BEFORE
+    the explode, so only matching postings enter the one shuffle;
+    N/avgdl and per-term idf are one-row / 3-row broadcasts; the cut is
+    TakeOrderedAndProject. See operators/lexical.py for the durable-
+    postings variant note."""
+    docs = _t(spark, sf_dir, "documents")
+    return lexical.bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+@q(
+    "tfidf_top_terms_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS tok FROM base
+      ) GROUP BY doc_id, tok
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM base),
+    dfreq AS (
+      SELECT term,
+             ln((SELECT n_docs FROM stats) / CAST(count(*) AS DOUBLE)) AS idf
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, round(t.tf * d.idf, 4) AS tfidf
+      FROM tf t JOIN dfreq d USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS INT) AS tf, tfidf,
+           CAST(rn AS INT) AS term_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def tfidf_top_terms_documents(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 characteristic terms per doc.
+    The (doc, term, tf) relation IS the inverted index as a DataFrame;
+    document frequencies reuse it with a second map-side-combined agg;
+    the per-doc cut is a window partitioned by doc_id (group size =
+    distinct terms per doc — no global window anywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lexical.tfidf_top_terms(docs, n=3).orderBy("doc_id", "term_rank")
+
+
+@q(
+    "bigram_lm_ppl_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+      WHERE length(trim(text)) > 0
+        AND len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM base, unnest(range(1, len(toks))) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2
+           FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM pairs GROUP BY w1),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS tok FROM base)
+    ),
+    probs AS (
+      SELECT c2.w1, c2.w2,
+             ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * (SELECT v FROM vocab)))
+               AS logp
+      FROM c2 JOIN c1 USING (w1)
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(pr.logp), 4) AS avg_logp,
+           round(exp(-avg(pr.logp)), 4) AS ppl
+    FROM pairs p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def bigram_lm_ppl_documents(spark, sf_dir):
+    """CCNet-style LM quality signal: every document scored by perplexity
+    under an add-alpha bigram model trained on the corpus in the same
+    plan (two map-side-combined count aggs; the scoring join shuffles on
+    the bigram key). High-ppl tail = spam/mojibake candidates for a
+    downstream gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return lexical.bigram_lm_score(docs).orderBy("doc_id")
+
+
+@q(
+    "rrf_fusion_topk",
+    _BM25_CTE
+    + """
+    , bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 20)
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    dn AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                 AS score
+        FROM embeddings e, qv q WHERE e.vec_id <> 0
+        ORDER BY score DESC, doc_id LIMIT 20
+      )
+    ),
+    un AS (SELECT * FROM bm UNION ALL SELECT * FROM dn)
+    SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf,
+           CAST(count(*) AS INT) AS n_lists
+    FROM un GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rrf_fusion_topk(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: BM25
+    top-20 over documents fused with cosine top-20 over the aligned
+    embeddings (doc_id = vec_id), score = sum 1/(60+rank). Rank-only, so
+    the incomparable score scales need no calibration; the fusion itself
+    runs on 40 rows regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        lexical.bm25_topk(docs, list(_BM25_TERMS), k=20)
+        .withColumn("rank", F.row_number().over(w_lex))
+    )
+    w_dn = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    dense = (
+        similarity.topk_cosine(emb, qvec, k=20, prefilter=F.col("vec_id") != 0)
+        .withColumn("rank", F.row_number().over(w_dn))
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    fused = lexical.rrf_fuse(
+        [lex.select("doc_id", "rank"), dense.select("doc_id", "rank")]
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@q(
+    "line_dedup_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i * 3 + 1):(i * 3 + 3)], ' ') AS line
+      FROM base,
+           unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    boiler AS (
+      SELECT line FROM lines WHERE length(trim(line)) >= 1
+      GROUP BY line HAVING count(*) >= 3
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (b.line IS NULL OR length(trim(l.line)) < 1) AS keep
+      FROM lines l LEFT JOIN boiler b ON b.line = l.line
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS text_h,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def line_dedup_documents(spark, sf_dir):
+    """C4-style line-level dedup (drop lines occurring >= 3 times across
+    the corpus). The synthetic documents are single-line, so the query
+    derives a multi-line corpus in-plan first — 3-token lines, at which
+    granularity the Zipfian vocabulary produces real cross-document
+    boilerplate (~2.5% of lines at sf0.01) — then rebuilds each document
+    without the boilerplate. Output hashes the rebuilt text so the
+    driver row stays small while still value-checking the exact rebuilt
+    bytes. The operator itself (curation.line_dedup) is
+    separator-generic; unit tests exercise real newline corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    n_lines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    lined = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = curation.line_dedup(lined, min_dup=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_h"), "n_lines", "n_kept"
+    ).orderBy("doc_id")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -4198,6 +4459,14 @@ _DEPRIORITIZED = (
     "cv_folds_orders",
     "scrub_pii_documents",
     "corr_lineitem_metrics",
+    # The lexical-retrieval / LM family (late r4, same no-slot-left rule —
+    # they enter the r5 rotation with the rest of this block and are
+    # value-checked by tests/test_oracle_parity.py every round meanwhile):
+    "bm25_topk_documents",
+    "tfidf_top_terms_documents",
+    "bigram_lm_ppl_documents",
+    "rrf_fusion_topk",
+    "line_dedup_documents",
 )
 
 

@@ -1,0 +1,166 @@
+"""Unit tests for operators/lexical.py (BM25, TF-IDF, RRF, bigram LM)
+and curation.line_dedup — hand-checkable fixtures; the corpus-scale
+differential checks live in test_oracle_parity.py via the registry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import curation, lexical
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "spark join join fast"),
+        (2, "spark window"),
+        (3, "table scan only"),
+        (4, "join the table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_bm25_hand_computed(spark, tiny):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lexical.bm25_score(tiny, ["join", "spark"]).collect()
+    }
+    # N=4, avgdl=(4+2+3+3)/4=3.0; df(join)=2, df(spark)=2
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))  # = ln(2)
+    k1, b = 1.2, 0.75
+
+    def w(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.0))
+
+    exp = {
+        1: round(w(2, 4) + w(1, 4), 4),  # join x2 + spark x1
+        2: round(w(1, 2), 4),  # spark x1
+        4: round(w(1, 3), 4),  # join x1
+    }
+    assert got == exp  # doc 3 matches nothing and is absent
+
+
+def test_bm25_topk_cut_and_ties(spark, tiny):
+    top = lexical.bm25_topk(tiny, ["join", "spark"], k=2).collect()
+    assert len(top) == 2
+    assert top[0]["score"] >= top[1]["score"]
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    rows = [(i, "common unique%d" % i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = lexical.tfidf_top_terms(df, n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, terms in by_doc.items():
+        # the doc-unique term must outrank the everywhere term ("common"
+        # has idf = ln(4/4) = 0)
+        assert terms[0]["term"] == f"unique{doc}"
+        assert terms[0]["tfidf"] == round(math.log(4.0), 4)
+        assert terms[1]["term"] == "common" and terms[1]["tfidf"] == 0.0
+
+
+def test_rrf_math_and_multiplicity(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id int, rank int")
+    got = {
+        r["doc_id"]: (r["rrf"], r["n_lists"])
+        for r in lexical.rrf_fuse([a, b]).collect()
+    }
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2)  # in both lists
+    assert got[10] == (round(1 / 61, 6), 1)
+    assert got[30] == (round(1 / 62, 6), 1)
+
+
+def test_rrf_empty_list_raises():
+    with pytest.raises(ValueError):
+        lexical.rrf_fuse([])
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b a b" and "a b" -> bigrams: (a,b)x3, (b,a)x1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in lexical.bigram_lm_score(df, alpha=0.1).collect()}
+    v = 2.0
+    p_ab = (3 + 0.1) / (3 + 0.1 * v)  # c1(a)=3 histories
+    p_ba = (1 + 0.1) / (1 + 0.1 * v)  # c1(b)=1 history (doc1's middle b)
+    avg1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == round(avg1, 4)
+    assert out[1]["ppl"] == round(math.exp(-avg1), 4)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logp"] == round(math.log(p_ab), 4)
+
+
+def test_bigram_lm_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id int, text string"
+    )
+    ids = [r["doc_id"] for r in lexical.bigram_lm_score(df).collect()]
+    assert ids == [3]
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    rows = [
+        (1, "keep me\nBOILER\nunique a"),
+        (2, "BOILER\nunique b"),
+        (3, "BOILER\nunique c"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in curation.line_dedup(df, min_dup=3).collect()}
+    assert out[1]["text"] == "keep me\nunique a"  # original order preserved
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text"] == "unique b"
+    assert out[4] and out[4]["text"] == "solo" and out[4]["n_kept"] == 1
+
+
+def test_line_dedup_below_threshold_untouched(spark):
+    rows = [(1, "dup\nx"), (2, "dup\ny")]  # dup occurs twice < min_dup=3
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in curation.line_dedup(df, min_dup=3).collect()}
+    assert out == {1: "dup\nx", 2: "dup\ny"}
+
+
+def test_line_dedup_short_lines_never_counted(spark):
+    # blank lines repeat everywhere but are below min_line_chars -> kept
+    rows = [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in curation.line_dedup(df, min_dup=3).collect()}
+    assert out[1]["text"] == "a\n\nb" and out[1]["n_kept"] == 3
+
+
+def test_line_dedup_all_boiler_doc_survives_empty(spark):
+    rows = [(1, "B"), (2, "B"), (3, "B"), (4, "ok")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in curation.line_dedup(df, min_dup=3).collect()}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert len(out) == 4  # join-compatible: no document rows vanish
+
+
+def test_bm25_plan_is_filtered_before_explode(spark, sf_dir):
+    """The exploded relation must carry the query-term filter (the
+    array-level filter precedes the generator), not a post-explode
+    Filter over the full token stream."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    plan = (
+        lexical.bm25_score(docs, ["spark", "join"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_contains" in plan and "filter(" in plan.lower()
+    # no bare Generate over raw tokens: the generator input must embed the
+    # lambda filter
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines and all("filter" in ln for ln in gen_lines)
