@@ -187,13 +187,18 @@ def main() -> None:
             }
         )
     )
+    # Compact-line medians are rounded to 2 decimals: with 50+ headline
+    # queries the line is ~1.9 KB at 3 decimals — within ~80 chars of the
+    # driver's 2000-char stdout tail. 10 ms resolution is far below VM
+    # noise; the 3-decimal values stay available in the verbose line's
+    # cold_queries and in the interleaved raw runs if ever needed.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": {n: round(t, 2) for n, t in times.items()},
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -46,6 +46,8 @@ __all__ = [
     "tfidf_top_terms",
     "rrf_fuse",
     "bigram_lm_score",
+    "build_postings_index",
+    "bm25_topk_from_index",
 ]
 
 
@@ -284,4 +286,115 @@ def bigram_lm_score(
             F.round(F.avg("logp"), 4).alias("avg_logp"),
             F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
         )
+    )
+
+
+def build_postings_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the BM25 inverted index on storage — the durable twin
+    of :func:`bm25_score`'s in-plan postings, parallel to
+    ``dedup.build_shingle_index`` (text near-dup) and
+    ``similarity.build_ivf_index`` (vectors). A query workload against a
+    fixed corpus tokenizes the corpus ONCE at build time; each query then
+    reads only its terms' posting lists.
+
+    Layout:
+
+    * ``<path>/postings/bucket=B/`` — (term, doc_id, tf, df_t, dl) rows,
+      hash-bucketed by term so a term's whole posting list lives in one
+      partition directory, sorted by term within files so point lookups
+      skip row groups via min/max stats. ``df_t`` (document frequency)
+      and ``dl`` (doc length) are denormalized into the row so a query
+      needs NO side joins beyond the one-row corpus stats: idf and the
+      length normalization both come off the posting row itself.
+    * ``<path>/meta/`` — one row (n_docs, avgdl, n_buckets): the BM25
+      globals, read driver-side (metadata-scale, like the IVF centroid
+      resolve).
+    """
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    base = ensure_min_partitions(_tokenized(df, id_col, text_col))
+    require_nonempty(base, "postings index corpus")
+    tf = (
+        base.select(
+            F.col(id_col).alias("doc_id"), "dl", F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
+    postings = tf.join(dfreq, "term").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        postings.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("n_buckets", F.lit(int(n_buckets)))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 5,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 against a :func:`build_postings_index` layout —
+    result-identical to :func:`bm25_topk` on the same corpus, but the
+    corpus is never re-tokenized: the scan partition-prunes to the query
+    terms' hash buckets (driver-side bucket resolve over the term
+    literals — a handful of rows, same class as the IVF probe-cell
+    resolve), then row-group-skips to the terms inside each bucket via
+    the ``term`` min/max stats the build sorted for. Work at query time
+    is O(matching posting lists), independent of corpus size.
+    """
+    terms = sorted(set(query_terms))
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    # resolve the terms' buckets with the same JVM hash the build used;
+    # |terms| rows through the JVM, driver-side metadata
+    bucket_rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in bucket_rows})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))  # partition pruning
+        .where(F.col("term").isin(terms))  # row-group skipping
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(meta["n_docs"])) - F.col("df_t") + 0.5)
+        / (F.col("df_t") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(meta["avgdl"])))
+        )
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )

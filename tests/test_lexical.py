@@ -146,6 +146,39 @@ def test_line_dedup_all_boiler_doc_survives_empty(spark):
     assert len(out) == 4  # join-compatible: no document rows vanish
 
 
+def test_postings_index_parity_and_pruning(spark, sf_dir, tmp_path):
+    """The durable postings index must (a) reproduce the in-plan BM25
+    exactly and (b) partition-prune the postings scan to the query
+    terms' buckets."""
+    import contextlib
+    import io
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "postings_idx")
+    lexical.build_postings_index(docs, idx, n_buckets=8)
+
+    terms = ["spark", "join", "window"]
+    got = lexical.bm25_topk_from_index(spark, idx, terms, k=10)
+    expect = lexical.bm25_topk(docs, terms, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # and the term residual must reach the scan as a pushed/data filter
+    assert "term" in plan
+
+
+def test_postings_index_empty_corpus_raises(spark, tmp_path):
+    df = spark.createDataFrame([], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        lexical.build_postings_index(df, str(tmp_path / "idx"))
+
+
 def test_bm25_plan_is_filtered_before_explode(spark, sf_dir):
     """The exploded relation must carry the query-term filter (the
     array-level filter precedes the generator), not a post-explode
