@@ -329,20 +329,44 @@ def build_postings_index(
         .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
-    postings = tf.join(dfreq, "term").withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    postings = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        # base build = batch -1, mirroring the IVF/shingle layouts:
+        # streaming extensions append under their own _batch_id so a
+        # replayed batch overwrites itself instead of duplicating
+        .withColumn("_batch_id", F.lit(-1))
     )
     (
         postings.repartition(n_buckets, "bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "_batch_id")
         .parquet(f"{path}/postings")
     )
-    stats = base.agg(
-        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).withColumn("n_buckets", F.lit(int(n_buckets)))
+    stats = (
+        base.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .withColumn("n_buckets", F.lit(int(n_buckets)))
+        .withColumn("extended", F.lit(False))
+    )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # per-batch corpus stats, the replay-idempotent way to keep n_docs /
+    # avgdl exact under streaming extension: each batch owns one
+    # _batch_id partition (dynamic overwrite), and extended-mode queries
+    # SUM the batch rows (metadata-scale) instead of trusting a mutable
+    # meta fold that a replayed batch would double-count
+    batch_stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).withColumn("_batch_id", F.lit(-1))
+    batch_stats.coalesce(1).write.mode("overwrite").partitionBy("_batch_id").parquet(
+        f"{path}/batch_stats"
+    )
 
 
 def bm25_topk_from_index(
@@ -362,10 +386,30 @@ def bm25_topk_from_index(
     resolve), then row-group-skips to the terms inside each bucket via
     the ``term`` min/max stats the build sorted for. Work at query time
     is O(matching posting lists), independent of corpus size.
+
+    Extended indexes (``streaming.ingest.streaming_extend_postings_index``
+    appends under new ``_batch_id`` partitions and flips
+    ``meta.extended``): the stored per-row ``df_t`` is batch-local there,
+    so when the meta flag says extended the document frequency is
+    recounted in-plan — over the already-pruned scan, so the recount is
+    itself O(matching posting lists), not a corpus pass. ``n_docs`` and
+    ``avgdl`` stay exact via the per-batch ``batch_stats`` rows (one per
+    batch, summed driver-side — replay-idempotent where an incremental
+    meta fold would double-count a replayed batch).
     """
     terms = sorted(set(query_terms))
     meta = spark.read.parquet(f"{path}/meta").first()
     n_buckets = int(meta["n_buckets"])
+    if bool(meta["extended"]):
+        # exact corpus stats from the per-batch rows (one row per batch)
+        bs = (
+            spark.read.parquet(f"{path}/batch_stats")
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .first()
+        )
+        n_docs_val, avgdl_val = float(bs["n"]), float(bs["s"]) / float(bs["n"])
+    else:
+        n_docs_val, avgdl_val = float(meta["n_docs"]), float(meta["avgdl"])
     # resolve the terms' buckets with the same JVM hash the build used;
     # |terms| rows through the JVM, driver-side metadata
     bucket_rows = (
@@ -379,18 +423,21 @@ def bm25_topk_from_index(
         .where(F.col("bucket").isin(buckets))  # partition pruning
         .where(F.col("term").isin(terms))  # row-group skipping
     )
+    if bool(meta["extended"]):
+        # batch-local stored df_t is stale across batches: recount over
+        # the pruned rows (≤ |query terms| keys — the join broadcasts)
+        dfreq = post.groupBy("term").agg(
+            F.count("*").cast("double").alias("df_t")
+        )
+        post = post.drop("df_t").join(F.broadcast(dfreq), "term")
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(meta["n_docs"])) - F.col("df_t") + 0.5)
-        / (F.col("df_t") + 0.5)
+        + (F.lit(n_docs_val) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
     )
     contrib = idf * (
         F.col("tf")
         * (k1 + 1.0)
-        / (
-            F.col("tf")
-            + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(meta["avgdl"])))
-        )
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl_val)))
     )
     return (
         post.groupBy("doc_id")

@@ -239,3 +239,87 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_extend_postings_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Keep a :func:`~building_a_rag_pipeline_with_airflow_spark.operators.\
+lexical.build_postings_index` layout fresh — the BM25 twin of
+    :func:`streaming_extend_shingle_index`: each micro-batch of NEW
+    documents tokenizes once and appends its (doc, term, tf, df_t, dl)
+    postings into the same ``bucket=B`` directories under its own
+    ``_batch_id`` (dynamic overwrite → replayed batches are idempotent).
+    Contract: append-only new doc ids, same as the IVF/shingle sides.
+
+    Stored ``df_t`` is batch-local after extension, and BM25 — unlike the
+    shingle index's stop-shingle guard — also depends on the corpus-wide
+    ``n_docs``/``avgdl``. Both are handled replay-safely: the batch writes
+    one ``batch_stats/_batch_id=N`` row (its doc count and token sum) via
+    the same dynamic overwrite, and flips ``meta.extended``, which makes
+    ``bm25_topk_from_index`` (a) recount df over its already-pruned scan
+    and (b) derive n_docs/avgdl by summing the per-batch rows — exact,
+    and a replayed batch overwrites its own row instead of double-
+    counting. Re-running ``build_postings_index`` offline restores the
+    stored-df fast path."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.lexical import _tokenized
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+        n_buckets = int(meta["n_buckets"])
+        base = _tokenized(batch_df, id_col, text_col)
+        tf = (
+            base.select(
+                F.col(id_col).alias("doc_id"),
+                "dl",
+                F.explode("toks").alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(
+                F.count("*").cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+        )
+        dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
+        postings = (
+            tf.join(dfreq, "term")
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        postings.repartition(n_buckets, "bucket").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket", "_batch_id").parquet(f"{index_path}/postings")
+        base.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        ).withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(f"{index_path}/batch_stats")
+        if not meta["extended"]:
+            spark.createDataFrame(
+                [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
+                "n_docs bigint, avgdl double, n_buckets int, extended boolean",
+            ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

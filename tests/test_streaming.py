@@ -304,3 +304,36 @@ def test_streaming_extend_shingle_index_matches_inplan(spark, sf_dir, tmp_path):
         }
         assert got == want, f"max_posting={mp}"
     assert len(got) > 0 or len(want) == 0
+
+
+def test_streaming_extend_postings_index_matches_inplan(spark, sf_dir, tmp_path):
+    """Extended BM25 index == in-plan BM25 over the UNION corpus: the
+    extension makes stored df_t batch-local AND shifts n_docs/avgdl, so
+    this covers both staleness seams (in-plan df recount + batch_stats
+    summation)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import lexical
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "bm_idx")
+    lexical.build_postings_index(half_a, idx, n_buckets=8)
+
+    landing = tmp_path / "bm_landing"
+    landing.mkdir()
+    half_b.write.parquet(str(landing / "drop1"))
+    stream = ingest.read_documents_stream(spark, f"{landing}/*")
+    q = ingest.streaming_extend_postings_index(
+        stream, idx, str(tmp_path / "bm_ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(f"{idx}/meta").first().extended is True
+    terms = ["spark", "join", "window"]
+    got = [
+        tuple(r)
+        for r in lexical.bm25_topk_from_index(spark, idx, terms, k=10).collect()
+    ]
+    want = [tuple(r) for r in lexical.bm25_topk(docs, terms, k=10).collect()]
+    assert got == want and len(got) == 10
