@@ -89,12 +89,13 @@ HEADLINE = [
     "jaccard_index_pairs",
     "minhash_signatures",
     "winnow_fingerprints",
-    # lexical retrieval / LM stats
+    # lexical retrieval / LM stats / tokenizer
     "bm25_topk_documents",
     "tfidf_top_terms_documents",
     "bigram_lm_ppl_documents",
     "rrf_fusion_topk",
     "line_dedup_documents",
+    "bpe_encode_documents",
     # vectors
     "topk_cosine",
     "knn_join",

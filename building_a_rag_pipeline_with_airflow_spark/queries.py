@@ -4310,6 +4310,37 @@ def line_dedup_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q("bpe_encode_documents", None)  # iterative trainer: inherently non-oracle-able
+def bpe_encode_documents(spark, sf_dir):
+    """Tokenizer training + encoding as one pipeline: train 30 BPE merges
+    on the corpus (distributed word count -> driver merge loop over the
+    metadata-scale vocabulary, operators/bpe.py) and encode every
+    document with the trained model (Arrow-batched pandas_udf, per-batch
+    word cache). Per-doc output: word count, BPE token count, and the
+    chars-per-token compression the tokenizer achieves. Rows-only like
+    the MLlib KMeans/BRP entries — the merge loop is iterative state the
+    SQL oracle can't replay; correctness is pinned by the hand-derived
+    classic-corpus merges and encoder-invariant tests in
+    tests/test_bpe.py."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import bpe as bpe_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_ops.train_bpe(docs, 30)
+    enc = bpe_ops.bpe_encode(docs, merges)
+    return (
+        enc.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(tx.tokens(F.lower(F.col("text")))).alias("n_words"),
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+            F.round(
+                F.length("text") / F.greatest(F.size("bpe_tokens"), F.lit(1)), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
