@@ -96,6 +96,8 @@ HEADLINE = [
     "rrf_fusion_topk",
     "line_dedup_documents",
     "bpe_encode_documents",
+    "vocab_coverage_documents",
+    "zipf_profile_documents",
     # vectors
     "topk_cosine",
     "knn_join",
@@ -176,6 +178,8 @@ def main() -> None:
         json.dumps(
             {
                 "cold_queries": cold,
+                "queries_median_3dp": times,  # full-fidelity copy; the
+                # compact line below may coarsen to fit the driver's tail
                 "methodology": (
                     f"median of {n_runs} INTERLEAVED rounds over the "
                     "headline list, one shared session (a query's runs are "
@@ -188,23 +192,40 @@ def main() -> None:
             }
         )
     )
-    # Compact-line medians are rounded to 2 decimals: with 50+ headline
-    # queries the line is ~1.9 KB at 3 decimals — within ~80 chars of the
-    # driver's 2000-char stdout tail. 10 ms resolution is far below VM
-    # noise; the 3-decimal values stay available in the verbose line's
-    # cold_queries and in the interleaved raw runs if ever needed.
-    print(
-        json.dumps(
+    # The compact line MUST fit the driver's 2000-char stdout tail whole —
+    # a line whose head is cut is unparseable and the round's medians are
+    # lost (that was r3's failure mode). With 60+ headline queries even
+    # 2-decimal medians brush the limit, so shrink adaptively: 2dp → 1dp →
+    # fold the cheapest entries into one "_others" bucket until it fits.
+    # Full-fidelity medians always ride the verbose line above
+    # (queries_median_3dp), which only loses its head, not its tail.
+    def compact_line(q: dict) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in times.items()},
+                "queries": q,
                 "sf": sf,
             },
             separators=(",", ":"),
         )
-    )
+
+    budget = 1950
+    line = compact_line({n: round(t, 2) for n, t in times.items()})
+    if len(line) > budget:
+        line = compact_line({n: round(t, 1) for n, t in times.items()})
+    if len(line) > budget:
+        by_cost = sorted(times, key=lambda n: times[n])  # cheapest first
+        kept = {n: round(times[n], 1) for n in times}
+        folded = 0.0
+        for n in by_cost:
+            if len(line) <= budget:
+                break
+            folded += max(kept.pop(n), 0.0)
+            kept["_others"] = round(folded, 1)
+            line = compact_line(kept)
+    print(line)
 
 
 if __name__ == "__main__":

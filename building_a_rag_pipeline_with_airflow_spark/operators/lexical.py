@@ -48,6 +48,8 @@ __all__ = [
     "bigram_lm_score",
     "build_postings_index",
     "bm25_topk_from_index",
+    "vocab_coverage",
+    "zipf_profile",
 ]
 
 
@@ -286,6 +288,79 @@ def bigram_lm_score(
             F.round(F.avg("logp"), 4).alias("avg_logp"),
             F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
         )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_v: int = 1000,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``top_v`` word vocabulary → ``[id_col, n_tokens, n_oov,
+    oov_rate]`` — the coverage check run before committing to a tokenizer
+    vocabulary or a frequency-pruned embedding table.
+
+    The vocabulary is one map-side-combined agg + TakeOrdered(top_v)
+    (count desc, word tie-break), broadcast back as a membership array;
+    the per-doc rate is then a pure projection over the shared
+    tokenization — no second shuffle, no join fan-out."""
+    base = _tokenized(df, id_col, text_col)
+    vocab_rows = (
+        base.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(top_v)
+        .collect()
+    )  # top_v rows — tokenizer-vocabulary metadata, not a data-path collect
+    vocab = F.array(*[F.lit(r["word"]) for r in vocab_rows])
+    n_tok = F.size("toks")
+    n_oov = F.size(F.filter("toks", lambda t: ~F.array_contains(vocab, t)))
+    return base.select(
+        id_col,
+        n_tok.cast("int").alias("n_tokens"),
+        n_oov.cast("int").alias("n_oov"),
+        F.round(n_oov / F.greatest(n_tok, F.lit(1)).cast("double"), 4).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def zipf_profile(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """One-row corpus frequency profile: vocabulary size, token count,
+    type-token ratio, and the Zipf slope — the OLS slope of ln(freq) on
+    ln(rank) over the full frequency table (≈ -1 for natural language;
+    far-off values flag synthetic/boilerplate corpora).
+
+    Plan: one explode+agg for frequencies, a rank window ordered by
+    (freq desc, word) — global, but over the VOCABULARY relation, which
+    is metadata-scale next to the corpus (the same justification as the
+    BPE trainer's driver loop; for a billion-type vocab swap in
+    quantile_segment-style distributed ranking) — then slope =
+    covar_pop/var_pop in the same single-row aggregate DuckDB's
+    regr_slope computes."""
+    freqs = (
+        ensure_min_partitions(
+            df.where(F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "word")
+    ranked = freqs.select(
+        F.log("freq").alias("lf"),
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        "freq",
+    )
+    return ranked.agg(
+        F.count("*").cast("int").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.round(F.count("*") / F.sum("freq"), 6).alias("type_token_ratio"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
     )
 
 

@@ -4310,6 +4310,77 @@ def line_dedup_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "vocab_coverage_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT tok AS word, count(*) AS freq
+        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+        ORDER BY freq DESC, word LIMIT 20
+      )
+    ),
+    tokd AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    cnt AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tokd t LEFT JOIN vocab v ON v.word = t.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_oov AS INT) AS n_oov,
+           round(CAST(n_oov AS DOUBLE) / greatest(n_tokens, 1), 4) AS oov_rate
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def vocab_coverage_documents(spark, sf_dir):
+    """Per-doc OOV rate against the corpus's top-20 word vocabulary — the
+    coverage check before pinning a tokenizer/embedding vocabulary. The
+    vocab is a TakeOrdered(20) broadcast membership array; the rate is a
+    projection over one shared tokenization (no second shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lexical.vocab_coverage(docs, top_v=20).orderBy("doc_id")
+
+
+@q(
+    "zipf_profile_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    freqs AS (
+      SELECT tok AS word, CAST(count(*) AS DOUBLE) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT ln(freq) AS lf,
+             ln(CAST(row_number() OVER (ORDER BY freq DESC, word)
+                     AS DOUBLE)) AS lr,
+             freq
+      FROM freqs
+    )
+    SELECT CAST(count(*) AS INT) AS vocab_size,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           round(count(*) / sum(freq), 6) AS type_token_ratio,
+           round(regr_slope(lf, lr), 4) AS zipf_slope
+    FROM ranked
+    """,
+)
+def zipf_profile_documents(spark, sf_dir):
+    """One-row corpus frequency profile incl. the Zipf slope (OLS of
+    ln freq on ln rank ≡ DuckDB regr_slope via covar_pop/var_pop). The
+    rank window is global but runs over the VOCABULARY relation —
+    metadata-scale next to the corpus (documented in the operator with
+    the distributed-ranking alternative for billion-type vocabs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lexical.zipf_profile(docs)
+
+
 @q("bpe_encode_documents", None)  # iterative trainer: inherently non-oracle-able
 def bpe_encode_documents(spark, sf_dir):
     """Tokenizer training + encoding as one pipeline: train 30 BPE merges
@@ -4498,6 +4569,8 @@ _DEPRIORITIZED = (
     "bigram_lm_ppl_documents",
     "rrf_fusion_topk",
     "line_dedup_documents",
+    "vocab_coverage_documents",
+    "zipf_profile_documents",
 )
 
 

@@ -197,3 +197,31 @@ def test_bm25_plan_is_filtered_before_explode(spark, sf_dir):
     # lambda filter
     gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen_lines and all("filter" in ln for ln in gen_lines)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    rows = [(1, "a a b rare1"), (2, "a b b"), (3, "a rare2 rare3 rare3")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # corpus freqs: a=4 b=3 rare3=2 rare1=1 rare2=1; top_v=2 -> {a, b}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in lexical.vocab_coverage(df, top_v=2).collect()
+    }
+    assert got == {
+        1: (4, 1, 0.25),
+        2: (3, 0, 0.0),
+        3: (4, 3, 0.75),
+    }
+
+
+def test_zipf_profile_two_word_slope(spark):
+    # freqs: a=4 (rank 1), b=2 (rank 2): slope = (ln2 - ln4)/(ln2 - ln1)
+    df = spark.createDataFrame([(1, "a a a a b b")], "doc_id int, text string")
+    import math
+
+    r = lexical.zipf_profile(df).first()
+    assert (r["vocab_size"], r["n_tokens"]) == (2, 6)
+    assert r["type_token_ratio"] == round(2 / 6, 6)
+    assert r["zipf_slope"] == round(
+        (math.log(2) - math.log(4)) / (math.log(2) - math.log(1)), 4
+    )
