@@ -247,16 +247,22 @@ def bigram_lm_score(
     small. No window, no Python.
     """
     base = _tokenized(df, id_col, text_col).where(F.size("toks") >= 2)
-    # The CASE guard is load-bearing even though `base` is already
-    # filtered: ProjectCollapse + subexpression elimination can evaluate
-    # this expression while testing the filter predicate on short-doc
-    # rows, and ANSI array indexing throws there. WHEN short-circuits
-    # per row, so the index arithmetic only ever runs on size >= 2.
+    # Bigrams via zip_with(slice, slice), NOT transform-with-indexing:
+    # explode's inferred filters (size(bg) > 0, isnotnull(bg)) get the
+    # whole bigram expression inlined below the projections, and with
+    # `transform(sequence(...), i -> toks[i])` every element access
+    # re-evaluates the un-projected `toks` — i.e. re-splits the raw text
+    # per token per filter copy (measured 14 s for a 0.5 s query at
+    # sf0.1). zip_with evaluates each slice — and thus the split — once
+    # per row no matter how often the filter duplicates it. The WHEN
+    # guard stays load-bearing: the inlined filter also runs on rows the
+    # size >= 2 predicate rejects, where slice's negative length throws.
     bg_expr = F.when(
         F.size("toks") >= 2,
-        F.expr(
-            "transform(sequence(1, size(toks) - 1), "
-            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+        F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
     bigrams = base.select(id_col, bg_expr.alias("bg")).select(
@@ -264,10 +270,16 @@ def bigram_lm_score(
     )
     doc_bigrams = bigrams.select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     c2 = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c2"))
-    c1 = doc_bigrams.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    # c1 (history counts) and V both derive from the c2 relation instead
+    # of re-scanning the corpus: c(w1) = Σ_w2 c(w1 w2), and every token of
+    # a >= 2-token doc occurs in some bigram (position p is w1 for p < n-1,
+    # w2 for p > 0), so distinct(w1 ∪ w2) IS the vocabulary. Two corpus
+    # scans total (count-building + scoring) instead of four.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        base.select(F.explode("toks").alias("tok"))
-        .agg(F.count_distinct("tok").cast("double").alias("v"))
+        c2.select("w1")
+        .union(c2.select(F.col("w2").alias("w1")))
+        .agg(F.count_distinct("w1").cast("double").alias("v"))
     )
     probs = (
         c2.join(c1, "w1")
