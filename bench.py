@@ -111,6 +111,10 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "events_props_json",
+    # time-series / graph
+    "resample_interpolate_purchases",
+    "anomaly_zscore_events_daily",
+    "pagerank_supplier_cosupply",
 ]
 
 

@@ -27,12 +27,14 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     chunking,
     curation,
     dedup,
+    graph,
     lexical,
     multimodal,
     sampling,
     similarity,
     tabular,
     temporal,
+    timeseries,
 )
 from building_a_rag_pipeline_with_airflow_spark.plans.sqlgate import run_read_only
 
@@ -4412,6 +4414,215 @@ def bpe_encode_documents(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Time-series regularization (operators/timeseries.py: resample → dense
+# spine → gap fill → linear interpolation → rolling z-score anomalies) and
+# iterative graph analytics (operators/graph.py: weighted PageRank, full
+# value oracle via a fixed-iteration chained-CTE DuckDB program).
+# --------------------------------------------------------------------------
+
+@q(
+    "resample_interpolate_purchases",
+    """
+    WITH sparse AS (
+      -- The daily mean is computed over INTEGER CENTS (value is a
+      -- 2-decimal quantity): integer sums are exact and order-independent,
+      -- so both engines produce bit-identical double means and the
+      -- interpolation arithmetic downstream is bit-identical too. A plain
+      -- avg(double) differs by 1 ulp between engines (partial-sum order),
+      -- which lands interpolated values on opposite sides of round-half
+      -- boundaries.
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100.0 AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(period), max(period))) AS period
+      FROM sparse GROUP BY user_id
+    ),
+    dense AS (
+      SELECT s.user_id, s.period, sp.value
+      FROM spine s LEFT JOIN sparse sp
+        ON sp.user_id = s.user_id AND sp.period = s.period
+    ),
+    carried AS (
+      SELECT user_id, period, value,
+             last_value(value IGNORE NULLS) OVER w  AS prev_v,
+             last_value(CASE WHEN value IS NOT NULL THEN period END
+                        IGNORE NULLS) OVER w        AS prev_p,
+             first_value(value IGNORE NULLS) OVER w2 AS next_v,
+             first_value(CASE WHEN value IS NOT NULL THEN period END
+                         IGNORE NULLS) OVER w2       AS next_p
+      FROM dense
+      WINDOW
+        w  AS (PARTITION BY user_id ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w2 AS (PARTITION BY user_id ORDER BY period
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    -- Scaled rounding (round(x*1e4)/1e4) instead of round(x, 4): the two
+    -- engines' fixed-scale round() disagree on doubles sitting at exact
+    -- decimal halves (Spark rounds the shortest decimal repr, DuckDB the
+    -- scaled product), and interpolation between cent-valued data at
+    -- rational fractions produces such halves structurally. The scaled
+    -- form runs the identical IEEE ops on both sides, so bit-identical
+    -- inputs give bit-identical outputs even on the boundary.
+    SELECT user_id, period,
+           round(value * 10000) / 10000 AS value,
+           round(CASE WHEN value IS NOT NULL THEN value
+                      WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                      THEN prev_v + (next_v - prev_v)
+                           * ((period - prev_p) / (next_p - prev_p))
+                 END * 10000) / 10000 AS value_interp
+    FROM carried
+    ORDER BY user_id, period
+    """,
+)
+def resample_interpolate_purchases(spark, sf_dir):
+    """Per-user daily purchase series made regular: resample (one hash
+    agg) → dense calendar spine (sequence+explode per user) → linear
+    interpolation across gaps (two per-user ordered windows carrying the
+    nearest observed neighbors). Leading/trailing gaps stay NULL — no
+    extrapolation. The whole ladder shuffles only on (user, period)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    # Exact-cents mean (see the oracle SQL comment): integer sums make the
+    # daily mean — and everything interpolated from it — bit-identical
+    # across engines. timeseries.resample's generic avg is exercised by
+    # anomaly_zscore_events_daily instead.
+    period = (
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("bigint")
+        .alias("period")
+    )
+    sparse = (
+        ev.select("user_id", period, F.round(F.col("value") * 100).cast("bigint").alias("_c"))
+        .groupBy("user_id", "period")
+        .agg(
+            (F.sum("_c").cast("double") / F.count("*") / F.lit(100.0)).alias("value")
+        )
+    )
+    dense = timeseries.fill_gaps(sparse, by=("user_id",))
+    interp = timeseries.interpolate_linear(dense, by=("user_id",))
+    # Scaled rounding, not F.round(x, 4) — see the oracle SQL comment.
+    return interp.select(
+        "user_id",
+        "period",
+        (F.round(F.col("value") * 10000) / 10000).alias("value"),
+        (F.round(F.col("value_interp") * 10000) / 10000).alias("value_interp"),
+    ).orderBy("user_id", "period")
+
+
+@q(
+    "anomaly_zscore_events_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
+             sum(value) AS value
+      FROM events GROUP BY event_type, 2
+    ),
+    scored AS (
+      SELECT event_type, period, value,
+             avg(value)         OVER w AS mean_v,
+             stddev_samp(value) OVER w AS sd_v
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY period
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, period,
+           round(value, 2)  AS daily_value,
+           round(mean_v, 4) AS rolling_mean,
+           round(sd_v, 4)   AS rolling_std,
+           round(CASE WHEN sd_v > 0 THEN (value - mean_v) / sd_v END, 4)
+             AS zscore,
+           coalesce(abs(CASE WHEN sd_v > 0 THEN (value - mean_v) / sd_v END)
+                    > 2.0, false) AS is_anomaly
+    FROM scored
+    ORDER BY event_type, period
+    """,
+)
+def anomaly_zscore_events_daily(spark, sf_dir):
+    """Rolling z-score anomaly flags over per-type daily revenue
+    (`operators.timeseries.zscore_anomalies`): trailing 7-period RANGE
+    window per series supplies mean/stddev, |z| > 2 flags the day. The
+    series' first day has NULL stddev → NULL z → false flag by
+    construction."""
+    ev = _t(spark, sf_dir, "events")
+    daily = timeseries.resample(ev, "ts", "value", by=("event_type",), agg="sum")
+    scored = timeseries.zscore_anomalies(
+        daily, by=("event_type",), window_periods=7, threshold=2.0
+    )
+    return scored.select(
+        "event_type",
+        "period",
+        F.round("value", 2).alias("daily_value"),
+        "rolling_mean",
+        "rolling_std",
+        "zscore",
+        "is_anomaly",
+    ).orderBy("event_type", "period")
+
+
+_PR_ITER_SQL = """
+    r{k} AS (
+      SELECT nm.dst AS node,
+             (1 - 0.85) / nn.n + 0.85 * sum(r.pr * nm.p) AS pr
+      FROM norm nm JOIN r{j} r ON r.node = nm.src, nn
+      GROUP BY nm.dst, nn.n
+    )"""
+
+_PAGERANK_SQL = (
+    """
+    WITH co AS (
+      SELECT DISTINCT a.l_orderkey AS g, a.l_suppkey AS src,
+                      b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM co GROUP BY src, dst
+    ),
+    outw AS (SELECT src, sum(w) AS wt FROM edges GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, e.w / o.wt AS p
+      FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),"""
+    + ",".join(_PR_ITER_SQL.format(k=k, j=k - 1) for k in range(1, 7))
+    + """
+    SELECT node AS s_suppkey, round(pr, 6) AS pr
+    FROM r6 ORDER BY pr DESC, s_suppkey
+    """
+)
+
+
+@q("pagerank_supplier_cosupply", _PAGERANK_SQL)
+def pagerank_supplier_cosupply(spark, sf_dir):
+    """Weighted PageRank over the supplier co-supply graph
+    (`operators.graph.pagerank`): edges = pairs of suppliers appearing in
+    the same order (weight = number of shared orders; bounded fan-out —
+    lineitems per order ≤ ~7·SF-independent), 6 fixed iterations at
+    damping 0.85. The iterative rank loop joins the one-row-per-node rank
+    vector into a once-normalized, once-partitioned, persisted edge frame
+    and truncates lineage per round — the same discipline as
+    `dedup.connected_components`. Fixed iteration count makes the result
+    engine-reproducible: the oracle is a 6-step chained-CTE DuckDB
+    program, value-hashed to 6 decimals."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    pr = graph.pagerank(edges, weight="w", iterations=6, damping=0.85)
+    return pr.select(
+        F.col("node").alias("s_suppkey"), F.round("pr", 6).alias("pr")
+    ).orderBy(F.desc("pr"), "s_suppkey")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -4471,7 +4682,21 @@ def bpe_encode_documents(spark, sf_dir):
 #   signatures' md5-derived fingerprint core (dedup_exact's anchor updates
 #   to dedup_clusters_documents, whose exact-normalize-hash stage is the
 #   same core).
+# Added when the time-series/graph trio (resample_interpolate_purchases,
+# anomaly_zscore_events_daily, pagerank_supplier_cosupply — never had a
+# driver row) joined late r4: three triple-green (r1+r2+r3) queries move
+# out, each with an in-window anchor:
+#   pivot_priority_status ↔ pivot_priority_by_status (the same PIVOT
+#   reshape over the same columns, operator- vs SQL-form);
+#   chunk_overlap_adjacent ↔ chunk_stats (same chunk-derived windowed
+#   measurement over the same chunker output);
+#   hybrid_topk_cosine ↔ rag_retrieve_context + lsh_knn_join (both
+#   in-window, both exercising the identical norm-precompute cosine
+#   scoring core; hybrid's prefilter is also plan-tested).
 _DEPRIORITIZED = (
+    "pivot_priority_status",
+    "chunk_overlap_adjacent",
+    "hybrid_topk_cosine",
     "chunk_recursive_documents",
     "doc_quality_scores",
     "events_hourly",
