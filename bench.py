@@ -115,6 +115,10 @@ HEADLINE = [
     "resample_interpolate_purchases",
     "anomaly_zscore_events_daily",
     "pagerank_supplier_cosupply",
+    # linkage / weighted sampling / sequence analytics
+    "fuzzy_match_parts",
+    "weighted_sample_documents",
+    "event_transition_matrix",
 ]
 
 

@@ -201,6 +201,52 @@ def quantile_segment(
     ).drop("_bounds")
 
 
+def transition_matrix(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: ``(prev_state, state, n, p)`` where ``p`` is the
+    probability of ``state`` given ``prev_state`` — the standard
+    next-event / user-journey model.
+
+    Plan: one per-entity ordered window (``lag``) to form consecutive
+    pairs — partitions hold one entity's events, never the table — then
+    a hash aggregate on the (prev, cur) pair and a broadcast join
+    against the per-prev totals (states are a small vocabulary; the
+    matrix is states², tiny). ``tiebreak`` columns make the ordering
+    total when timestamps can collide, which any cross-engine
+    reproduction requires."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *tiebreak)
+    seq = events.select(
+        F.col(entity_col),
+        F.lag(state_col).over(w).alias("prev_state"),
+        F.col(state_col),
+    ).where(F.col("prev_state").isNotNull())
+    counts = seq.groupBy("prev_state", state_col).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("prev_state").agg(F.sum("n").alias("_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_state")
+        .select(
+            "prev_state",
+            state_col,
+            "n",
+            # scaled rounding: identical IEEE ops in any engine, immune to
+            # the round()-at-exact-halves divergence (ratios of small
+            # integers produce exact decimal halves structurally)
+            (
+                F.round(F.col("n").cast("double") / F.col("_total").cast("double") * 1_000_000)
+                / 1_000_000
+            ).alias("p"),
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -155,6 +155,56 @@ def mixture_reweight(
     return sampled, plan_df
 
 
+def hash_uniform(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1]: the same md5-derived 60-bit value
+    :func:`hash_bucket` uses, scaled instead of bucketed — the
+    full-resolution form for weighted sampling, where a 10k-bucket grid
+    would quantize priorities. ``(h + 1) / 2^60`` so 0 is excluded
+    (``pow(0, x)`` and ``ln(0)`` must never appear downstream).
+    Reproducible in any engine:
+    ``(CAST('0x' || substr(md5(k || salt), 1, 15) AS BIGINT) + 1) /
+    1152921504606846976.0``."""
+    c = F.col(key) if isinstance(key, str) else key
+    s = F.concat(c.cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets priority ``u^(1/w)`` with
+    ``u`` the content-hash uniform of its key and ``w`` its weight; the
+    ``k`` largest priorities ARE a weighted sample without replacement.
+
+    Same contract as :func:`hash_sample`: membership is a pure function
+    of (key, weight, salt) — relayout-stable, re-run-stable, and
+    reproducible by any engine — which seeded reservoir sampling cannot
+    give. Cost: one map-side priority expression + a global top-k
+    (``TakeOrderedAndProject``: per-partition heaps of k, no global
+    sort). Weights must be > 0; rows with NULL/non-positive weight are
+    rejected loudly rather than silently dropped."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = F.when(
+        w > 0, F.pow(hash_uniform(key, salt), F.lit(1.0) / w)
+    ).otherwise(F.raise_error(F.lit(
+        f"weighted_sample_topk: non-positive or NULL {weight_col}"
+    )))
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.desc(priority_col), key)
+        .limit(int(k))
+    )
+
+
 def assign_folds(
     df: DataFrame, key: str, k: int = 5, salt: str = "cv"
 ) -> DataFrame:

@@ -4623,6 +4623,110 @@ def pagerank_supplier_cosupply(spark, sf_dir):
     ).orderBy(F.desc("pr"), "s_suppkey")
 
 
+@q(
+    "weighted_sample_documents",
+    """
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || 'wsample'), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0,
+                 1.0 / n_chars) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(priority * 1000000) / 1000000 AS priority
+    FROM pri ORDER BY priority DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_documents(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (`operators.sampling.weighted_sample_topk`, Efraimidis–Spirakis):
+    priority = u^(1/w) with u the md5-derived content-hash uniform and
+    w = n_chars, top-20 by priority — long documents proportionally more
+    likely, membership a pure function of (doc_id, weight, salt), stable
+    under any relayout. Map-side priority + TakeOrderedAndProject; no
+    global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_topk(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=20
+    ).select(
+        "doc_id",
+        "n_chars",
+        (F.round(F.col("priority") * 1_000_000) / 1_000_000).alias("priority"),
+    )
+
+
+@q(
+    "fuzzy_match_parts",
+    r"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blk AS (
+      SELECT name, string_split_regex(name, '\s+')[-1] AS b FROM names
+    )
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS INT) AS distance
+    FROM blk a JOIN blk c ON c.b = a.b AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_parts(spark, sf_dir):
+    """Blocked fuzzy record linkage (`operators.linkage.
+    blocked_fuzzy_pairs`) over distinct part names: block on the last
+    token (the noun carries the entity type), verify candidates with
+    codegen'd Levenshtein ≤ 3 — candidate space is within-block pairs,
+    never all-pairs, with an explicit max-block guard against degenerate
+    blocking keys."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import linkage
+
+    names = (
+        _t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    pairs = linkage.blocked_fuzzy_pairs(
+        names, "name", "name", linkage.last_token_block("name"), max_distance=3
+    )
+    return (
+        pairs.select(
+            F.col("name_a"), F.col("name_b"), F.col("distance")
+        ).orderBy("name_a", "name_b")
+    )
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    c AS (
+      SELECT prev_state, event_type, count(*) AS n
+      FROM seq WHERE prev_state IS NOT NULL
+      GROUP BY prev_state, event_type
+    ),
+    t AS (SELECT prev_state, sum(n) AS total FROM c GROUP BY prev_state)
+    SELECT c.prev_state, c.event_type, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1000000)
+             / 1000000 AS p
+    FROM c JOIN t USING (prev_state)
+    ORDER BY prev_state, event_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (`operators.analytics.transition_matrix`): lag window per
+    user (event_id tiebreak makes the order total), pair-count hash agg,
+    broadcast per-prev totals. The matrix is states² — tiny output from
+    one window + two aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak=("event_id",)
+    ).orderBy("prev_state", "event_type")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -4796,6 +4900,15 @@ _DEPRIORITIZED = (
     "line_dedup_documents",
     "vocab_coverage_documents",
     "zipf_profile_documents",
+    # Second late-r4 trio (weighted A-ES sampling, blocked fuzzy linkage,
+    # Markov transition matrix) — same no-slot-left rule as the lexical
+    # block above: the r4 window's three free slots went to the
+    # time-series/graph trio, so these enter the r5 rotation first and
+    # are value-checked by tests/test_oracle_parity.py every round
+    # meanwhile.
+    "weighted_sample_documents",
+    "fuzzy_match_parts",
+    "event_transition_matrix",
 )
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for blocked fuzzy linkage (operators/linkage.py), weighted
+deterministic sampling (sampling.weighted_sample_topk / hash_uniform),
+and the Markov transition matrix (analytics.transition_matrix). Value
+parity vs DuckDB is covered by tests/test_oracle_parity.py
+(fuzzy_match_parts, weighted_sample_documents, event_transition_matrix).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import analytics, linkage, sampling
+
+
+def test_blocked_fuzzy_pairs_within_block_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red bolt"),
+            (2, "red bold"),   # distance 1, same block "bolt" vs "bold"? NO: different last token
+            (3, "rad bolt"),   # distance 1 to "red bolt", same block
+            (4, "red widget"), # different block entirely
+        ],
+        "id int, name string",
+    )
+    pairs = linkage.blocked_fuzzy_pairs(
+        df, "id", "name", linkage.last_token_block("name"), max_distance=2
+    ).collect()
+    got = {(r.id_a, r.id_b, r.distance) for r in pairs}
+    # only (1,3) share the "bolt" block; (1,2) is distance 1 but blocked apart
+    assert got == {(1, 3, 1)}
+
+
+def test_blocked_fuzzy_pairs_max_block_guard(spark):
+    rows = [(i, f"name {i} thing") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    # every row lands in block "thing"; cap below the block size drops it
+    none = linkage.blocked_fuzzy_pairs(
+        df, "id", "name", linkage.last_token_block("name"),
+        max_distance=50, max_block=5,
+    )
+    assert none.count() == 0
+    some = linkage.blocked_fuzzy_pairs(
+        df, "id", "name", linkage.last_token_block("name"),
+        max_distance=50, max_block=10,
+    )
+    assert some.count() == 45  # 10 choose 2
+
+
+def test_soundex_block_groups_homophones(spark):
+    df = spark.createDataFrame(
+        [(1, "Robert"), (2, "Rupert"), (3, "Ashcraft")], "id int, name string"
+    )
+    blocks = {
+        r.id: r.b
+        for r in df.select("id", linkage.soundex_block("name").alias("b")).collect()
+    }
+    assert blocks[1] == blocks[2] != blocks[3]  # classic R163/R163/A261
+
+
+def test_hash_uniform_range_and_determinism(spark):
+    df = spark.range(1000).select(
+        sampling.hash_uniform("id").alias("u"),
+        sampling.hash_uniform("id", salt="other").alias("u2"),
+    )
+    agg = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"),
+        F.avg("u").alias("mean"),
+        F.sum((F.col("u") == F.col("u2")).cast("int")).alias("same"),
+    ).first()
+    assert 0.0 < agg.lo and agg.hi <= 1.0
+    assert 0.4 < agg.mean < 0.6          # roughly uniform
+    assert agg.same < 5                   # salt decorrelates
+    # repartitioning must not change values (content-addressed)
+    a = sorted(r.u for r in df.select("u").collect())
+    b = sorted(
+        r.u
+        for r in spark.range(1000).repartition(7)
+        .select(sampling.hash_uniform("id").alias("u")).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_topk_weight_bias_and_determinism(spark):
+    # two strata: weight 100 vs weight 1 — the heavy stratum must dominate
+    df = spark.range(2000).select(
+        "id", F.when(F.col("id") < 1000, 100.0).otherwise(1.0).alias("w")
+    )
+    top = sampling.weighted_sample_topk(df, "id", "w", k=100)
+    rows = top.collect()
+    heavy = sum(1 for r in rows if r.w == 100.0)
+    assert heavy > 80
+    again = sampling.weighted_sample_topk(df.repartition(13), "id", "w", k=100)
+    assert {r.id for r in rows} == {r.id for r in again.collect()}
+
+
+def test_weighted_sample_topk_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1, 0.0)], "id int, w double")
+    with pytest.raises(Exception, match="non-positive or NULL"):
+        sampling.weighted_sample_topk(df, "id", "w", k=1).collect()
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_topk(df, "id", "w", k=0)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "c"),
+        ],
+        "user int, t int, s string",
+    )
+    out = {
+        (r.prev_state, r.s): (r.n, r.p)
+        for r in analytics.transition_matrix(df, "user", "t", "s").collect()
+    }
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert out[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert out[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out  # terminal state contributes no row
