@@ -119,6 +119,9 @@ HEADLINE = [
     "fuzzy_match_parts",
     "weighted_sample_documents",
     "event_transition_matrix",
+    "ohlc_events_daily",
+    "cumulative_new_users_daily",
+    "decayed_user_value",
 ]
 
 

@@ -201,6 +201,39 @@ def quantile_segment(
     ).drop("_bounds")
 
 
+def cumulative_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Cumulative distinct entities per period ("total users ever, by
+    day") computed EXACTLY at scale via first-touch: a per-entity min
+    (one groupBy on the entity key), a per-period count of first-touches,
+    and a running sum over the one-row-per-period frame.
+
+    The naive form — ``count(DISTINCT user) OVER (ORDER BY day)`` — keeps
+    the full entity set in window state and cannot be expressed as a
+    mergeable aggregate; first-touch turns it into two ordinary hash
+    aggregates. The running-sum window is global-ordered but runs over
+    periods (calendar-bounded), the same tiny-frame contract as
+    :func:`rolling_agg`."""
+    per = (
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / int(period_seconds))
+        .cast("bigint")
+    )
+    firsts = df.groupBy(entity_col).agg(F.min(per).alias("period"))
+    news = firsts.groupBy("period").agg(
+        F.count("*").cast("bigint").alias("new_entities")
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return news.select(
+        "period",
+        "new_entities",
+        F.sum("new_entities").over(w).cast("bigint").alias("cumulative_entities"),
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     entity_col: str,

@@ -139,6 +139,73 @@ def interpolate_linear(
     return dense_df.withColumn(out_col, interp)
 
 
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    period_seconds: int = 86400,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Open/high/low/close candles per key and epoch-aligned period — the
+    finance-style resample. One aggregate: ``min_by``/``max_by`` on a
+    ``(ts, tiebreak…)`` struct pick the first/last observation, min/max
+    give the extremes — no window, ONE shuffle, with map-side partial
+    aggregation (physically a SortAggregate: min_by's (value, ordering)
+    buffer isn't hash-mutable in Spark, so each partition sorts on the
+    group key first — still partial+final, never a global sort).
+    ``tiebreak`` columns make first/last total when timestamps can
+    collide (required for engine-reproducible output; pass the event
+    id)."""
+    per = (
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / int(period_seconds))
+        .cast("bigint")
+        .alias("period")
+    )
+    ordk = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    v = F.col(value_col)
+    return df.groupBy(*by, per).agg(
+        F.min_by(v, ordk).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ordk).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    ref_ts=None,
+    out_col: str = "decayed_value",
+) -> DataFrame:
+    """Exponential time-decay aggregate per entity:
+    ``Σ value · 0.5^((t_ref − ts) / half_life)`` — the standard recency
+    weighting for activity scores and feature stores.
+
+    Map-only weight expression + one hash aggregate on the entity key.
+    ``ref_ts=None`` anchors at the table's max timestamp via a one-row
+    aggregate broadcast back (in-plan, no driver collect) — pass an
+    explicit anchor for incremental/production runs so scores are
+    comparable across runs."""
+    v = F.col(value_col).cast("double")
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    if ref_ts is None:
+        anchor = df.agg(
+            F.max(F.col(ts_col).cast("timestamp").cast("double")).alias("_ref")
+        )
+        base = df.crossJoin(F.broadcast(anchor))
+        ref = F.col("_ref")
+    else:
+        base = df
+        ref = F.lit(ref_ts).cast("timestamp").cast("double")
+    w = F.pow(F.lit(0.5), (ref - t) / F.lit(float(half_life_seconds)))
+    return base.groupBy(entity_col).agg(F.sum(v * w).alias(out_col))
+
+
 def zscore_anomalies(
     period_df: DataFrame,
     by: Sequence[str],

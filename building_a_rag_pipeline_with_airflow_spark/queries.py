@@ -4727,6 +4727,110 @@ def event_transition_matrix(spark, sf_dir):
     ).orderBy("prev_state", "event_type")
 
 
+@q(
+    "ohlc_events_daily",
+    """
+    -- arg_min/arg_max take no composite key in DuckDB: encode
+    -- (epoch_us, event_id) as one zero-padded string whose lexicographic
+    -- order equals the numeric order Spark's min_by(struct(ts, id)) uses.
+    WITH keyed AS (
+      SELECT event_type, value,
+             CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM events
+    )
+    SELECT event_type, period,
+           arg_min(value, ok) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ok) AS close,
+           count(*) AS n
+    FROM keyed
+    GROUP BY event_type, period
+    ORDER BY event_type, period
+    """,
+)
+def ohlc_events_daily(spark, sf_dir):
+    """Daily OHLC candles per event type (`operators.timeseries.ohlc`):
+    one aggregate — min_by/max_by on a (ts, event_id) struct pick the
+    first/last observation (the tiebreak makes first/last total, so any
+    engine reproduces it), min/max give the extremes. No window, one
+    shuffle with map-side partials (SortAggregate physical form — see
+    the operator docstring). Values pass through untouched (raw parquet
+    doubles), so the oracle matches bit-for-bit unrounded."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.ohlc(
+        ev, "ts", "value", by=("event_type",), tiebreak=("event_id",)
+    ).orderBy("event_type", "period")
+
+
+@q(
+    "cumulative_new_users_daily",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT))
+               AS period
+      FROM events GROUP BY user_id
+    ),
+    news AS (
+      SELECT period, CAST(count(*) AS BIGINT) AS new_entities
+      FROM firsts GROUP BY period
+    )
+    SELECT period, new_entities,
+           CAST(sum(new_entities) OVER (
+             ORDER BY period
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_entities
+    FROM news ORDER BY period
+    """,
+)
+def cumulative_new_users_daily(spark, sf_dir):
+    """Cumulative distinct users by day
+    (`operators.analytics.cumulative_distinct`): computed exactly via
+    first-touch — per-user min period, per-period first-touch counts,
+    running sum over the one-row-per-day frame — instead of the
+    unscalable `count(DISTINCT) OVER (ORDER BY day)` whose window state
+    is the whole entity set."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cumulative_distinct(ev, "user_id", "ts").orderBy("period")
+
+
+@q(
+    "decayed_user_value",
+    """
+    WITH p AS (
+      SELECT user_id, value,
+             epoch_us(ts) / 1000000.0 AS s
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ref AS (SELECT max(s) AS r FROM p)
+    SELECT user_id,
+           round(sum(value * pow(0.5, (ref.r - s) / 604800.0)) * 10000)
+             / 10000 AS decayed_value
+    FROM p, ref
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def decayed_user_value(spark, sf_dir):
+    """Exponentially time-decayed purchase value per user
+    (`operators.timeseries.decayed_sum`, 7-day half-life): map-only
+    weight `0.5^((t_ref − t)/half_life)` + one hash aggregate on the
+    user key; the anchor t_ref is an in-plan one-row max broadcast back,
+    not a driver collect. The standard recency score for feature stores
+    and crawl prioritization."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = timeseries.decayed_sum(
+        ev, "user_id", "ts", "value", half_life_seconds=7 * 86400.0
+    )
+    return out.select(
+        "user_id",
+        (F.round(F.col("decayed_value") * 10_000) / 10_000).alias("decayed_value"),
+    ).orderBy("user_id")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -4909,6 +5013,9 @@ _DEPRIORITIZED = (
     "weighted_sample_documents",
     "fuzzy_match_parts",
     "event_transition_matrix",
+    "ohlc_events_daily",
+    "cumulative_new_users_daily",
+    "decayed_user_value",
 )
 
 
