@@ -122,6 +122,8 @@ HEADLINE = [
     "ohlc_events_daily",
     "cumulative_new_users_daily",
     "decayed_user_value",
+    "label_centroids_embeddings",
+    "entropy_profile_orders",
 ]
 
 

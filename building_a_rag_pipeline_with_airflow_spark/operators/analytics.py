@@ -201,6 +201,44 @@ def quantile_segment(
     ).drop("_bounds")
 
 
+def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy (nats) + distinct count per column — the data-
+    profiling signal for key quality, skew detection, and feature
+    selection. One value-count aggregate per column, reduced with the
+    one-pass identity ``H = ln(N) − Σ n·ln(n) / N`` (no second pass to
+    compute probabilities, no join back for the total); per-column
+    results union into one tiny frame. NULLs count as a regular value —
+    a column that is 99% NULL should show its near-zero entropy, not
+    have it masked."""
+    if not cols:
+        raise ValueError("entropy_profile needs at least one column")
+    parts = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("_v")).agg(
+            F.count("*").cast("double").alias("_n")
+        )
+        parts.append(
+            counts.agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                (
+                    F.round(
+                        (
+                            F.log(F.sum("_n"))
+                            - F.sum(F.col("_n") * F.log("_n")) / F.sum("_n")
+                        )
+                        * 1_000_000
+                    )
+                    / 1_000_000
+                ).alias("entropy"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cumulative_distinct(
     df: DataFrame,
     entity_col: str,

@@ -4831,6 +4831,77 @@ def decayed_user_value(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@q(
+    "label_centroids_embeddings",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    SELECT label, pos,
+           round(avg(val) * 1000000) / 1000000 AS c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def label_centroids_embeddings(spark, sf_dir):
+    """Per-label centroid vectors in exploded form — the vector
+    aggregation every IVF/clustering/class-prototype step needs:
+    posexplode the embedding array, one hash aggregate on (label,
+    position). Emitted as (label, pos, component) scalar rows rather
+    than re-assembled arrays so the oracle compares scalars (array
+    stringification differs between engines); reassembly is one
+    `sort_array(collect_list(struct(pos, c)))` away when the caller
+    wants vectors back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("_p", "_v"))
+    return (
+        ex.groupBy("label", (F.col("_p") + 1).cast("bigint").alias("pos"))
+        .agg(
+            (F.round(F.avg("_v") * 1_000_000) / 1_000_000).alias("c"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@q(
+    "entropy_profile_orders",
+    """
+    WITH e1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 1000000)
+               / 1000000 AS entropy
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS n
+            FROM orders GROUP BY o_orderpriority)
+    ),
+    e2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+             round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) * 1000000)
+               / 1000000 AS entropy
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS n
+            FROM orders GROUP BY o_orderstatus)
+    )
+    SELECT 'o_orderpriority' AS column_name, n_distinct, entropy FROM e1
+    UNION ALL
+    SELECT 'o_orderstatus' AS column_name, n_distinct, entropy FROM e2
+    ORDER BY column_name
+    """,
+)
+def entropy_profile_orders(spark, sf_dir):
+    """Shannon entropy + cardinality profile of two orders columns
+    (`operators.analytics.entropy_profile`): per-column value counts
+    reduced with the one-pass identity `H = ln(N) − Σ n·ln(n) / N` — no
+    second pass for probabilities, no total-join. The skew/key-quality
+    probe run before choosing partition or join keys."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.entropy_profile(
+        orders, ["o_orderpriority", "o_orderstatus"]
+    ).orderBy("column_name")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5016,7 +5087,11 @@ _DEPRIORITIZED = (
     "ohlc_events_daily",
     "cumulative_new_users_daily",
     "decayed_user_value",
+    "label_centroids_embeddings",
+    "entropy_profile_orders",
 )
+# ^ the last five (ohlc, cumulative, decayed, centroids, entropy) follow
+# the same late-r4 no-slot-left rule as the trio above them.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -50,6 +50,48 @@ def tumbling_counts(
     )
 
 
+def tumbling_ohlc(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration: str = "1 day",
+    watermark: str | None = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+    tiebreak: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming OHLC candles: the windowed form of
+    ``operators.timeseries.ohlc`` — min_by/max_by on a (ts, tiebreak)
+    struct inside a tumbling event-time window. Identical aggregate
+    expressions batch and stream, so stream output == batch output on
+    the same data (the parity contract every operator here keeps); with
+    a watermark, candle state finalizes and evicts once the window
+    passes the bound."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    ordk = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("win"), *group_cols)
+        .agg(
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
 def sliding_counts(
     df: DataFrame,
     ts_col: str = "ts",

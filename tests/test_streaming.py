@@ -47,6 +47,21 @@ def test_tumbling_stream_equals_batch(spark, events_batch, events_dir):
     assert len(a) > 0
 
 
+def test_tumbling_ohlc_stream_equals_batch(spark, events_batch, events_dir):
+    raw = W.read_events_stream(spark, events_dir)
+    stream_out = _run_stream_to_memory(
+        spark, W.tumbling_ohlc(raw, watermark=None), "ohlc_mem"
+    )
+    batch_out = W.tumbling_ohlc(events_batch)
+    a = sorted(map(tuple, stream_out.collect()))
+    b = sorted(map(tuple, batch_out.collect()))
+    assert a == b
+    assert len(a) > 0
+    for r in stream_out.collect():
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
 def test_session_counts_batch(spark, events_batch):
     out = W.session_counts(events_batch).collect()
     assert len(out) > 0
