@@ -323,3 +323,74 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_incremental_agg(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    keys: tuple = ("event_type",),
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Incrementally-maintained aggregate view — the streaming
+    materialized-view pattern for mergeable aggregates (count/sum/min/
+    max; avg derives from count+sum at read time).
+
+    Each micro-batch writes only ITS OWN per-key partials into a
+    ``_batch_id`` partition (dynamic overwrite → replayed batches
+    replace themselves, never double-count): per-batch cost is
+    O(batch), never O(state) — the read-modify-write alternative
+    rescans the whole state every batch and cannot survive a
+    high-frequency stream. :func:`read_incremental_agg` folds the
+    partials at read time; ``sources.io.compact_parquet`` bounds the
+    partial-file count between reads the same way it does for the other
+    streaming indexes."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = F.col(value_col).cast("double")
+        (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(v).alias("sum_v"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_path)
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_agg(
+    spark: SparkSession, state_path: str, keys: tuple = ("event_type",)
+) -> DataFrame:
+    """Fold the per-batch partials into the current view: counts and
+    sums add, min/max fold — one aggregate over partial rows (keys ×
+    batches, not events). ``avg_v`` is derived here, the only place a
+    non-mergeable statistic may exist."""
+    parts = spark.read.parquet(state_path)
+    return (
+        parts.groupBy(*keys)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )

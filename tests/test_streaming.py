@@ -352,3 +352,48 @@ def test_streaming_extend_postings_index_matches_inplan(spark, sf_dir, tmp_path)
     ]
     want = [tuple(r) for r in lexical.bm25_topk(docs, terms, k=10).collect()]
     assert got == want and len(got) == 10
+
+
+def test_streaming_incremental_agg_equals_batch_and_extends(spark, sf_dir, tmp_path):
+    import shutil as _sh
+
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", land / "a.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = ingest.streaming_incremental_agg(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def batch_agg(df):
+        v = F.col("value").cast("double")
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        ).withColumn("avg_v", F.col("sum_v") / F.col("n"))
+
+    view = ingest.read_incremental_agg(spark, state)
+    a = sorted(map(tuple, view.collect()))
+    b = sorted(map(tuple, batch_agg(batch).collect()))
+    assert [r[:2] for r in a] == [r[:2] for r in b]  # keys + counts exact
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra[2:], rb[2:]):
+            assert abs(x - y) < 1e-6
+
+    # a second file lands; restart from the same checkpoint — only the
+    # new batch is processed, and the folded view covers both copies
+    _sh.copy(f"{sf_dir}/events.parquet", land / "b.parquet")
+    stream2 = spark.readStream.schema(schema).parquet(str(land))
+    q2 = ingest.streaming_incremental_agg(stream2, state, ckpt)
+    q2.awaitTermination(120)
+    doubled = ingest.read_incremental_agg(spark, state)
+    n_by_key = {r.event_type: r.n for r in doubled.collect()}
+    base = {r[0]: r[1] for r in b}
+    assert n_by_key == {k: 2 * v for k, v in base.items()}
