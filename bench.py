@@ -124,6 +124,8 @@ HEADLINE = [
     "decayed_user_value",
     "label_centroids_embeddings",
     "entropy_profile_orders",
+    "embedding_dup_clusters",
+    "winsorized_price_stats",
 ]
 
 

@@ -4902,6 +4902,131 @@ def entropy_profile_orders(spark, sf_dir):
     ).orderBy("column_name")
 
 
+@q(
+    "embedding_dup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ) t WHERE cosine >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT n.src AS vec_id,
+           least(n.src, min(r.dst)) AS component,
+           least(n.src, min(r.dst)) = n.src AS is_canonical
+    FROM (SELECT DISTINCT src FROM edges) n
+    LEFT JOIN reach r ON r.src = n.src
+    GROUP BY n.src ORDER BY vec_id
+    """,
+)
+def embedding_dup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup CLUSTERS — the last rung of the
+    embedding dedup ladder, composing the oracled exact pair stage
+    (`near_dup_embeddings_exact`'s norms-precomputed cosine join; at
+    scale the LSH-banded candidate path substitutes) with
+    `dedup.connected_components` min-label propagation, exactly like the
+    text ladder's `dedup_clusters_documents`. One canonical vector per
+    cluster; the oracle closes the same pairs over a recursive-CTE
+    transitive closure."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        l2_norm("embedding").alias("_na"),
+    ).repartition(32)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        l2_norm("embedding").alias("_nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+    labels = dedup.connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    ).orderBy("vec_id")
+
+
+@q(
+    "winsorized_price_stats",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT round(b.lo, 4) AS p01,
+           round(b.hi, 4) AS p99,
+           CAST(count(*) FILTER (WHERE o_totalprice < b.lo OR
+                                       o_totalprice > b.hi) AS BIGINT)
+             AS n_clamped,
+           round(avg(o_totalprice), 4) AS mean_raw,
+           round(avg(least(greatest(o_totalprice, b.lo), b.hi)), 4)
+             AS mean_winsorized
+    FROM orders, b
+    GROUP BY b.lo, b.hi
+    """,
+)
+def winsorized_price_stats(spark, sf_dir):
+    """Winsorization (percentile clamping) — the outlier-robust
+    statistics step: exact p01/p99 boundaries from one aggregate (the
+    same type-7 `percentile` that oracles bit-for-bit against
+    `quantile_cont`), broadcast back as a one-row frame, clamp and
+    re-aggregate map-side. At scale the boundary aggregate switches to
+    `percentile_approx` (GK) — same shape as
+    `analytics.quantile_segment`'s exact/approx toggle."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("_lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("_hi"),
+    )
+    v = F.col("o_totalprice")
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("_lo", "_hi")
+        .agg(
+            F.count(F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1))
+            .cast("bigint")
+            .alias("n_clamped"),
+            F.round(F.avg(v), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+        .select(
+            F.round(F.col("_lo"), 4).alias("p01"),
+            F.round(F.col("_hi"), 4).alias("p99"),
+            "n_clamped",
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5089,9 +5214,12 @@ _DEPRIORITIZED = (
     "decayed_user_value",
     "label_centroids_embeddings",
     "entropy_profile_orders",
+    "embedding_dup_clusters",
+    "winsorized_price_stats",
 )
-# ^ the last five (ohlc, cumulative, decayed, centroids, entropy) follow
-# the same late-r4 no-slot-left rule as the trio above them.
+# ^ everything from ohlc_events_daily down follows the same late-r4
+# no-slot-left rule as the trio above it: r5 rotation first, judge-run
+# oracle parity every round meanwhile.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
