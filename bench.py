@@ -162,9 +162,17 @@ def main() -> None:
     # scheduling spikes) corrupts all three and the median with them;
     # spreading a query's runs across rounds decorrelates the burst, and
     # the median recovers the true time.
+    # Wall-clock budget: if the harness kills the process before the
+    # compact line prints, the round's medians are lost entirely (worse
+    # than fewer rounds). After each full round, stop early when another
+    # round would not fit the remaining budget.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    bench_t0 = time.time()
     all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     failed: set[str] = set()
+    rounds_done = 0
     for _ in range(n_runs):
+        round_t0 = time.time()
         for name in HEADLINE:
             if name in failed:
                 continue
@@ -176,6 +184,10 @@ def main() -> None:
             except Exception as exc:  # a failed query must not hide the rest
                 failed.add(name)
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        rounds_done += 1
+        round_cost = time.time() - round_t0
+        if time.time() - bench_t0 + round_cost * 1.2 > budget_s:
+            break
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, runs in all_runs.items():
@@ -196,7 +208,8 @@ def main() -> None:
                 "queries_median_3dp": times,  # full-fidelity copy; the
                 # compact line below may coarsen to fit the driver's tail
                 "methodology": (
-                    f"median of {n_runs} INTERLEAVED rounds over the "
+                    f"median of {rounds_done} (target {n_runs}, early-stop "
+                    f"at {int(budget_s)}s budget) INTERLEAVED rounds over the "
                     "headline list, one shared session (a query's runs are "
                     "spread across rounds so host-side noise bursts can't "
                     "corrupt all of them); cold_queries = first-run times "
