@@ -126,6 +126,7 @@ HEADLINE = [
     "entropy_profile_orders",
     "embedding_dup_clusters",
     "winsorized_price_stats",
+    "frequent_part_pairs",
 ]
 
 

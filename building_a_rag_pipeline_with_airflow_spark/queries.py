@@ -5027,6 +5027,39 @@ def winsorized_price_stats(spark, sf_dir):
     )
 
 
+@q(
+    "frequent_part_pairs",
+    """
+    WITH g AS (
+      SELECT DISTINCT l_orderkey AS grp, l_partkey AS i FROM lineitem
+    ),
+    ng AS (SELECT CAST(count(DISTINCT grp) AS DOUBLE) AS n FROM g),
+    pc AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n
+      FROM g a JOIN g b ON b.grp = a.grp AND a.i < b.i
+      GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, pc.n,
+           round(CAST(pc.n AS DOUBLE) / ng.n * 1000000) / 1000000 AS support
+    FROM pc, ng WHERE pc.n >= 3
+    ORDER BY item_a, item_b
+    """,
+)
+def frequent_part_pairs(spark, sf_dir):
+    """Exact market-basket frequent pairs over order baskets
+    (`operators.baskets.frequent_pairs`): parts co-purchased in ≥ 3
+    orders with their support fraction. One basket shuffle + map-side
+    ordered-pair explode + one counting aggregate; the group total is an
+    in-plan one-row broadcast. Doubles as the correctness pin for the
+    MLlib FP-Growth general-itemset path (size-2 equivalence tested)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import baskets
+
+    li = _t(spark, sf_dir, "lineitem")
+    return baskets.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_count=3
+    ).orderBy("item_a", "item_b")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5216,6 +5249,7 @@ _DEPRIORITIZED = (
     "entropy_profile_orders",
     "embedding_dup_clusters",
     "winsorized_price_stats",
+    "frequent_part_pairs",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run
