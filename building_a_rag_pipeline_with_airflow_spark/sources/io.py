@@ -272,3 +272,70 @@ def expire_batches(
         for d in batch_dirs[bid]:
             fs.delete(d, True)
     return drop
+
+
+def z_value(col_a, col_b, bits: int = 21) -> "F.Column":
+    """Morton (Z-order) interleave of two non-negative integer columns —
+    the multi-dimensional sort key behind lakehouse Z-ordering. ``bits``
+    per dimension (21+21 ≤ a 63-bit long); values are clamped into
+    range, so callers whose domains exceed 2^bits should rank/bucket
+    first (min-max or percentile normalization). Pure Catalyst bitwise
+    expressions — codegen'd, no UDF."""
+    a = F.least(F.greatest(F.col(col_a).cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+    b = F.least(F.greatest(F.col(col_b).cast("long"), F.lit(0)), F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        z = z.bitwiseOR(
+            F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i)
+        ).bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-ordered parquet layout: range-partition + sort by the Morton
+    value of (col_a, col_b), so every file covers a small RECTANGLE of
+    the two-dimensional key space and parquet min/max statistics prune
+    files/row-groups for predicates on EITHER column — a single-column
+    sort only prunes its own column.
+
+    Both dimensions are min-max normalized to the full ``bits`` range
+    first (one-row aggregate broadcast back in-plan). Without this the
+    wider-domain column monopolizes the interleave's high bits and the
+    narrow column ends up unordered across files — the classic Z-order
+    mistake. Write-time work (like ``write_bucketed``): one extra
+    aggregate + one range exchange + per-partition sort, run once per
+    layout generation, amortized over every read."""
+    a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+    hi = float((1 << int(bits)) - 1)
+    bounds = df.agg(
+        F.min(a).alias("_alo"), F.max(a).alias("_ahi"),
+        F.min(b).alias("_blo"), F.max(b).alias("_bhi"),
+    )
+    scaled = df.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        F.round(
+            (a - F.col("_alo"))
+            / F.greatest(F.col("_ahi") - F.col("_alo"), F.lit(1.0))
+            * hi
+        ).cast("long").alias("_na"),
+        F.round(
+            (b - F.col("_blo"))
+            / F.greatest(F.col("_bhi") - F.col("_blo"), F.lit(1.0))
+            * hi
+        ).cast("long").alias("_nb"),
+    )
+    (
+        scaled.withColumn("_z", z_value("_na", "_nb", bits))
+        .repartitionByRange(int(n_files), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_na", "_nb", "_alo", "_ahi", "_blo", "_bhi")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
