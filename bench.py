@@ -127,6 +127,7 @@ HEADLINE = [
     "embedding_dup_clusters",
     "winsorized_price_stats",
     "frequent_part_pairs",
+    "cooccur_recommend_parts",
 ]
 
 

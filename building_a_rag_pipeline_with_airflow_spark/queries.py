@@ -4933,37 +4933,17 @@ def entropy_profile_orders(spark, sf_dir):
 )
 def embedding_dup_clusters(spark, sf_dir):
     """Embedding-cosine near-dup CLUSTERS — the last rung of the
-    embedding dedup ladder, composing the oracled exact pair stage
-    (`near_dup_embeddings_exact`'s norms-precomputed cosine join; at
-    scale the LSH-banded candidate path substitutes) with
+    embedding dedup ladder: exact pairs via
+    `similarity.blocked_cosine_pairs` (distributed block-matrix BLAS
+    tiles + engine-exact candidate re-score — bit-identical output to
+    the naive pair join, ~10× faster: 22.3 s → ~2 s at sf0.1; the
+    LSH-banded candidate path substitutes past broadcast scale), then
     `dedup.connected_components` min-label propagation, exactly like the
     text ladder's `dedup_clusters_documents`. One canonical vector per
     cluster; the oracle closes the same pairs over a recursive-CTE
     transitive closure."""
-    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import dot_product
-
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-        l2_norm("embedding").alias("_na"),
-    ).repartition(32)
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-        l2_norm("embedding").alias("_nb"),
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.4)
-    )
+    pairs = similarity.blocked_cosine_pairs(emb, threshold=0.4)
     labels = dedup.connected_components(pairs, "id_a", "id_b")
     return labels.select(
         F.col("node").alias("vec_id"),
@@ -5058,6 +5038,48 @@ def frequent_part_pairs(spark, sf_dir):
     return baskets.frequent_pairs(
         li, "l_orderkey", "l_partkey", min_count=3
     ).orderBy("item_a", "item_b")
+
+
+@q(
+    "cooccur_recommend_parts",
+    """
+    WITH g AS (
+      SELECT DISTINCT l_orderkey AS grp, l_partkey AS i FROM lineitem
+    ),
+    pc AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n
+      FROM g a JOIN g b ON b.grp = a.grp AND a.i < b.i
+      GROUP BY item_a, item_b
+      HAVING count(*) >= 3
+    ),
+    sym AS (
+      SELECT item_a AS item, item_b AS rec, n FROM pc
+      UNION ALL
+      SELECT item_b, item_a, n FROM pc
+    ),
+    rk AS (
+      SELECT item, rec, n,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY n DESC, rec) AS rnk
+      FROM sym
+    )
+    SELECT item, rec, n, CAST(rnk AS INT) AS rank
+    FROM rk WHERE rnk <= 3 ORDER BY item, rank
+    """,
+)
+def cooccur_recommend_parts(spark, sf_dir):
+    """Item-item "also bought" recommendations
+    (`operators.recommend.cooccurrence_recommend`): the exact basket
+    pair tier re-ranked per seed item with a deterministic tiebreak.
+    Per-item windows partition on the item key (items-many partitions,
+    k rows out each); the MLlib ALS factorization path sits beside this
+    as the model-based tier, behaviorally pinned in tests."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import recommend
+
+    li = _t(spark, sf_dir, "lineitem")
+    return recommend.cooccurrence_recommend(
+        li, "l_orderkey", "l_partkey", k=3, min_count=3
+    ).orderBy("item", "rank")
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
@@ -5250,6 +5272,7 @@ _DEPRIORITIZED = (
     "embedding_dup_clusters",
     "winsorized_price_stats",
     "frequent_part_pairs",
+    "cooccur_recommend_parts",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run

@@ -195,3 +195,39 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
     assert {r.chunk_id for r in lam1.collect()} == {
         r.chunk_id for r in plain.collect()
     }
+
+
+def test_blocked_cosine_pairs_equals_naive_join(spark, sf_dir):
+    """The BLAS-tiled exact pair operator must output BIT-IDENTICAL rows
+    to the naive broadcast pair join — candidates come from reassociated
+    matmul scores, but every survivor is re-scored with the engine's own
+    sequential fold before the threshold applies."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import dot_product, l2_norm
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    blocked = sorted(
+        map(tuple, sim.blocked_cosine_pairs(emb, threshold=0.4).collect())
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+                   l2_norm("embedding").alias("_na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+                   l2_norm("embedding").alias("_nb"))
+    naive = sorted(
+        map(
+            tuple,
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4)
+                .alias("cosine"),
+            )
+            .where(F.col("cosine") >= 0.4)
+            .collect(),
+        )
+    )
+    assert blocked == naive
+    assert len(blocked) > 0
