@@ -128,6 +128,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "frequent_part_pairs",
     "cooccur_recommend_parts",
+    "triangle_count_part_graph",
 ]
 
 

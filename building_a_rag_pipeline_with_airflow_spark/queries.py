@@ -5082,6 +5082,68 @@ def cooccur_recommend_parts(spark, sf_dir):
     ).orderBy("item", "rank")
 
 
+@q(
+    "triangle_count_part_graph",
+    """
+    WITH co AS (
+      SELECT DISTINCT a.l_orderkey AS g, a.l_partkey AS s1,
+                      b.l_partkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT s1, s2 FROM co GROUP BY s1, s2 HAVING count(*) >= 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e x JOIN e y ON y.s1 = x.s2
+                     JOIN e z ON z.s1 = x.s1 AND z.s2 = y.s2) AS n_triangles
+    """,
+)
+def triangle_count_part_graph(spark, sf_dir):
+    """Triangle count over the part co-purchase graph (edges = part
+    pairs sharing ≥ 2 orders) via `operators.graph.triangle_count` —
+    the degree-oriented compact-forward formulation: orient every edge
+    low→high (degree, id), enumerate wedges only inside out-
+    neighborhoods (max out-degree O(√E) after orientation, so celebrity
+    nodes can't explode the wedge join), close wedges with a left-semi
+    join. The oracle is the naive ordered 3-way self-join — same count,
+    different (non-scalable) shape."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import baskets
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = baskets.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return graph.triangle_count(edges)
+
+
+@q("fpgrowth_part_itemsets", None)
+def fpgrowth_part_itemsets(spark, sf_dir):
+    """MLlib FP-Growth frequent itemsets over order baskets
+    (`operators.baskets.fpgrowth_itemsets`) — the general-itemset tier
+    whose size-2 slice is pinned to the oracled exact pair operator in
+    tests/test_baskets.py. Rows-only here: the FP-tree build is a
+    library internal, the same non-oracle-able class as the MLlib
+    KMeans/BRP/ALS fits. Summarized per itemset size so the row count is
+    stable across layouts."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import baskets
+
+    li = _t(spark, sf_dir, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    items = baskets.fpgrowth_itemsets(
+        li, "l_orderkey", "l_partkey", min_support=1.5 / n_orders
+    )
+    return (
+        items.groupBy(F.size("items").alias("itemset_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_itemsets"),
+            F.max("freq").cast("bigint").alias("max_freq"),
+        )
+        .orderBy("itemset_size")
+    )
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5273,6 +5335,7 @@ _DEPRIORITIZED = (
     "winsorized_price_stats",
     "frequent_part_pairs",
     "cooccur_recommend_parts",
+    "triangle_count_part_graph",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run

@@ -139,3 +139,23 @@ def test_pagerank_rejects_zero_iterations(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         graph.pagerank(e, iterations=0)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge: triangles = 2 (abc, abd share edge ab; acd/bcd
+    # broken by the missing cd edge -> graph a-b,a-c,a-d,b-c,b-d has
+    # triangles abc and abd)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+        "src string, dst string",
+    )
+    row = graph.triangle_count(e).first()
+    assert (row.n_edges, row.n_triangles) == (5, 2)
+    # duplicate/reversed edges and self-loops must not change the count
+    noisy = e.unionByName(
+        spark.createDataFrame(
+            [("b", "a"), ("c", "a"), ("d", "d")], "src string, dst string"
+        )
+    )
+    row2 = graph.triangle_count(noisy).first()
+    assert (row2.n_edges, row2.n_triangles) == (5, 2)
