@@ -129,6 +129,7 @@ HEADLINE = [
     "frequent_part_pairs",
     "cooccur_recommend_parts",
     "triangle_count_part_graph",
+    "top_event_paths",
 ]
 
 

@@ -5144,6 +5144,44 @@ def fpgrowth_part_itemsets(spark, sf_dir):
     )
 
 
+@q(
+    "top_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS s3,
+             lag(event_type)    OVER w AS s2,
+             lag(event_type, 2) OVER w AS s1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE s1 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 10
+    """,
+)
+def top_event_paths(spark, sf_dir):
+    """Journey mining: the 10 most common 3-step event paths across
+    per-user sequences — the trigram generalization of
+    `event_transition_matrix`. One per-user ordered window (two lags,
+    event_id tiebreak for a total order), a hash aggregate on the path,
+    TakeOrdered top-10 with a deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type").over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).where(F.col("s1").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "s1", "s2", "s3")
+        .limit(10)
+    )
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5336,6 +5374,7 @@ _DEPRIORITIZED = (
     "frequent_part_pairs",
     "cooccur_recommend_parts",
     "triangle_count_part_graph",
+    "top_event_paths",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run
