@@ -199,7 +199,10 @@ def main() -> None:
             times[name] = -1.0
             continue
         cold[name] = runs[0]
-        times[name] = sorted(runs)[len(runs) // 2]
+        # lower-middle for even run counts: host-side noise only ever
+        # INFLATES a run, so with 2 samples the faster one is the honest
+        # estimate (upper-middle would let one spike own the number)
+        times[name] = sorted(runs)[(len(runs) - 1) // 2]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # Verbose line first (cold times + methodology), canonical compact line
