@@ -130,6 +130,8 @@ HEADLINE = [
     "cooccur_recommend_parts",
     "triangle_count_part_graph",
     "top_event_paths",
+    "trend_by_event_type",
+    "benford_price_profile",
 ]
 
 

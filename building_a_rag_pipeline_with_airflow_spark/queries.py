@@ -5182,6 +5182,106 @@ def top_event_paths(spark, sf_dir):
     )
 
 
+@q(
+    "trend_by_event_type",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
+             sum(value) AS v
+      FROM events GROUP BY event_type, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(period * v) - avg(period) * avg(v))
+                 / (avg(period * period) - avg(period) * avg(period))
+                 * 10000) / 10000 AS slope
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def trend_by_event_type(spark, sf_dir):
+    """Per-group OLS trend: the regression slope of daily revenue vs day
+    for each event type, computed from one grouped aggregate via the
+    moment identity `slope = (E[xy] − E[x]E[y]) / (E[x²] − E[x]²)` — the
+    same closed form both engines evaluate, written out explicitly
+    (rather than regr_slope) so the operation order is identical and
+    scaled rounding lands on the same doubles. Grouped regression is the
+    per-key generalization of `zipf_profile`'s corpus-level slope."""
+    ev = _t(spark, sf_dir, "events")
+    daily = timeseries.resample(
+        ev, "ts", "value", by=("event_type",), agg="sum", out_col="v"
+    )
+    p, v = F.col("period").cast("double"), F.col("v")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            (
+                F.round(
+                    (F.avg(p * v) - F.avg(p) * F.avg(v))
+                    / (F.avg(p * p) - F.avg(p) * F.avg(p))
+                    * 10_000
+                )
+                / 10_000
+            ).alias("slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "benford_price_profile",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM d)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / n.total * 1000000) / 1000000 AS observed,
+           round(log10(1.0 + 1.0 / digit) * 1000000) / 1000000 AS benford
+    FROM d, n
+    GROUP BY digit, n.total ORDER BY digit
+    """,
+)
+def benford_price_profile(spark, sf_dir):
+    """Benford first-digit profile of order totals — the classic
+    fabricated-data / unit-mixup screen for numeric columns: observed
+    leading-digit frequencies beside the Benford expectation
+    `log10(1 + 1/d)`. Leading digit via floor + integer-string truncation
+    (explicit floor — Spark's double→bigint cast truncates while other
+    engines round, so the cast alone is not portable),
+    one hash aggregate + an in-plan one-row total."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    total = d.agg(F.count("*").cast("double").alias("_t"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .groupBy("digit", "_t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "digit",
+            "n",
+            (F.round(F.col("n") / F.col("_t") * 1_000_000) / 1_000_000).alias(
+                "observed"
+            ),
+            (
+                F.round(
+                    F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * 1_000_000
+                )
+                / 1_000_000
+            ).alias("benford"),
+        )
+        .orderBy("digit")
+    )
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5375,6 +5475,8 @@ _DEPRIORITIZED = (
     "cooccur_recommend_parts",
     "triangle_count_part_graph",
     "top_event_paths",
+    "trend_by_event_type",
+    "benford_price_profile",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run
