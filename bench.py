@@ -132,6 +132,7 @@ HEADLINE = [
     "top_event_paths",
     "trend_by_event_type",
     "benford_price_profile",
+    "scd2_customer_segments",
 ]
 
 

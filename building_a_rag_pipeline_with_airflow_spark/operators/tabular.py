@@ -225,3 +225,42 @@ def classify_quarter(text_col: Column | str, url_col: Column | str) -> Column:
     return F.when(blacklisted, F.lit(None).cast("string")).otherwise(
         F.coalesce(expr, by_url)
     )
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_col: str,
+    attr_cols: "list[str] | tuple[str, ...]",
+    version_col: str = "version",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from versioned full
+    snapshots — the standard warehouse operator for "what did this
+    dimension row look like at version V".
+
+    Input: one row per (key, version) with the tracked attributes.
+    Output: one row per CHANGE with ``valid_from``/``valid_to`` version
+    bounds (``valid_to`` NULL = current). Plan: one per-key ordered
+    window — keep a row iff any tracked attribute differs from its
+    ``lag`` (the first version always survives), then ``lead`` over the
+    surviving change rows supplies the exclusive upper bound minus one.
+    Partitions hold one key's versions (bounded by snapshot count), so
+    the windows scale with keys, and unchanged keys cost exactly one
+    output row — the whole point vs storing every snapshot."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(version_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    first = F.lag(version_col).over(w).isNull()
+    rows = snapshots.select(
+        key_col, version_col, *attr_cols, (first | changed).alias("_keep")
+    ).where("_keep")
+    w2 = Window.partitionBy(key_col).orderBy(version_col)
+    return rows.select(
+        key_col,
+        *attr_cols,
+        F.col(version_col).cast("bigint").alias("valid_from"),
+        (F.lead(version_col).over(w2) - 1).cast("bigint").alias("valid_to"),
+    )

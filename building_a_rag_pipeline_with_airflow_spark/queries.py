@@ -5282,6 +5282,63 @@ def benford_price_profile(spark, sf_dir):
     )
 
 
+@q(
+    "scd2_customer_segments",
+    """
+    WITH snaps AS (
+      SELECT c_custkey, c_mktsegment, 1 AS version FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+             2 AS version
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+             3 AS version
+      FROM customer
+    ),
+    flagged AS (
+      SELECT c_custkey, c_mktsegment, version,
+             lag(version) OVER w IS NULL
+               OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w
+               AS keep
+      FROM snaps
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    ),
+    changes AS (SELECT * FROM flagged WHERE keep)
+    SELECT c_custkey, c_mktsegment,
+           CAST(version AS BIGINT) AS valid_from,
+           CAST(lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+                - 1 AS BIGINT) AS valid_to
+    FROM changes
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_customer_segments(spark, sf_dir):
+    """Type-2 SCD history (`operators.tabular.scd2_history`) over three
+    deterministic synthetic snapshots of the customer dimension (v2/v3
+    move every 7th customer to a new segment): change rows only, with
+    valid_from/valid_to version bounds — unchanged customers cost one
+    history row across all versions, changed ones two. Per-key ordered
+    windows; partitions hold one key's versions."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    moved = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    snaps = (
+        cust.withColumn("version", F.lit(1))
+        .unionByName(moved.withColumn("version", F.lit(2)))
+        .unionByName(moved.withColumn("version", F.lit(3)))
+    )
+    return tabular.scd2_history(
+        snaps, "c_custkey", ["c_mktsegment"], "version"
+    ).orderBy("c_custkey", "valid_from")
+
+
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
 # definition-order accident — and it ROTATES each round so every oracle
@@ -5477,6 +5534,7 @@ _DEPRIORITIZED = (
     "top_event_paths",
     "trend_by_event_type",
     "benford_price_profile",
+    "scd2_customer_segments",
 )
 # ^ everything from ohlc_events_daily down follows the same late-r4
 # no-slot-left rule as the trio above it: r5 rotation first, judge-run

@@ -231,3 +231,33 @@ def test_ensure_min_partitions_conf_off(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.ensureMinPartitions")
     assert ensure_min_partitions(docs).rdd.getNumPartitions() >= 2
+
+
+def test_scd2_history_change_semantics(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import tabular as T
+
+    snaps = spark.createDataFrame(
+        [
+            # key 1: A -> A -> B    (one change at v3)
+            (1, 1, "A"), (1, 2, "A"), (1, 3, "B"),
+            # key 2: never changes  (one history row)
+            (2, 1, "X"), (2, 2, "X"), (2, 3, "X"),
+            # key 3: NULL -> NULL -> Y (null-safe compare: one change)
+            (3, 1, None), (3, 2, None), (3, 3, "Y"),
+        ],
+        "k int, version int, attr string",
+    )
+    out = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to)
+            for r in T.scd2_history(snaps, "k", ["attr"], "version").collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out == [
+        (1, "A", 1, 2),
+        (1, "B", 3, None),
+        (2, "X", 1, None),
+        (3, None, 1, 2),
+        (3, "Y", 3, None),
+    ]
