@@ -198,6 +198,11 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # e is read by the degree agg, orientation, wedge sides, closing
+        # join and the edge count — 7 consumers; materialize once or an
+        # upstream construction pipeline re-executes per consumer (the
+        # same discipline as connected_components' edge checkpoint)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))

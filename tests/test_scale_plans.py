@@ -611,3 +611,37 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY["triangle_count_part_graph"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # scalar (one-row) combos may nested-loop; every BNLJ in this plan
+    # must be such a Cross of aggregates, never a data-sized join
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line
+
+
+def test_scd2_windows_are_keyed(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY["scd2_customer_segments"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "c_custkey" in line  # every window carries the key
+
+
+def test_benford_total_broadcasts(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY["benford_price_profile"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the one-row total joins back via broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
