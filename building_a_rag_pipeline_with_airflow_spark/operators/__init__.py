@@ -32,6 +32,32 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     return df
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Actually release a ``localCheckpoint(eager=True)`` frame's blocks.
+
+    ``Dataset.unpersist()`` is a NO-OP for locally-checkpointed frames:
+    it asks the cache manager to uncache the query plan, but a
+    checkpoint's storage lives on the underlying RDD, which the cache
+    manager never registered — verified against this Spark build
+    (`getPersistentRDDs` keeps the entry after ``df.unpersist()``).
+    Iterative operators (connected_components, pagerank, triangle_count)
+    that checkpoint per round MUST use this instead, or every superseded
+    round's blocks stay pinned for the session.
+
+    The frame becomes UNRECOMPUTABLE afterwards (its lineage was
+    truncated at checkpoint time) — call only on frames with no
+    remaining readers. No-op for frames that are not direct
+    localCheckpoint results."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        # a localCheckpoint result's analyzed plan is a LogicalRDD
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        # best-effort memory hygiene — never fail the job over it
+        pass
+
+
 def require_nonempty(df: DataFrame, what: str = "input") -> DataFrame:
     """Reference F10 emptiness guard (the pipeline skips/raises on empty
     intermediate sets). ``isEmpty`` probes one partition via limit(1) — never

@@ -29,7 +29,10 @@ from building_a_rag_pipeline_with_airflow_spark.functions.text import (
     tokens,
     word_ngrams,
 )
-from building_a_rag_pipeline_with_airflow_spark.operators import ensure_min_partitions
+from building_a_rag_pipeline_with_airflow_spark.operators import (
+    ensure_min_partitions,
+    release_checkpoint,
+)
 
 MERSENNE_P = 2147483647  # 2^31 - 1: permutation modulus for minhash
 
@@ -664,8 +667,11 @@ def connected_components(
             .isEmpty()
         )
         # the probe above was the last reader of the old labels' blocks —
-        # release them now, or repeated calls pin every round's checkpoint
-        labels.unpersist()
+        # release them now, or repeated calls pin every round's checkpoint.
+        # Must be release_checkpoint, not Dataset.unpersist(): the latter
+        # is a verified NO-OP on locally-checkpointed frames (the blocks
+        # live on the underlying RDD, not in the cache manager).
+        release_checkpoint(labels)
         labels = new_labels
         if converged:
             break
@@ -677,13 +683,13 @@ def connected_components(
         # near-dup graphs are diameter ≤ ~3, so hitting this means the
         # edge list isn't the clique/star shape this operator assumes and
         # the caller should raise max_iter deliberately.
-        und.unpersist()
+        release_checkpoint(und)
         raise RuntimeError(
             f"connected_components: not converged after max_iter="
             f"{max_iter} rounds; component diameter exceeds the bound "
             "(raise max_iter, or check the edge list for chain shapes)"
         )
-    und.unpersist()  # the returned labels no longer reference the edges
+    release_checkpoint(und)  # the returned labels no longer read the edges
     return labels
 
 

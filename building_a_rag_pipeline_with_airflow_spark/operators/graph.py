@@ -40,6 +40,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
+
+
+def _normalized_edges(e: DataFrame, out_w: DataFrame, use_bcast: bool) -> DataFrame:
+    """The once-per-run edge normalization join ``pagerank`` executes —
+    factored out so plan tests assert on the EXACT construction the
+    operator runs (a hand-rederived copy in the test would keep passing
+    if this branch regressed)."""
+    norm = e.join(F.broadcast(out_w) if use_bcast else out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("wt")).alias("p")
+    )
+    if not use_bcast:
+        norm = norm.repartition("src")
+    return norm
+
+
+def _round_contrib(norm: DataFrame, ranks: DataFrame, use_bcast: bool) -> DataFrame:
+    """One PageRank round's contribution join+aggregate — the per-round
+    plan ``pagerank`` executes; shared with the plan test (see
+    :func:`_normalized_edges`)."""
+    r = ranks.withColumnRenamed("node", "src")
+    return (
+        norm.join(F.broadcast(r) if use_bcast else r, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("pr") * F.col("p")).alias("inflow"))
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -80,6 +107,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # one scalar; also materializes the node persist
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("pagerank: empty edge list")
     # The rank vector is one row per NODE — tiny relative to edges. When
     # it fits a broadcast (the common case: |V| ≤ broadcast_nodes), ship
     # it to the cached edge partitions each round: ZERO exchange on the
@@ -90,12 +121,7 @@ def pagerank(
     use_bcast = n <= int(broadcast_nodes)
     # out_w is node-sized, so the normalization join broadcasts under
     # the same condition instead of shuffling the edge side.
-    norm = e.join(F.broadcast(out_w) if use_bcast else out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("wt")).alias("p")
-    )
-    if not use_bcast:
-        norm = norm.repartition("src")
-    norm = norm.persist()
+    norm = _normalized_edges(e, out_w, use_bcast).persist()
     dangling = (
         # node-sized; checkpointed so it survives the edge cache drop
         nodes.join(out_w.withColumnRenamed("src", "node"), "node", "left_anti")
@@ -109,12 +135,7 @@ def pagerank(
     base = (1.0 - d) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(int(iterations)):
-        r = ranks.withColumnRenamed("node", "src")
-        contrib = (
-            norm.join(F.broadcast(r) if use_bcast else r, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("inflow"))
-        )
+        contrib = _round_contrib(norm, ranks, use_bcast)
         extra = 0.0
         if dangling is not None:
             # Tiny aggregate: sum of rank sitting on out-degree-0 nodes.
@@ -139,15 +160,26 @@ def pagerank(
             # new_ranks is materialized; the superseded round's checkpoint
             # blocks have no readers left — release them (same discipline
             # as dedup.connected_components) or every round stays pinned.
-            ranks.unpersist()
+            # NB: plain Dataset.unpersist() is a no-op on checkpoints —
+            # see operators.release_checkpoint.
+            release_checkpoint(ranks)
         ranks = new_ranks
     norm.unpersist()
     nodes.unpersist()
+    if dangling is not None:
+        # Release the node-sized dangling checkpoint — the returned rank
+        # frame no longer reads it, and leaving it pinned accumulates
+        # across repeated calls (the 4× slowdown measured at
+        # dedup.connected_components).
+        release_checkpoint(dangling)
     return ranks
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items: "int | None" = 10_000,
 ) -> DataFrame:
     """Symmetric co-occurrence edge list: ``(src, dst, w)`` where ``w`` is
     the number of DISTINCT groups in which the two items co-appear.
@@ -158,20 +190,43 @@ def cooccurrence_edges(
     edge-count aggregate. The equivalent group-key self-join costs a
     second full shuffle of the fanned-out pairs plus a distinct — ~3×
     slower measured at sf0.1 (907k edges: 7.7 s join form vs 2.6 s this
-    form). Fan-out per group is (set size)², safe exactly when group
-    membership is bounded (lineitems per order, authors per paper); cap
-    membership upstream for heavy-tailed groups."""
+    form).
+
+    Fan-out per group is (set size)², so one celebrity group (a basket
+    with 10⁵ distinct items) would quadratically explode a single task.
+    ``max_items`` ENFORCES the bound: groups with more distinct items are
+    dropped entirely — the same explicit-modeling-decision contract as
+    ``linkage.blocked_fuzzy_pairs``'s ``max_block``; a degenerate group
+    key should be refined upstream, not silently turned into a 10¹⁰-row
+    task. Pass ``max_items=None`` to disable (bounded-membership inputs
+    only). Audit the dropped set with :func:`oversized_groups`."""
     sets = (
         df.groupBy(group_col)
         .agg(F.collect_set(item_col).alias("_items"))
         .select("_items")
     )
+    if max_items is not None:
+        sets = sets.where(F.size("_items") <= int(max_items))
     return (
         sets.select(F.explode("_items").alias("src"), F.col("_items"))
         .select("src", F.explode("_items").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def oversized_groups(
+    df: DataFrame, group_col: str, item_col: str, max_items: int
+) -> DataFrame:
+    """The groups a ``max_items`` guard would drop: ``(group, n_items)``
+    for every group whose DISTINCT item count exceeds the cap. Run this
+    to surface what :func:`cooccurrence_edges` / ``baskets.baskets_of``
+    excluded — one countDistinct aggregate, no fan-out."""
+    return (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.countDistinct(item_col).alias("n_items"))
+        .where(F.col("n_items") > int(max_items))
     )
 
 
@@ -230,4 +285,11 @@ def triangle_count(
     tri = wedges.join(closing, ["u", "v"], "left_semi")
     n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     n_edge = e.agg(F.count("*").cast("bigint").alias("n_edges"))
-    return n_edge.crossJoin(n_tri)
+    # Compute the one-row result eagerly (localCheckpoint), then RELEASE
+    # the edge-sized checkpoint — returning a frame that still reads `e`
+    # would keep the edge blocks pinned for the whole session, the exact
+    # accumulation connected_components' docstring measured as a 4×
+    # slowdown across repeated calls.
+    out = n_edge.crossJoin(n_tri).localCheckpoint(eager=True)
+    release_checkpoint(e)
+    return out

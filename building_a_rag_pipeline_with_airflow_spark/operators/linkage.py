@@ -57,9 +57,15 @@ def blocked_fuzzy_pairs(
         block.alias("_blk"), F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
     ).distinct()
     sizes = base.groupBy("_blk").agg(F.count("*").alias("_n"))
+    # No explicit broadcast of the block-size table: its cardinality is
+    # the number of DISTINCT blocking keys, which for soundex_block is
+    # ≤ ~7k codes but for last_token_block is vocabulary-scale (millions
+    # of rows at 100 TB). A semi-join lets AQE pick broadcast when the
+    # filtered key set is actually small and shuffle otherwise.
     bounded = base.join(
-        F.broadcast(sizes.where(F.col("_n") <= int(max_block)).select("_blk")),
+        sizes.where(F.col("_n") <= int(max_block)).select("_blk"),
         "_blk",
+        "left_semi",
     )
     other = bounded.select(
         "_blk", F.col("id_a").alias("id_b"), F.col("name_a").alias("name_b")

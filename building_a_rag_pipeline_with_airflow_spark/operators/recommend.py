@@ -56,6 +56,7 @@ def cooccurrence_recommend(
     item_col: str,
     k: int = 5,
     min_count: int = 2,
+    max_items: "int | None" = 10_000,
 ) -> DataFrame:
     """Item-item recommendations from basket co-occurrence: for each
     item, the top-k other items by shared-basket count (ties broken by
@@ -63,7 +64,9 @@ def cooccurrence_recommend(
     tier + one per-item window over the (items × k)-scale pair frame."""
     from pyspark.sql import Window
 
-    pairs = baskets.frequent_pairs(df, group_col, item_col, min_count=min_count)
+    pairs = baskets.frequent_pairs(
+        df, group_col, item_col, min_count=min_count, max_items=max_items
+    )
     sym = pairs.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("rec"), "n"
     ).unionByName(

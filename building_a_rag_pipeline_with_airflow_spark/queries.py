@@ -4519,10 +4519,15 @@ def resample_interpolate_purchases(spark, sf_dir):
 @q(
     "anomaly_zscore_events_daily",
     """
+    -- Exact-cents daily sums (same device as resample_interpolate): a raw
+    -- double sum's partial-sum ORDER can differ by 1 ulp between engines,
+    -- and a half-boundary landing at the rounded decimals would flip the
+    -- hash. Integer cent sums are order-independent and exact.
     WITH daily AS (
       SELECT event_type,
              CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
-             sum(value) AS value
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS value
       FROM events GROUP BY event_type, 2
     ),
     scored AS (
@@ -4552,7 +4557,16 @@ def anomaly_zscore_events_daily(spark, sf_dir):
     series' first day has NULL stddev → NULL z → false flag by
     construction."""
     ev = _t(spark, sf_dir, "events")
-    daily = timeseries.resample(ev, "ts", "value", by=("event_type",), agg="sum")
+    # Exact-cents sums (see oracle comment): pre-scale to integer cents,
+    # resample with the generic sum (bigint sum — exact, order-free),
+    # descale once. Keeps timeseries.resample on the data path while
+    # removing the cross-engine partial-sum-order ulp hazard.
+    cents = ev.select(
+        "event_type", "ts", F.round(F.col("value") * 100).cast("bigint").alias("value")
+    )
+    daily = timeseries.resample(
+        cents, "ts", "value", by=("event_type",), agg="sum"
+    ).withColumn("value", F.col("value").cast("double") / F.lit(100.0))
     scored = timeseries.zscore_anomalies(
         daily, by=("event_type",), window_periods=7, threshold=2.0
     )
@@ -5185,10 +5199,13 @@ def top_event_paths(spark, sf_dir):
 @q(
     "trend_by_event_type",
     """
+    -- Exact-cents daily sums, same device as anomaly_zscore_events_daily:
+    -- raw double sum(value) is partial-sum-order sensitive across engines.
     WITH daily AS (
       SELECT event_type,
              CAST(floor(epoch_ms(ts) / 1000.0 / 86400) AS BIGINT) AS period,
-             sum(value) AS v
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS v
       FROM events GROUP BY event_type, 2
     )
     SELECT event_type,
@@ -5208,9 +5225,13 @@ def trend_by_event_type(spark, sf_dir):
     scaled rounding lands on the same doubles. Grouped regression is the
     per-key generalization of `zipf_profile`'s corpus-level slope."""
     ev = _t(spark, sf_dir, "events")
-    daily = timeseries.resample(
-        ev, "ts", "value", by=("event_type",), agg="sum", out_col="v"
+    # Exact-cents sums (see oracle comment) — order-free integer sums.
+    cents = ev.select(
+        "event_type", "ts", F.round(F.col("value") * 100).cast("bigint").alias("value")
     )
+    daily = timeseries.resample(
+        cents, "ts", "value", by=("event_type",), agg="sum", out_col="v"
+    ).withColumn("v", F.col("v").cast("double") / F.lit(100.0))
     p, v = F.col("period").cast("double"), F.col("v")
     return (
         daily.groupBy("event_type")

@@ -318,16 +318,23 @@ def write_zordered(
         F.min(a).alias("_alo"), F.max(a).alias("_ahi"),
         F.min(b).alias("_blo"), F.max(b).alias("_bhi"),
     )
+    # Guard ONLY the zero-span (constant column) case. Clamping the span
+    # up to 1.0 would quietly under-scale any column whose value range is
+    # < 1 (rates, scores, normalized doubles), compressing that dimension
+    # into a sliver of the 2^bits grid and losing the interleave
+    # resolution the layout exists for.
+    span_a = F.col("_ahi") - F.col("_alo")
+    span_b = F.col("_bhi") - F.col("_blo")
     scaled = df.crossJoin(F.broadcast(bounds)).select(
         "*",
         F.round(
             (a - F.col("_alo"))
-            / F.greatest(F.col("_ahi") - F.col("_alo"), F.lit(1.0))
+            / F.when(span_a > 0, span_a).otherwise(F.lit(1.0))
             * hi
         ).cast("long").alias("_na"),
         F.round(
             (b - F.col("_blo"))
-            / F.greatest(F.col("_bhi") - F.col("_blo"), F.lit(1.0))
+            / F.when(span_b > 0, span_b).otherwise(F.lit(1.0))
             * hi
         ).cast("long").alias("_nb"),
     )

@@ -61,3 +61,35 @@ def test_fpgrowth_size2_equals_frequent_pairs(spark, sf_dir):
     }
     assert got == exact
     assert len(exact) > 0
+
+
+def test_baskets_max_items_drops_wide_basket(spark):
+    """The enforced fan-out cap: a basket wider than max_items is DROPPED
+    (the linkage.max_block contract), and the survivors' pairs/support
+    are computed over the remaining baskets only."""
+    rows = [("wide", f"i{k}") for k in range(6)]
+    rows += [("o1", "a"), ("o1", "b"), ("o2", "a"), ("o2", "b")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    out = {
+        (r.item_a, r.item_b): (r.n, r.support)
+        for r in baskets.frequent_pairs(
+            df, "g", "i", min_count=2, max_items=5
+        ).collect()
+    }
+    # the 6-item basket is gone; support denominator = 2 surviving baskets
+    assert out == {("a", "b"): (2, pytest.approx(1.0, abs=1e-6))}
+    # uncapped, the wide basket contributes pairs and the denominator is 3
+    full = baskets.frequent_pairs(df, "g", "i", min_count=2, max_items=None)
+    assert {(r.item_a, r.item_b) for r in full.collect()} == {("a", "b")}
+    assert full.first().support == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_baskets_default_cap_leaves_bounded_input_unchanged(spark):
+    df = spark.createDataFrame(
+        [("o1", "a"), ("o1", "b"), ("o2", "a"), ("o2", "b")], "g string, i string"
+    )
+    capped = baskets.frequent_pairs(df, "g", "i", min_count=2).collect()
+    uncapped = baskets.frequent_pairs(
+        df, "g", "i", min_count=2, max_items=None
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))

@@ -558,26 +558,57 @@ def test_pagerank_round_broadcasts_rank_vector(spark, sf_dir):
     )
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
     pr = graph.pagerank(edges, weight="w", iterations=1)
-    # the returned frame is a checkpoint; assert on the plan Spark RAN by
-    # re-deriving one round's contrib join explicitly
+    # the returned frame is a checkpoint; assert on the plan Spark RAN via
+    # the SAME helpers pagerank's loop calls (graph._normalized_edges /
+    # graph._round_contrib) with use_bcast resolved exactly as pagerank
+    # resolves it — a hand-rederived copy here would keep passing if the
+    # operator's own broadcast branch regressed.
     from pyspark.sql import functions as F
 
     e = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("wt"))
-    norm = e.join(F.broadcast(out_w), "src").select(
-        "src", "dst", (F.col("w") / F.col("wt")).alias("p")
+    n_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
     )
-    ranks = pr.withColumnRenamed("node", "src")
-    contrib = (
-        norm.join(F.broadcast(ranks), "src")
-        .groupBy(F.col("dst"))
-        .agg(F.sum(F.col("pr") * F.col("p")).alias("inflow"))
-    )
+    use_bcast = n_nodes <= 2_000_000  # pagerank's broadcast_nodes default
+    assert use_bcast  # the sf fixture graph must exercise the bcast branch
+    norm = graph._normalized_edges(e, out_w, use_bcast)
+    contrib = graph._round_contrib(norm, pr, use_bcast)
     plan = contrib._jdf.queryExecution().executedPlan().toString()
     # both joins (normalization and rank) broadcast their node-sized side;
     # the edge frame is never sort-merge-shuffled for a join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_rejects_empty_edges(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import graph
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        graph.pagerank(empty)
+
+
+def test_triangle_count_releases_edge_checkpoint(spark):
+    """triangle_count must not leave its edge-sized localCheckpoint pinned
+    after returning (the returned frame is one row — it should be its own
+    checkpoint, with the edge blocks released)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import graph
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    row = graph.triangle_count(e).first()
+    assert (row["n_edges"], row["n_triangles"]) == (4, 1)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # only the one-row result checkpoint may remain pinned
+    assert after - before <= 1
 
 
 def test_transition_matrix_broadcasts_totals(spark, sf_dir):
@@ -645,3 +676,32 @@ def test_benford_total_broadcasts(spark, sf_dir):
     # the one-row total joins back via broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_iterative_ops_release_superseded_checkpoints(spark):
+    """connected_components and pagerank checkpoint per round; every
+    superseded round's blocks must actually be released (plain
+    Dataset.unpersist() is a no-op on checkpoints — the regression this
+    guards is operators.release_checkpoint being bypassed). Only the
+    returned frame's own checkpoint may stay pinned."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup, graph
+
+    sc = spark.sparkContext
+
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a bigint, b bigint"
+    )
+    labels = dedup.connected_components(edges, a_col="a", b_col="b")
+    assert labels.count() == 5
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1
+
+    before = after
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    pr = graph.pagerank(e2, iterations=3, handle_dangling=True)
+    assert pr.count() == 3
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1

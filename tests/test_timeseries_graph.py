@@ -159,3 +159,23 @@ def test_triangle_count_known_graph(spark):
     )
     row2 = graph.triangle_count(noisy).first()
     assert (row2.n_edges, row2.n_triangles) == (5, 2)
+
+
+def test_cooccurrence_edges_max_items_guard(spark):
+    """Celebrity-group guard: a group with more distinct items than
+    max_items is dropped from the edge build (its quadratic fan-out would
+    land in one task); oversized_groups surfaces exactly that set."""
+    rows = [("big", f"i{k}") for k in range(4)] + [
+        ("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y")
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    capped = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(df, "g", "item", max_items=3).collect()
+    }
+    assert capped == {("x", "y"): 2.0, ("y", "x"): 2.0}
+    dropped = graph.oversized_groups(df, "g", "item", max_items=3).collect()
+    assert [(r.group, r.n_items) for r in dropped] == [("big", 4)]
+    # disabling the cap restores the big group's pairs
+    full = graph.cooccurrence_edges(df, "g", "item", max_items=None)
+    assert full.where(F.col("src") == "i0").count() == 3

@@ -83,3 +83,31 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # each key range, so min/max pruning works for either predicate
     assert sum(z_ok) / len(z_ok) < 0.7
     assert sum(z_pk) / len(z_pk) < 0.7
+
+
+def test_zorder_sub_unit_span_keeps_resolution(spark, tmp_path):
+    """A dimension whose whole value span is < 1 (rates, scores) must
+    still spread across the interleave grid — dividing by max(span, 1)
+    would compress it into a sliver and one file would cover the whole
+    range."""
+    import itertools
+
+    rows = [
+        (float(a), b / 100.0)
+        for a, b in itertools.product(range(64), range(64))
+    ]
+    df = spark.createDataFrame(rows, "x double, rate double")  # rate spans 0..0.63
+    path = str(tmp_path / "subunit")
+    sio.write_zordered(df, path, "x", "rate", n_files=8)
+    spans = _file_spans(path, "rate")
+    # every file must cover a strict fraction of the 0.63 rate range
+    assert sum(spans) / len(spans) < 0.7
+
+
+def test_zorder_constant_column_does_not_divide_by_zero(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(100)], "x double, c double"
+    )
+    path = str(tmp_path / "const")
+    sio.write_zordered(df, path, "x", "c", n_files=4)
+    assert spark.read.parquet(path).count() == 100
