@@ -125,6 +125,7 @@ HEADLINE = [
     "label_centroids_embeddings",
     "entropy_profile_orders",
     "embedding_dup_clusters",
+    "embedding_dup_clusters_lsh",
     "winsorized_price_stats",
     "frequent_part_pairs",
     "cooccur_recommend_parts",

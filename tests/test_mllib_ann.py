@@ -231,3 +231,39 @@ def test_blocked_cosine_pairs_equals_naive_join(spark, sf_dir):
     )
     assert blocked == naive
     assert len(blocked) > 0
+
+
+def test_lsh_clusters_match_exact_at_high_threshold(spark, emb):
+    """The production LSH-banded cluster path vs the exact blocked-BLAS
+    tier: at a high cosine threshold the qualifying pairs are
+    near-duplicates, whose signatures collide in at least one band with
+    probability ~1 — so the two paths must produce the SAME clusters.
+    The fixture corpus has no natural near-dups (max pairwise cosine
+    ≈0.48), so planted ones are appended: positively SCALED copies have
+    cosine exactly 1.0 and an identical sign-LSH signature (sign bits are
+    scale-invariant), making LSH recall exactly 1 by construction. (At
+    looser thresholds recall drops by design; the registry query carries
+    its own full value oracle for that regime.)"""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    thr = 0.9
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+
+    def clusters(pairs):
+        labels = dedup.connected_components(pairs, "id_a", "id_b")
+        return {(r.node, r.component) for r in labels.collect()}
+
+    exact = clusters(similarity.blocked_cosine_pairs(corpus, threshold=thr))
+    lsh = clusters(
+        dedup.embedding_near_dups(
+            corpus, vec_col="embedding", id_col="vec_id",
+            threshold=thr, n_planes=8, n_bands=2, dim=64, seed=42,
+        )
+    )
+    # every planted copy clusters with its source under its source's label
+    assert {(v + 100_000, v) for v in range(20)} <= exact
+    assert lsh == exact
