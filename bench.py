@@ -91,6 +91,7 @@ HEADLINE = [
     "winnow_fingerprints",
     # lexical retrieval / LM stats / tokenizer
     "bm25_topk_documents",
+    "bm25_batch_topk_documents",
     "tfidf_top_terms_documents",
     "bigram_lm_ppl_documents",
     "rrf_fusion_topk",

@@ -48,6 +48,7 @@ __all__ = [
     "bigram_lm_score",
     "build_postings_index",
     "bm25_topk_from_index",
+    "bm25_topk_many_from_index",
     "vocab_coverage",
     "zipf_profile",
 ]
@@ -531,4 +532,92 @@ def bm25_topk_from_index(
         .agg(F.round(F.sum(contrib), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def bm25_topk_many_from_index(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    *,
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch form of :func:`bm25_topk_from_index`: top-k BM25 for EVERY
+    query in ``queries_df`` (``q_id``, ``terms`` array) in ONE job —
+    per-query result-identical to the single-query path.
+
+    The single-query path resolves term→bucket on the DRIVER (a handful
+    of literals); looping it over a query workload costs O(q) driver
+    round-trips and O(q) jobs. Here the mapping runs IN-PLAN: the
+    workload's distinct terms get their bucket via the same
+    ``pmod(xxhash64(term), n_buckets)`` the build used, and the postings
+    scan is pruned by a broadcast join on ``(bucket, term)`` — the bucket
+    side becomes a dynamic-partition-pruning filter on the scan (plan
+    shows ``dynamicpruning`` in PartitionFilters), the term side a
+    broadcast-hash residual. Work is O(matching posting lists for the
+    UNION of query terms), scanned once even for terms shared by many
+    queries; the per-query fan-out happens after the postings have been
+    cut down. Final top-k is a per-query window (partition = one query's
+    candidate docs — bounded), never a global sort.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    extended = bool(meta["extended"])
+    if extended:
+        bs = (
+            spark.read.parquet(f"{path}/batch_stats")
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .first()
+        )
+        n_docs_val, avgdl_val = float(bs["n"]), float(bs["s"]) / float(bs["n"])
+    else:
+        n_docs_val, avgdl_val = float(meta["n_docs"]), float(meta["avgdl"])
+    # (q_id, term) pairs, deduped within a query (a repeated query term
+    # must not double a posting's contribution — same set semantics as
+    # the single-query path's sorted(set(...)))
+    qt = (
+        queries_df.select(
+            F.col(q_id_col).alias("q_id"), F.explode(terms_col).alias("term")
+        )
+        .distinct()
+    )
+    term_buckets = (
+        qt.select("term")
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    post = spark.read.parquet(f"{path}/postings").join(
+        F.broadcast(term_buckets), ["bucket", "term"]
+    )
+    if extended:
+        # batch-local stored df_t is stale across batches: recount over
+        # the pruned rows (≤ |workload terms| keys — broadcastable)
+        dfreq = post.groupBy("term").agg(
+            F.count("*").cast("double").alias("df_t")
+        )
+        post = post.drop("df_t").join(F.broadcast(dfreq), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs_val) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl_val)))
+    )
+    hits = post.withColumn("_c", contrib).join(qt, "term")
+    per_query = hits.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("_c"), 4).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("q_id", "doc_id", "score", "rank")
     )

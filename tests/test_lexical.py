@@ -225,3 +225,52 @@ def test_zipf_profile_two_word_slope(spark):
     assert r["zipf_slope"] == round(
         (math.log(2) - math.log(4)) / (math.log(2) - math.log(1)), 4
     )
+
+
+def test_bm25_many_matches_per_query_loop_and_prunes(spark, sf_dir, tmp_path):
+    """The batch index query must be per-query identical to the
+    single-query driver-resolved path, in ONE job whose postings scan is
+    dynamically partition-pruned by the in-plan (bucket, term) broadcast
+    join — no full-index scan, no per-query driver round-trips."""
+    import contextlib
+    import io
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "postings_idx_many")
+    lexical.build_postings_index(docs, idx, n_buckets=8)
+
+    workloads = {
+        1: ["spark", "join", "window"],
+        2: ["shuffle", "partition"],
+        3: ["spark", "shuffle"],  # shares terms with both others
+    }
+    queries = spark.createDataFrame(
+        [(q, ts) for q, ts in workloads.items()],
+        "q_id int, terms array<string>",
+    )
+    got = {
+        (r.q_id, r.rank): (r.doc_id, r.score)
+        for r in lexical.bm25_topk_many_from_index(
+            spark, idx, queries, k=7
+        ).collect()
+    }
+    for qid, terms in workloads.items():
+        single = lexical.bm25_topk_from_index(spark, idx, terms, k=7).collect()
+        for rank, row in enumerate(single, start=1):
+            assert got[(qid, rank)] == (row.doc_id, row.score), (qid, rank)
+    assert len(got) == sum(
+        min(7, len(lexical.bm25_topk_from_index(spark, idx, t, k=7).collect()))
+        for t in workloads.values()
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lexical.bm25_topk_many_from_index(spark, idx, queries, k=7).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    # the bucket partition filter is DYNAMIC (from the broadcast side)
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
