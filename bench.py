@@ -135,6 +135,13 @@ HEADLINE = [
     "trend_by_event_type",
     "benford_price_profile",
     "scd2_customer_segments",
+    # drift / robust-stats / survival family (r5)
+    "psi_price_drift_orders",
+    "ks_price_drift_orders",
+    "chi2_priority_drift_orders",
+    "js_divergence_docs_by_lang",
+    "mad_outlier_prices",
+    "km_time_to_purchase",
 ]
 
 

@@ -402,3 +402,112 @@ def funnel(
         nxt = nxt.groupBy(user_col).agg(F.min("_t").alias(f"stage_{i}_ts"))
         cur = cur.join(nxt, user_col, "left")
     return cur
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    n_partitions: "int | None" = None,
+    keep_pid: bool = False,
+) -> DataFrame:
+    """Exact running totals of ``sum_cols`` in ``order_col`` order WITHOUT
+    a single-partition window — the distributed prefix-sum:
+
+    1. range-repartition on the key (each partition owns a contiguous key
+       range),
+    2. within-partition running sums via a window partitioned by
+       ``spark_partition_id()`` (bounded partitions, never global),
+    3. per-partition totals (one tiny agg: one row per partition) turned
+       into EXCLUSIVE offsets by a cumulative window over that
+       partition-count-sized frame — the tiny-frame contract from
+       :func:`rolling_agg`; #partitions rows, not data rows —
+    4. broadcast-joined back and added.
+
+    The naive ``sum() OVER (ORDER BY k)`` plans a single-partition
+    WindowExec holding the whole table; this shape is what CDFs, exact
+    ECDF comparisons (:func:`drift.ks_statistic`) and global running
+    totals over unbounded-cardinality keys must use instead.
+
+    ``order_col`` values should be unique (pre-aggregate per key first);
+    with duplicate keys the intra-key running order is partition-file
+    order, i.e. nondeterministic. Adds ``<col>_cum`` per sum column.
+    """
+    spark = df.sparkSession
+    n = int(n_partitions or spark.sparkContext.defaultParallelism)
+    d = df.repartitionByRange(n, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in sum_cols:
+        d = d.withColumn(f"_run_{c}", F.sum(c).over(w_in))
+    tot = d.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = tot.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0).cast("double"))
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = d.join(F.broadcast(off), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum", F.col(f"_run_{c}") + F.col(f"_off_{c}")
+        ).drop(f"_run_{c}", f"_off_{c}")
+    return out if keep_pid else out.drop("_pid")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier summary per group: median, the median
+    absolute deviation, and how many rows sit beyond
+    ``k * 1.4826 * MAD`` of the median (1.4826 scales MAD to sigma under
+    normality — the standard robust z-score). The mean/stddev z-score
+    (:func:`timeseries.zscore_anomalies`) is itself dragged by the
+    outliers it hunts; the MAD form is what data-quality screens on
+    heavy-tailed columns (prices, latencies, token counts) should use.
+
+    Two grouped exact-percentile aggregates (median, then MAD over the
+    joined absolute deviations) + one flag count — three shuffles on the
+    group key, map-side everything else. At whole-table scale swap the
+    exact percentile for ``percentile_approx`` (the
+    :func:`percentile_profile` toggle)."""
+    v = F.col(value_col).cast("double")
+    keys = list(by)
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med) if not keys else med, keys or None, "inner" if keys else "cross").select(
+        *keys, v.alias("_v"), F.col("_med"), F.abs(v - F.col("_med")).alias("_ad")
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.first("_med").alias("_med2"),
+        F.expr("percentile(_ad, 0.5)").alias("_mad"),
+    )
+    flagged = dev.drop("_med").join(F.broadcast(mad) if not keys else mad, keys or None, "inner" if keys else "cross")
+    bound = F.lit(float(k)) * 1.4826 * F.col("_mad")
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.round(F.first("_med2"), 4).alias("median"),
+            F.round(F.first("_mad"), 4).alias("mad"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("_v") - F.col("_med2")) > bound, 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -235,3 +235,72 @@ def zscore_anomalies(
         F.round(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > float(threshold), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over ``(duration, observed)`` rows —
+    the time-to-event estimator (how long until a user converts / a doc
+    is near-duplicated / a job fails), censoring-aware: ``observed=false``
+    rows (still alive at study end) leave the risk set without counting
+    as events.
+
+    Per-duration event/censor counts (ONE hash agg — the only stage that
+    touches the data), then the classic product-limit over the distinct
+    durations: ``n_risk(t) = N − Σ_{s<t}(d_s + c_s)`` and
+    ``S(t) = Π_{s≤t} (1 − d_s/n_s)``, computed as cumulative windows over
+    the one-row-per-duration frame — durations are calendar-bounded, the
+    same tiny-frame contract as :func:`resample`'s downstream windows
+    (for unbounded duration grids use :func:`analytics.prefix_sum`).
+    The product rides ``exp(Σ ln(·))``; output is rounded to 6 decimals
+    so any engine reproduces it. Returns one row per distinct duration:
+    ``(duration, n_risk, n_events, n_censored, survival)``."""
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("bigint").alias("t"),
+            F.col(observed_col).cast("boolean").alias("obs"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("obs"), 1).otherwise(0))
+            .cast("double")
+            .alias("d"),
+            F.sum(F.when(F.col("obs"), 0).otherwise(1))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("_n"))
+    risk = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("_n") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0.0)),
+    )
+    # The last duration can exhaust the risk set (d == n_risk): its factor
+    # is exactly 0 and ln is undefined — Spark's log(0) yields NULL,
+    # DuckDB raises. Sum only the positive factors and pin survival to 0
+    # once any exhausting duration has passed (identical CASE in oracles).
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    exhausted = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    surv = risk.withColumn(
+        "survival",
+        F.when(exhausted == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(ln_term).over(w_cum)) * 1_000_000) / 1_000_000
+        ),
+    )
+    return surv.select(
+        F.col("t").alias("duration"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        "survival",
+    )

@@ -27,6 +27,7 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     chunking,
     curation,
     dedup,
+    drift,
     graph,
     lexical,
     multimodal,
@@ -5640,6 +5641,333 @@ def scd2_customer_segments(spark, sf_dir):
     return tabular.scd2_history(
         snaps, "c_custkey", ["c_mktsegment"], "version"
     ).orderBy("c_custkey", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift screens (operators/drift.py): the data-quality gate a
+# continuously-ingesting pipeline runs between snapshots. All four compare
+# the SAME deterministic split — orders/events before vs after the
+# dataset's epoch midpoint — so the family reads as one report.
+
+_ORDERS_SPLIT_SQL = """
+    mid AS (
+      SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) / 2
+               AS m
+      FROM orders
+    ),
+    side_a AS (SELECT o.* FROM orders o, mid
+               WHERE epoch_us(o.o_orderdate) < mid.m),
+    side_b AS (SELECT o.* FROM orders o, mid
+               WHERE epoch_us(o.o_orderdate) >= mid.m)
+"""
+
+
+def _orders_split(spark, sf_dir):
+    """The Spark twin of _ORDERS_SPLIT_SQL: one min/max aggregate
+    broadcast as the cutoff, two filtered scans (the predicate reaches
+    the parquet scan on both sides)."""
+    orders = _t(spark, sf_dir, "orders")
+    mid = orders.agg(
+        (
+            (
+                F.min(F.col("o_orderdate").cast("timestamp")).cast("double")
+                + F.max(F.col("o_orderdate").cast("timestamp")).cast("double")
+            )
+            / 2
+        ).alias("_m")
+    )
+    w = orders.crossJoin(F.broadcast(mid))
+    ts = F.col("o_orderdate").cast("timestamp").cast("double")
+    return w.where(ts < F.col("_m")), w.where(ts >= F.col("_m"))
+
+
+@q(
+    "psi_price_drift_orders",
+    """
+    WITH """
+    + _ORDERS_SPLIT_SQL
+    + """,
+    bounds AS (
+      SELECT list(q ORDER BY q) AS bs FROM (
+        SELECT unnest(quantile_cont(o_totalprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q
+        FROM side_a
+      )
+    ),
+    ba AS (
+      SELECT len(list_filter(bounds.bs, b -> o_totalprice > b)) AS bin,
+             CAST(count(*) AS BIGINT) AS n_base
+      FROM side_a, bounds GROUP BY 1
+    ),
+    bb AS (
+      SELECT len(list_filter(bounds.bs, b -> o_totalprice > b)) AS bin,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM side_b, bounds GROUP BY 1
+    ),
+    ta AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM side_a),
+    tb AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM side_b),
+    cells AS (
+      SELECT coalesce(ba.bin, bb.bin) AS bin,
+             coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new
+      FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+    )
+    SELECT bin, n_base, n_new,
+           round(greatest(n_base / ta.t, 1e-6) * 1000000) / 1000000 AS p_base,
+           round(greatest(n_new / tb.t, 1e-6) * 1000000) / 1000000 AS p_new,
+           round((greatest(n_base / ta.t, 1e-6) - greatest(n_new / tb.t, 1e-6))
+                 * ln(greatest(n_base / ta.t, 1e-6)
+                      / greatest(n_new / tb.t, 1e-6))
+                 * 1000000) / 1000000 AS psi_contrib
+    FROM cells, ta, tb ORDER BY bin
+    """,
+)
+def psi_price_drift_orders(spark, sf_dir):
+    """Population Stability Index profile of o_totalprice between the
+    dataset's two date halves (`operators.drift.psi_profile`): baseline
+    decile boundaries from ONE exact-percentile aggregate (broadcast
+    array), both sides binned map-side with a 9-element fold (no
+    explode), per-bin contributions so the drifted region is visible.
+    Σ psi_contrib is the headline scalar."""
+    a, b = _orders_split(spark, sf_dir)
+    return drift.psi_profile(a, b, "o_totalprice", n_bins=10).orderBy("bin")
+
+
+@q(
+    "ks_price_drift_orders",
+    """
+    WITH """
+    + _ORDERS_SPLIT_SQL
+    + """,
+    u AS (
+      SELECT o_totalprice AS v, 1 AS a, 0 AS b FROM side_a
+      UNION ALL
+      SELECT o_totalprice, 0, 1 FROM side_b
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+      FROM u GROUP BY v
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per_v),
+    cum AS (
+      SELECT sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+      FROM per_v
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(tot.ta AS BIGINT) AS n_a,
+           CAST(tot.tb AS BIGINT) AS n_b,
+           round(max(abs(ca / tot.ta - cb / tot.tb)) * 1000000) / 1000000
+             AS d_stat
+    FROM cum, tot GROUP BY tot.ta, tot.tb
+    """,
+)
+def ks_price_drift_orders(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov D between the two date
+    halves' o_totalprice distributions (`operators.drift.ks_statistic`).
+    The running ECDFs use `analytics.prefix_sum` — range-partition +
+    per-partition window + broadcast partition offsets — because a
+    continuous column's distinct-value relation is data-sized and a
+    `sum() OVER (ORDER BY v)` global window would plan a
+    single-partition stage (the oracle, running single-node anyway, uses
+    the plain window)."""
+    a, b = _orders_split(spark, sf_dir)
+    return drift.ks_statistic(a, b, "o_totalprice")
+
+
+@q(
+    "chi2_priority_drift_orders",
+    """
+    WITH """
+    + _ORDERS_SPLIT_SQL
+    + """,
+    a AS (SELECT o_orderpriority AS cat, CAST(count(*) AS DOUBLE) AS oa
+          FROM side_a GROUP BY 1),
+    b AS (SELECT o_orderpriority AS cat, CAST(count(*) AS DOUBLE) AS ob
+          FROM side_b GROUP BY 1),
+    cells AS (
+      SELECT coalesce(a.cat, b.cat) AS cat,
+             coalesce(oa, 0) AS oa, coalesce(ob, 0) AS ob
+      FROM a FULL OUTER JOIN b ON a.cat = b.cat
+    ),
+    tot AS (SELECT sum(oa) AS ra, sum(ob) AS rb FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(pow(oa - ra * (oa + ob) / (ra + rb), 2)
+                       / (ra * (oa + ob) / (ra + rb))
+                     + pow(ob - rb * (oa + ob) / (ra + rb), 2)
+                       / (rb * (oa + ob) / (ra + rb)))
+                 * 10000) / 10000 AS chi2
+    FROM cells, tot GROUP BY tot.ra, tot.rb
+    """,
+)
+def chi2_priority_drift_orders(spark, sf_dir):
+    """Pearson chi-squared drift of the o_orderpriority distribution
+    between the two date halves (`operators.drift.chi2_drift`): two hash
+    aggs, a category-count-sized join, margins folded in-plan."""
+    a, b = _orders_split(spark, sf_dir)
+    return drift.chi2_drift(a, b, "o_orderpriority")
+
+
+@q(
+    "js_divergence_docs_by_lang",
+    r"""
+    WITH ca AS (
+      SELECT tok AS term, CAST(count(*) AS DOUBLE) AS ca FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+      ) GROUP BY 1
+    ),
+    cb AS (
+      SELECT tok AS term, CAST(count(*) AS DOUBLE) AS cb FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents WHERE lang <> 'en' AND length(trim(text)) > 0
+      ) GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(ca.term, cb.term) AS term,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j)
+    SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_terms_a,
+           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_terms_b,
+           round((sum(CASE WHEN ca > 0 THEN ca / tot.ta
+                             * ln((ca / tot.ta)
+                                  / ((ca / tot.ta + cb / tot.tb) / 2))
+                           ELSE 0 END) / 2
+                  + sum(CASE WHEN cb > 0 THEN cb / tot.tb
+                               * ln((cb / tot.tb)
+                                    / ((ca / tot.ta + cb / tot.tb) / 2))
+                             ELSE 0 END) / 2)
+                 * 1000000) / 1000000 AS jsd
+    FROM j, tot GROUP BY tot.ta, tot.tb
+    """,
+)
+def js_divergence_docs_by_lang(spark, sf_dir):
+    """Jensen–Shannon divergence between the English and non-English
+    documents' token distributions (`operators.drift.js_divergence`) —
+    the symmetric, finite corpus-shift measure (KL is infinite on any
+    disjoint vocabulary, which corpus slices always have). One term-key
+    shuffle; Zipf keys move as map-side partial counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return drift.js_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+
+
+@q(
+    "mad_outlier_prices",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY 1
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, med.m,
+             abs(o.o_totalprice - med.m) AS ad
+      FROM orders o JOIN med USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, any_value(m) AS m,
+             quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           round(mad.m, 4) AS median,
+           round(mad.mad, 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(d.o_totalprice - mad.m)
+                              > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, mad.m, mad.mad
+    ORDER BY d.o_orderpriority
+    """,
+)
+def mad_outlier_prices(spark, sf_dir):
+    """Robust outlier screen per priority class
+    (`operators.analytics.mad_outliers`): median + MAD (scaled 1.4826 to
+    sigma) instead of mean/stddev — the classical z-score is dragged by
+    the very outliers it hunts on heavy-tailed columns. Two grouped
+    exact-percentile aggregates + one flag count."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.mad_outliers(
+        orders, "o_totalprice", by=("o_orderpriority",), k=3.0
+    ).orderBy("o_orderpriority")
+
+
+@q(
+    "km_time_to_purchase",
+    """
+    WITH life AS (
+      SELECT user_id,
+             min(epoch_us(ts)) / 1000000.0 AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) / 1000000.0 AS tp
+      FROM events GROUP BY user_id
+    ),
+    study AS (SELECT max(epoch_us(ts)) / 1000000.0 AS tend FROM events),
+    durs AS (
+      SELECT CAST(floor((coalesce(tp, study.tend) - t0) / 86400)
+                  AS BIGINT) AS t,
+             (tp IS NOT NULL) AS obs
+      FROM life, study
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS DOUBLE) AS d,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS DOUBLE) AS c
+      FROM durs GROUP BY t
+    ),
+    tot AS (SELECT sum(d + c) AS n FROM per_t),
+    risk AS (
+      SELECT t, d, c,
+             tot.n - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t, tot
+    )
+    SELECT t AS duration,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           -- d = n_risk exhausts the risk set (factor exactly 0): sum only
+           -- positive factors, pin survival to 0 past any exhausting row
+           CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk
+                                        THEN ln(1.0 - d / n_risk)
+                                        ELSE 0.0 END) OVER w)
+                           * 1000000) / 1000000 END AS survival
+    FROM risk
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY duration
+    """,
+)
+def km_time_to_purchase(spark, sf_dir):
+    """Kaplan–Meier time-to-conversion: days from each user's first
+    event to first purchase, censored at end of study for users who
+    never purchase (`operators.timeseries.km_survival`). One hash agg
+    per user, one per duration; the product-limit runs over the
+    calendar-bounded distinct-duration frame (tiny-frame contract)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("timestamp").cast("double")
+    life = ev.groupBy("user_id").agg(
+        F.min(s).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", s)).alias("tp"),
+    )
+    study = ev.agg(F.max(s).alias("_tend"))
+    durs = life.crossJoin(F.broadcast(study)).select(
+        F.floor(
+            (F.coalesce("tp", F.col("_tend")) - F.col("t0")) / 86400
+        ).cast("bigint").alias("dur"),
+        F.col("tp").isNotNull().alias("obs"),
+    )
+    return timeseries.km_survival(durs, "dur", "obs").orderBy("duration")
 
 
 # r5 rotation (judge directive #1): the driver checks the FIRST 50 registry
