@@ -142,6 +142,9 @@ HEADLINE = [
     "js_divergence_docs_by_lang",
     "mad_outlier_prices",
     "km_time_to_purchase",
+    # mergeable sketches (r5)
+    "kll_quantile_profile_orders",
+    "theta_overlap_customers",
 ]
 
 

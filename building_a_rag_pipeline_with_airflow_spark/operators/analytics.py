@@ -511,3 +511,85 @@ def mad_outliers(
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+def kll_quantile_partials(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: int = 200,
+) -> DataFrame:
+    """Per-group Apache DataSketches KLL quantile sketches (binary
+    column) — the MERGEABLE quantile form, exactly parallel to
+    :func:`hll_partials` for distinct counts: store per-day/per-partition
+    sketch rows once, answer any later quantile question by merging
+    partials WITHOUT rescanning raw data. ``k=200`` ≈ 1.65% rank error
+    at a few KB per sketch. GK (`percentile_approx`) is single-use by
+    comparison — its partials aren't a storable column."""
+    return df.groupBy(*by).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(int(k))).alias(
+            "kll"
+        )
+    )
+
+
+def kll_merge_quantiles(
+    partials: DataFrame,
+    quantiles: Sequence[float],
+    by: Sequence[str] = (),
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Merge per-group KLL sketches up to a coarser grouping and read the
+    requested quantiles out — one agg over sketch rows (groups, not
+    data), then a map-side quantile probe per requested rank."""
+    merged = partials.groupBy(*by).agg(
+        F.kll_merge_agg_double(sketch_col).alias("_m")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("_m", F.lit(float(q))).alias(
+            f"q{str(q).replace('0.', '').ljust(2, '0')}"
+        )
+        for q in quantiles
+    ]
+    n = F.kll_sketch_get_n_double("_m").alias("n")
+    return merged.select(*by, n, *cols)
+
+
+def theta_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-set overlap between two slices estimated with Theta
+    sketches — one row ``(n_a, n_b, n_intersection, n_union, jaccard)``.
+
+    THE scale tool for "how many users/docs do these two 100 TB slices
+    share": exact requires shuffling both key sets; sketches reduce each
+    side to KBs in one pass and the set algebra (union, intersection)
+    happens on the sketches. ~2-3% standard error at ``lg_k=12``;
+    estimates round to whole entities."""
+    sa = df_a.agg(
+        F.theta_sketch_agg(F.col(key_col).cast("string"), F.lit(int(lg_k))).alias("s")
+    )
+    sb = df_b.agg(
+        F.theta_sketch_agg(F.col(key_col).cast("string"), F.lit(int(lg_k))).alias("s")
+    )
+    both = sa.select(F.col("s").alias("_sa")).crossJoin(
+        F.broadcast(sb.select(F.col("s").alias("_sb")))
+    )
+    return both.select(
+        F.round(F.theta_sketch_estimate("_sa")).cast("bigint").alias("n_a"),
+        F.round(F.theta_sketch_estimate("_sb")).cast("bigint").alias("n_b"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("_sa", "_sb"))
+        ).cast("bigint").alias("n_intersection"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union("_sa", "_sb"))
+        ).cast("bigint").alias("n_union"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("_sa", "_sb"))
+            / F.theta_sketch_estimate(F.theta_union("_sa", "_sb")),
+            4,
+        ).alias("jaccard"),
+    )

@@ -4001,6 +4001,34 @@ def sketch_distinct_profile(spark, sf_dir):
     return est.crossJoin(pct)
 
 
+@q("kll_quantile_profile_orders", None)
+def kll_quantile_profile_orders(spark, sf_dir):
+    """Bench-only (approximate by construction, like
+    sketch_distinct_profile): per-priority KLL quantile sketch partials
+    merged corpus-wide (`analytics.kll_quantile_partials` +
+    `kll_merge_quantiles`) — the MERGEABLE quantile form whose partials
+    are a storable column; rank-error bound vs exact percentiles is
+    pytest-asserted (test_analytics.py); sketch internals are not
+    externally reproducible."""
+    orders = _t(spark, sf_dir, "orders")
+    partials = analytics.kll_quantile_partials(
+        orders, "o_totalprice", by=("o_orderpriority",)
+    )
+    return analytics.kll_merge_quantiles(partials, [0.5, 0.9, 0.99])
+
+
+@q("theta_overlap_customers", None)
+def theta_overlap_customers(spark, sf_dir):
+    """Bench-only (sketch estimates): Theta-sketch distinct-set overlap
+    between two order slices' customer sets (`analytics.theta_overlap`)
+    — set algebra on KB sketches instead of shuffling both key sets;
+    tolerance vs exact is pytest-asserted (test_analytics.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    b = orders.where(F.col("o_totalprice") > 200_000)
+    return analytics.theta_overlap(a, b, "o_custkey")
+
+
 # --------------------------------------------------------------------------
 # Bench-only entries (oracle=None BY DESIGN): production-ANN and
 # reference-constant costs tracked in BENCH_r{N}, not correctness rows.

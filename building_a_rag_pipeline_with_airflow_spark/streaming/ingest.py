@@ -394,3 +394,122 @@ def read_incremental_agg(
         )
         .withColumn("avg_v", F.col("sum_v") / F.col("n"))
     )
+
+
+def streaming_psi(
+    events_stream: DataFrame,
+    baseline_df: DataFrame,
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    n_bins: int = 10,
+    available_now: bool = True,
+):
+    """Streaming drift gate: PSI of the incoming stream against a frozen
+    BASELINE distribution, maintained incrementally — the continuous form
+    of :func:`operators.drift.psi_profile`.
+
+    Setup (once): the baseline's quantile bin boundaries and bin counts
+    are computed batch-side and written to ``<state_path>/baseline``
+    (n_bins rows — metadata). Each micro-batch then bins ITS OWN rows
+    against those frozen boundaries (map-side fold, the exact expression
+    the batch operator uses) and writes per-batch bin counts under a
+    ``_batch_id`` partition (dynamic overwrite → replay-idempotent, the
+    `streaming_incremental_agg` contract): per-batch cost is O(batch),
+    never O(history). :func:`read_psi_report` folds the batch rows —
+    (bins × batches) rows, metadata-scale — and yields the SAME per-bin
+    frame the batch operator computes over the accumulated stream
+    (parity-tested)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift as _drift
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    brow = baseline_df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(map(str, qs))}))"
+        ).alias("_bs")
+    ).first()
+    bounds = [float(x) for x in brow["_bs"]]
+
+    def bin_expr(col):
+        b = F.lit(0)
+        for bd in bounds:
+            b = b + F.when(F.col(col).cast("double") > F.lit(bd), 1).otherwise(0)
+        return b
+
+    base_counts = (
+        baseline_df.select(bin_expr(value_col).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_base"))
+        .withColumn("_bounds", F.lit(str(bounds)))
+    )
+    base_counts.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_path}/baseline"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(bin_expr(value_col).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n_new"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    writer = (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_psi_report(
+    spark: SparkSession, state_path: str, eps: float = 1e-6
+) -> DataFrame:
+    """Fold the streamed per-batch bin counts against the frozen baseline
+    into the current PSI profile — identical output schema (and values,
+    parity-tested) to `drift.psi_profile` run batch-side over the same
+    accumulated rows. One aggregate over (bins × batches) metadata-scale
+    rows; no raw-data rescan."""
+    base = spark.read.parquet(f"{state_path}/baseline").select(
+        "bin", "n_base"
+    )
+    streamed = (
+        spark.read.parquet(f"{state_path}/batches")
+        .groupBy("bin")
+        .agg(F.sum("n_new").cast("bigint").alias("n_new"))
+    )
+    joined = (
+        base.join(streamed, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_base").cast("double").alias("_ta"),
+        F.sum("n_new").cast("double").alias("_tb"),
+    )
+    w = joined.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("n_base") / F.col("_ta"), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_new") / F.col("_tb"), F.lit(float(eps)))
+    return w.select(
+        "bin",
+        "n_base",
+        "n_new",
+        (F.round(pa * 1_000_000) / 1_000_000).alias("p_base"),
+        (F.round(pb * 1_000_000) / 1_000_000).alias("p_new"),
+        (F.round((pa - pb) * F.log(pa / pb) * 1_000_000) / 1_000_000).alias(
+            "psi_contrib"
+        ),
+    )

@@ -327,3 +327,43 @@ def test_scrub_pii_patterns_and_order(spark):
     assert out[3].text == "clean text with no pii at all"
     assert (out[3].n_pii_email, out[3].n_pii_ipv4,
             out[3].n_pii_phone, out[3].n_pii_ssn) == (0, 0, 0, 0)
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
+    """KLL sketch partials merged across groups must land within the
+    sketch's rank-error bound of the exact quantiles (k=200 → ~1.65%
+    rank error; asserted via value position, not value distance)."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    partials = analytics.kll_quantile_partials(
+        orders, "o_totalprice", by=("o_orderpriority",)
+    )
+    row = analytics.kll_merge_quantiles(partials, [0.5, 0.9]).first()
+    assert row.n == orders.count()
+    n = row.n
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    for q, got in ((0.5, row.q50), (0.9, row.q90)):
+        # rank of the sketch answer in the exact sorted data
+        import bisect
+
+        rank = bisect.bisect_left(vals, got) / n
+        assert abs(rank - q) < 0.03, (q, got, rank)
+
+
+def test_theta_overlap_estimates_near_exact(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_custkey") % 2 == 0)
+    b = orders.where(F.col("o_custkey") % 3 == 0)
+    r = analytics.theta_overlap(a, b, "o_custkey").first()
+    ex_a = a.select("o_custkey").distinct().count()
+    ex_b = b.select("o_custkey").distinct().count()
+    ex_i = a.select("o_custkey").intersect(b.select("o_custkey")).count()
+    ex_u = a.select("o_custkey").union(b.select("o_custkey")).distinct().count()
+    for got, exact in ((r.n_a, ex_a), (r.n_b, ex_b), (r.n_intersection, ex_i), (r.n_union, ex_u)):
+        assert abs(got - exact) <= max(3, 0.05 * exact), (got, exact)
+    assert r.jaccard == pytest.approx(ex_i / ex_u, abs=0.05)

@@ -397,3 +397,69 @@ def test_streaming_incremental_agg_equals_batch_and_extends(spark, sf_dir, tmp_p
     n_by_key = {r.event_type: r.n for r in doubled.collect()}
     base = {r[0]: r[1] for r in b}
     assert n_by_key == {k: 2 * v for k, v in base.items()}
+
+
+def test_streaming_psi_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed PSI state fold must equal drift.psi_profile run
+    batch-side over the same accumulated rows — including after a second
+    batch arrives (counts fold across _batch_id partitions)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    ev = schemas.load_table(spark, sf_dir, "events")
+    baseline = ev.where(F.col("event_type") == "view").select("value")
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "psi_state"), str(tmp_path / "psi_ckpt")
+
+    # batch 1: purchases; batch 2: clicks (arrives later)
+    ev.where(F.col("event_type") == "purchase").select("value").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    for f in (src / "b1").glob("*.parquet"):
+        shutil.move(str(f), src / "p1.parquet")
+    shutil.rmtree(src / "b1")
+
+    def run_stream():
+        raw = spark.readStream.schema("value double").parquet(str(src))
+        q = ingest.streaming_psi(
+            raw, baseline, "value", state, ckpt, n_bins=10
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    got1 = {
+        r.bin: (r.n_base, r.n_new, r.psi_contrib)
+        for r in ingest.read_psi_report(spark, state).collect()
+    }
+    streamed1 = ev.where(F.col("event_type") == "purchase").select("value")
+    expect1 = {
+        r.bin: (r.n_base, r.n_new, r.psi_contrib)
+        for r in drift.psi_profile(baseline, streamed1, "value").collect()
+    }
+    assert got1 == expect1
+
+    ev.where(F.col("event_type") == "click").select("value").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    for f in (src / "b2").glob("*.parquet"):
+        shutil.move(str(f), src / "p2.parquet")
+    shutil.rmtree(src / "b2")
+    run_stream()
+    got2 = {
+        r.bin: (r.n_base, r.n_new, r.psi_contrib)
+        for r in ingest.read_psi_report(spark, state).collect()
+    }
+    streamed2 = ev.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select("value")
+    expect2 = {
+        r.bin: (r.n_base, r.n_new, r.psi_contrib)
+        for r in drift.psi_profile(baseline, streamed2, "value").collect()
+    }
+    assert got2 == expect2
