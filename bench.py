@@ -29,6 +29,14 @@ identical plans within one hour. Round-over-round totals are NOT comparable
 without solo runs; only per-query deltas that concentrate (rather than
 spread uniformly across unchanged JVM-only plans) indicate a plan
 regression.
+
+r5 noise watch (judge directive #8, mixture_reweight_documents): isolated
+re-profile at sf0.1 on the r5 code — cold 5.3 s, warm 1.4/1.5/1.9 s across
+three repeats, matching the r3 solo median (1.99 s) on the unchanged plan.
+The 3.0 s (r4) / ~5.7 s (r5 interim, partially concurrent with pytest)
+interleaved medians are session-neighborhood inflation (the headline list
+itself has grown past 90 entries), not a plan regression. Number recorded
+here either way, as directed.
 """
 
 from __future__ import annotations
@@ -145,6 +153,8 @@ HEADLINE = [
     # mergeable sketches (r5)
     "kll_quantile_profile_orders",
     "theta_overlap_customers",
+    # multimodal dedup (r5)
+    "media_phash_near_dups",
 ]
 
 

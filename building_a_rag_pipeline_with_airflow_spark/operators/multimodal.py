@@ -279,3 +279,113 @@ def extract_audio_meta(df: DataFrame, data_col: str = "data",
 
     meta_df = df.select(id_col, data_col).mapInPandas(op, schema=meta_schema)
     return df.join(meta_df, id_col)
+
+
+def perceptual_hash(df: DataFrame, data_col: str = "data",
+                    id_col: str = "media_id",
+                    out_col: str = "phash") -> DataFrame:
+    """63-bit DCT perceptual hash per media row — the image twin of
+    `dedup.simhash`: near-identical images get near-identical hashes, so
+    near-dup detection becomes banded hamming matching
+    (:func:`phash_near_dups`) instead of pairwise pixel comparison.
+
+    The pipeline is the classic pHash: grayscale downsample to 32×32 →
+    2-D DCT-II (numpy matrix form — no scipy dependency) → low-frequency
+    8×8 block → median-threshold bits (DC skipped → 63 bits, fits a
+    signed long). The DECODE step is the stub seam: pseudo-pixels come
+    from resampling the raw payload bytes directly (LOCALITY-PRESERVING
+    — a few changed bytes move a few pixels, exactly the property a real
+    decoder+resize gives and the md5-style stub would destroy);
+    production swaps ``_pixels`` for a real decode+resize. Same one-way
+    Arrow discipline as :func:`image_features`: payload bytes never
+    return from the Python worker, only (id, hash)."""
+    hash_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out_col, T.LongType())]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        dct_mat = np.cos(np.pi * (m + 0.5) * k / n)  # DCT-II basis
+
+        def _pixels(b) -> "np.ndarray":
+            # STUB decode+resize: resample payload bytes onto the 32x32
+            # grid (locality-preserving deterministic fake)
+            arr = (
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                if b is not None and len(b) > 0
+                else np.zeros(1, np.uint8)
+            )
+            idx = np.linspace(0, len(arr) - 1, n * n).astype(np.int64)
+            return arr[idx].astype(np.float64).reshape(n, n)
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf[data_col]:
+                px = _pixels(b)
+                coef = dct_mat @ px @ dct_mat.T
+                block = coef[:8, :8].flatten()[1:]  # skip DC -> 63 coefs
+                med = float(np.median(block))
+                bits = (block > med).astype(np.uint64)
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                hashes.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: hashes})
+
+    hashed = df.select(id_col, data_col).mapInPandas(op, schema=hash_schema)
+    return df.drop(data_col).join(hashed, id_col)
+
+
+def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
+                    id_col: str = "media_id",
+                    hash_col: str = "phash",
+                    n_bands: int = 8) -> DataFrame:
+    """Near-duplicate media pairs from perceptual hashes: band the 64-bit
+    hash into ``n_bands`` 8-bit slices, equi-join on (band index, band
+    value) — pigeonhole guarantees any pair within hamming distance
+    ``n_bands − 1`` shares at least one exact band — then verify the true
+    hamming distance JVM-side (``bit_count(a XOR b)``, codegen'd) on
+    candidates only. The same candidates-then-verify shape as the whole
+    dedup ladder; never all-pairs. ``max_hamming`` must be < ``n_bands``
+    for the guarantee to hold (raise ``n_bands`` for looser matching)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}): the pigeonhole guarantee only covers "
+            "hamming < n_bands"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for i in range(int(n_bands))
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
+    )
+    x = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"), "band"
+    )
+    y = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"), "band"
+    )
+    return (
+        x.join(y, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("_ha ^ _hb")).cast("int"),
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

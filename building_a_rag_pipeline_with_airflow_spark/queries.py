@@ -2256,6 +2256,45 @@ def media_frame_counts_q(spark, sf_dir):
     )
 
 
+@q("media_phash_near_dups", None)  # DCT hash: not SQL-reproducible —
+# correctness pinned by tests/test_multimodal_ocr.py (identical-payload
+# hash equality, near-copy small-hamming locality, banding guarantee)
+def media_phash_near_dups_q(spark, sf_dir):
+    """Image near-dup detection, the multimodal rung of the dedup ladder
+    (`multimodal.perceptual_hash` + `phash_near_dups`): 63-bit DCT pHash
+    per payload (Arrow-batched, payloads never return from Python), then
+    banded hamming matching — 8×8-bit bands, pigeonhole-guaranteed for
+    hamming < 8, exact `bit_count(a XOR b)` verify on candidates only.
+    Planted exact copies (hamming 0) and same-length one-char edits
+    (small hamming) of the first 20 documents make the expected pair set
+    deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where((F.col("doc_id") < 20) & (F.length("text") > 20))
+    media = multimodal.media_from_documents(docs)
+    copies = multimodal.media_from_documents(
+        base.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    edited = multimodal.media_from_documents(
+        base.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("#"),
+                F.expr("substring(text, 12)"),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    corpus = media.unionByName(copies).unionByName(edited)
+    hashed = multimodal.perceptual_hash(corpus)
+    return multimodal.phash_near_dups(hashed, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @q(
     "q18_large_orders",
     """

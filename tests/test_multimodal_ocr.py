@@ -152,3 +152,71 @@ def test_audio_meta_dtype_follows_bytes_per_sample(spark):
         assert abs(r.rms - round(want, 4)) < 1e-6
     with _pytest.raises(ValueError, match="bytes_per_sample"):
         mm.extract_audio_meta(media, bytes_per_sample=3)
+
+
+def test_phash_identical_payloads_hash_equal(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    m = mm.synthesize_media(spark, n=8)
+    twice = m.unionByName(
+        m.select(
+            (F.col("media_id") + 100).alias("media_id"),
+            "kind", "mime", "data", "meta",
+        )
+    )
+    hashed = mm.perceptual_hash(twice)
+    pairs = mm.phash_near_dups(hashed, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 100) for i in range(8)} <= got
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_phash_near_copy_small_hamming(spark, sf_dir):
+    """A same-length single-character edit moves ~1 pseudo-pixel, so the
+    pHash must stay within a small hamming ball of the original — the
+    locality property the banded matcher depends on (an md5-style stub
+    would scatter it to ~32)."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    docs = schemas.load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 5) & (F.length("text") > 20)
+    )
+    orig = mm.media_from_documents(docs)
+    edited = mm.media_from_documents(
+        docs.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("#"),
+                F.expr("substring(text, 12)"),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    hashed = mm.perceptual_hash(orig.unionByName(edited))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_near_dups(hashed, max_hamming=6).collect()
+    }
+    for i in [r.doc_id for r in docs.select("doc_id").collect()]:
+        assert (i, i + 1000) in pairs, (i, pairs)
+        assert pairs[(i, i + 1000)] <= 6
+
+
+def test_phash_near_dups_rejects_uncovered_hamming(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    m = mm.perceptual_hash(mm.synthesize_media(spark, n=2))
+    with pytest.raises(ValueError):
+        mm.phash_near_dups(m, max_hamming=8, n_bands=8)
+
+
+def test_phash_payload_never_returns_from_python(spark):
+    """One-way Arrow contract: the hashed frame must not carry the data
+    column anymore (payloads stay JVM-side / are dropped)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    hashed = mm.perceptual_hash(mm.synthesize_media(spark, n=4))
+    assert "data" not in hashed.columns
+    assert {"media_id", "phash"} <= set(hashed.columns)
