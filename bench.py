@@ -155,6 +155,9 @@ HEADLINE = [
     "theta_overlap_customers",
     # multimodal dedup (r5)
     "media_phash_near_dups",
+    # attribution / dense-substructure (r5)
+    "attribution_last_touch_events",
+    "k_core_part_graph",
 ]
 
 

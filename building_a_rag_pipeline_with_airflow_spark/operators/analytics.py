@@ -593,3 +593,55 @@ def theta_overlap(
             4,
         ).alias("jaccard"),
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion: str = "purchase",
+    model: str = "last",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion's
+    value to the entity's FIRST or LAST preceding non-conversion
+    touchpoint (``model`` ∈ {first, last}); conversions with no prior
+    touch credit ``'direct'``. Returns one row per channel:
+    ``(channel, n_conversions, attributed_value)``.
+
+    One per-entity ordered window carrying the touch channel
+    (``first/last(..., ignorenulls=True)`` over the strictly-before
+    frame — partitions hold one entity's events), then a hash agg on the
+    channel. The same windows-then-agg shape as
+    :func:`transition_matrix`; pass ``tiebreak`` (e.g. an event id) to
+    make simultaneous-timestamp orderings total."""
+    if model not in {"first", "last"}:
+        raise ValueError(f"model must be 'first' or 'last', got {model!r}")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_val = F.when(F.col(type_col) != conversion, F.col(type_col))
+    carry = (
+        F.first(touch_val, ignorenulls=True)
+        if model == "first"
+        else F.last(touch_val, ignorenulls=True)
+    )
+    attributed = events.withColumn("_touch", carry.over(w)).where(
+        F.col(type_col) == conversion
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("_touch", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            (
+                F.round(F.sum(F.col(value_col).cast("double")) * 100)
+                / 100
+            ).alias("attributed_value"),
+        )
+    )

@@ -6037,6 +6037,60 @@ def km_time_to_purchase(spark, sf_dir):
     return timeseries.km_survival(durs, "dur", "obs").orderBy("duration")
 
 
+@q(
+    "attribution_last_touch_events",
+    """
+    WITH touched AS (
+      SELECT event_type, value,
+             last(CASE WHEN event_type <> 'purchase' THEN event_type END
+                  IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value) * 100) / 100 AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def attribution_last_touch_events(spark, sf_dir):
+    """Last-touch conversion attribution
+    (`operators.analytics.attribute_conversions`): every purchase's value
+    credits the user's most recent preceding non-purchase touchpoint
+    ('direct' when none). One per-user ordered window (event_id tiebreak
+    for a total order) + one channel hash agg — the windows-then-agg
+    shape of `transition_matrix`. First-touch is the same operator with
+    `model='first'` (pinned by unit test)."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.attribute_conversions(
+        ev, model="last", tiebreak=("event_id",)
+    ).orderBy("channel")
+
+
+@q("k_core_part_graph", None)  # iterative peeling to a fixpoint: round
+# count is data-dependent, so a static chained-CTE oracle can't replay it;
+# correctness pinned by known-graph unit tests (triangle+tail, empty
+# 3-core) in tests/test_timeseries_graph.py
+def k_core_part_graph(spark, sf_dir):
+    """3-core of the part co-purchase graph (`operators.graph.k_core`):
+    parts that survive iterative peeling of degree-<3 nodes — the dense
+    co-purchase substructure. Edges from the capped basket tier
+    (`frequent_pairs`, ≥2 shared orders); output is the deterministic
+    one-row summary (n_core_nodes, n_core_edges)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import baskets
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = baskets.frequent_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    core = graph.k_core(pairs, k=3, a_col="item_a", b_col="item_b")
+    return core.agg(
+        F.count_distinct("src").cast("bigint").alias("n_core_nodes"),
+        (F.count("*") / 2).cast("bigint").alias("n_core_edges"),
+    )
+
+
 # r5 rotation (judge directive #1): the driver checks the FIRST 50 registry
 # entries; this tuple IS that window for r5, enumerated explicitly. It
 # holds (a) every oracle query that has NEVER had a driver-checked row —

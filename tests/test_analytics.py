@@ -367,3 +367,52 @@ def test_theta_overlap_estimates_near_exact(spark, sf_dir):
     for got, exact in ((r.n_a, ex_a), (r.n_b, ex_b), (r.n_intersection, ex_i), (r.n_union, ex_u)):
         assert abs(got - exact) <= max(3, 0.05 * exact), (got, exact)
     assert r.jaccard == pytest.approx(ex_i / ex_u, abs=0.05)
+
+
+def test_attribution_first_vs_last_hand_computed(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    rows = [
+        # user 1: view -> click -> purchase(10) ; first=view, last=click
+        (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 0.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 10.0),
+        # user 2: purchase with no prior touch -> direct
+        (4, 2, "2024-01-01 11:00:00", "purchase", 5.0),
+        # user 2 second purchase after a view -> view (both models)
+        (5, 2, "2024-01-01 12:00:00", "view", 0.0),
+        (6, 2, "2024-01-01 13:00:00", "purchase", 7.0),
+    ]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (e, u, dt.datetime.fromisoformat(t), ty, v)
+            for e, u, t, ty, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    last = {
+        r.channel: (r.n_conversions, r.attributed_value)
+        for r in analytics.attribute_conversions(
+            df, model="last", tiebreak=("event_id",)
+        ).collect()
+    }
+    assert last == {"click": (1, 10.0), "direct": (1, 5.0), "view": (1, 7.0)}
+    first = {
+        r.channel: (r.n_conversions, r.attributed_value)
+        for r in analytics.attribute_conversions(
+            df, model="first", tiebreak=("event_id",)
+        ).collect()
+    }
+    # user 1 first touch = view; user 2's second purchase: first touch
+    # across their whole history (events 4,5 precede) is the view at 12:00
+    assert first == {"view": (2, 17.0), "direct": (1, 5.0)}
+
+
+def test_attribution_rejects_bad_model(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    df = spark.createDataFrame([(1, 1, "purchase", 0.0)], "event_id long, user_id long, event_type string, value double")
+    with pytest.raises(ValueError):
+        analytics.attribute_conversions(df, ts_col="event_id", model="linear")

@@ -179,3 +179,36 @@ def test_cooccurrence_edges_max_items_guard(spark):
     # disabling the cap restores the big group's pairs
     full = graph.cooccurrence_edges(df, "g", "item", max_items=None)
     assert full.where(F.col("src") == "i0").count() == 3
+
+
+def test_k_core_triangle_with_tail(spark):
+    # triangle a-b-c plus tail c-d-e: 2-core = the triangle only
+    # (e degree 1 -> removed; then d degree 1 -> removed)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    core = graph.k_core(e, k=2)
+    nodes = {r.src for r in core.select("src").distinct().collect()}
+    assert nodes == {"a", "b", "c"}
+    assert core.count() == 6  # 3 undirected edges x 2 directions
+    # k=3: the triangle has degree 2 everywhere -> empty
+    assert graph.k_core(e, k=3).isEmpty()
+
+
+def test_k_core_releases_checkpoints(spark):
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    core = graph.k_core(e, k=2)
+    core.count()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1  # only the returned core's checkpoint
+
+
+def test_k_core_rejects_bad_k(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        graph.k_core(e, k=0)
