@@ -113,6 +113,7 @@ HEADLINE = [
     "ivf_topk_cosine",
     "ivf_topk_cosine_kmeans",
     "brp_topk",
+    "lsh_recall_at_k",
     # multimodal plumbing
     "media_image_meta",
     "embedding_norms",

@@ -1440,6 +1440,126 @@ def _lsh_knn_oracle() -> str:
     """
 
 
+def _lsh_recall_sql() -> str:
+    """Oracle for the retrieval-evaluation query: BOTH retrievers are
+    replayed in SQL — exact top-k by rounded cosine (the `knn_join`
+    program) and the banded sign-LSH top-k (the `_lsh_knn_oracle`
+    program, same inlined seeded hyperplanes) — then per-query recall is
+    their overlap. This checks the EVALUATION itself end to end, not a
+    property of it."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    pvals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(v)) for v in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {pvals}),
+    sides AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, (vec_id < 10) AS is_q
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(c.ev, q.ev), 4) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM sides q JOIN sides c ON q.is_q AND NOT c.is_q
+    ),
+    etop AS (SELECT q_id, c_id FROM exact WHERE rn <= 5),
+    bits AS (
+      SELECT s.vec_id, s.is_q, p.pid,
+             CASE WHEN list_dot_product(s.ev, p.pv) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM sides s, planes p
+    ),
+    sigs AS (
+      SELECT vec_id, is_q, string_agg(bit, '' ORDER BY pid) AS sig
+      FROM bits GROUP BY vec_id, is_q
+    ),
+    banded AS (
+      SELECT vec_id, is_q,
+             unnest(['0:' || substr(sig, 1, 4), '1:' || substr(sig, 5, 4)])
+               AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+      FROM banded qb JOIN banded cb USING (band)
+      WHERE qb.is_q AND NOT cb.is_q
+    ),
+    lsh AS (
+      SELECT cand.q_id, cand.c_id,
+             row_number() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY round(list_cosine_similarity(cc.ev, cq.ev), 4) DESC,
+                        cand.c_id
+             ) AS rn
+      FROM cand
+      JOIN sides cq ON cq.vec_id = cand.q_id
+      JOIN sides cc ON cc.vec_id = cand.c_id
+    ),
+    ltop AS (SELECT q_id, c_id FROM lsh WHERE rn <= 5)
+    SELECT e.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN l.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS recall
+    FROM etop e
+    LEFT JOIN ltop l ON l.q_id = e.q_id AND l.c_id = e.c_id
+    GROUP BY e.q_id ORDER BY e.q_id
+    """
+
+
+@q("lsh_recall_at_k", _lsh_recall_sql())
+def lsh_recall_at_k(spark, sf_dir):
+    """Retrieval EVALUATION as a first-class query: per-query recall@5 of
+    the sign-LSH approximate retriever against the exact top-5 — the
+    measurement loop every production ANN deployment runs before turning
+    an approximate index on. Both retrievers are the engine's own
+    operators (`knn_join` exact, `lsh_knn_join` banded); the overlap is
+    one left-semi-shaped join + a per-query count. The oracle replays
+    BOTH retrievers and the overlap in SQL (seeded hyperplanes inlined),
+    so the evaluation itself is value-verified. (On this synthetic
+    near-uniform corpus the measured recall is LOW by construction —
+    the exact "neighbors" are barely-correlated points sign-LSH has no
+    reason to bucket together; that honest number is precisely what the
+    evaluation exists to surface before enabling an ANN index. The
+    planted-near-dup test shows recall 1.0 when true neighbors exist.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    exact = similarity.knn_join(queries, corpus, k=5)
+    approx = similarity.lsh_knn_join(queries, corpus, k=5, dim=64)
+    marked = exact.alias("e").join(
+        approx.select("q_id", "vec_id", F.lit(1).alias("_hit")).alias("a"),
+        ["q_id", "vec_id"],
+        "left",
+    )
+    return (
+        marked.groupBy("q_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            (
+                F.round(
+                    F.sum(F.coalesce("_hit", F.lit(0)))
+                    / F.count("*").cast("double")
+                    * 10_000
+                )
+                / 10_000
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
 @q("lsh_knn_join", _lsh_knn_oracle())
 def lsh_knn_join_q(spark, sf_dir):
     """Large×large approximate k-NN join (sign-LSH banding + exact re-rank),

@@ -463,3 +463,38 @@ def test_streaming_psi_matches_batch_operator(spark, sf_dir, tmp_path):
         for r in drift.psi_profile(baseline, streamed2, "value").collect()
     }
     assert got2 == expect2
+
+
+def test_session_counts_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window aggregation must produce identical sessions
+    in streaming mode (complete output over an availableNow drain) and in
+    batch mode over the same rows — §2.10's session operator verified as
+    a STREAM, not just through the batch planner."""
+    import shutil
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.streaming import windows as W
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    raw = W.read_events_stream(spark, str(d))
+    q = (
+        W.session_counts(raw, watermark=None)
+        .writeStream.format("memory")
+        .queryName("sess_complete_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sess_complete_mem").collect()
+    }
+    batch = schemas.load_table(spark, sf_dir, "events")
+    expect = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in W.session_counts(batch).collect()
+    }
+    assert got == expect
