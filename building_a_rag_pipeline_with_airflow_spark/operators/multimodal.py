@@ -343,7 +343,8 @@ def perceptual_hash(df: DataFrame, data_col: str = "data",
 def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
                     id_col: str = "media_id",
                     hash_col: str = "phash",
-                    n_bands: int = 8) -> DataFrame:
+                    n_bands: int = 8,
+                    max_bucket: "int | None" = 100_000) -> DataFrame:
     """Near-duplicate media pairs from perceptual hashes: band the 64-bit
     hash into ``n_bands`` 8-bit slices, equi-join on (band index, band
     value) — pigeonhole guarantees any pair within hamming distance
@@ -351,7 +352,16 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
     hamming distance JVM-side (``bit_count(a XOR b)``, codegen'd) on
     candidates only. The same candidates-then-verify shape as the whole
     dedup ladder; never all-pairs. ``max_hamming`` must be < ``n_bands``
-    for the guarantee to hold (raise ``n_bands`` for looser matching)."""
+    for the guarantee to hold (raise ``n_bands`` for looser matching).
+
+    Candidate cost is ``Σ_buckets |bucket|²``: healthy corpora spread
+    hashes across the 256 values per band, but a degenerate constant
+    region (all-black frames, blank scans) concentrates one bucket and
+    turns the join quadratic — ``max_bucket`` DROPS band buckets larger
+    than the cap (the ``linkage.max_block`` / ``baskets.max_items``
+    contract: a degenerate band is an explicit modeling decision, and a
+    pair of near-constant payloads loses only that band's vote — the
+    other 7 bands still match identical-ish hashes). ``None`` disables."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands > max_hamming "
@@ -372,6 +382,13 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
     banded = hashed.select(
         F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band").agg(F.count("*").alias("_n"))
+        banded = banded.join(
+            sizes.where(F.col("_n") <= int(max_bucket)).select("band"),
+            "band",
+            "left_semi",
+        )
     x = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"), "band"
     )

@@ -220,3 +220,32 @@ def test_phash_payload_never_returns_from_python(spark):
     hashed = mm.perceptual_hash(mm.synthesize_media(spark, n=4))
     assert "data" not in hashed.columns
     assert {"media_id", "phash"} <= set(hashed.columns)
+
+
+def test_phash_max_bucket_guard_drops_degenerate_bands(spark, sf_dir):
+    """A band bucket larger than max_bucket is dropped (degenerate
+    constant regions would turn the band join quadratic); with the cap
+    above the bucket size the same pairs come back."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    docs = schemas.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 4
+    )
+    m = mm.media_from_documents(docs)
+    twice = m.unionByName(
+        m.select(
+            (F.col("media_id") + 100).alias("media_id"),
+            "kind", "mime", "data", "meta",
+        )
+    )
+    hashed = mm.perceptual_hash(twice)
+    # distinct texts -> distinct hashes; each duplicated hash's band
+    # bucket holds exactly its 2 copies. cap=1 drops every bucket (no
+    # pairs), cap=2 restores exactly the planted copy pairs.
+    none = mm.phash_near_dups(hashed, max_hamming=0, max_bucket=1)
+    assert none.isEmpty()
+    some = mm.phash_near_dups(hashed, max_hamming=0, max_bucket=2).collect()
+    assert {(r.id_a, r.id_b) for r in some} == {
+        (r.doc_id, r.doc_id + 100) for r in docs.select("doc_id").collect()
+    }
