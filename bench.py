@@ -85,6 +85,7 @@ HEADLINE = [
     "chunk_stats",
     "token_counts_documents",
     "doc_quality_scores",
+    "readability_documents",
     "lang_id_documents",
     "dedup_exact_documents",
     "gopher_quality_flags",

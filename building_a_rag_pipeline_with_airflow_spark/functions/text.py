@@ -185,3 +185,29 @@ def try_tiktoken_udf():
         return s.fillna("").map(lambda t: len(enc.encode(t)))
 
     return _count
+
+
+def readability_stats(col: Column | str) -> "dict[str, Column]":
+    """Flesch-style readability inputs as pure Catalyst expressions —
+    sentence count (terminal-punctuation runs, min 1), word count
+    (whitespace tokens) and a vowel-group syllable estimate (runs of
+    [aeiouy] per lowercased text, the standard cheap proxy). All three
+    are `regexp_count`/`size` projections any engine reproduces exactly;
+    the Flesch reading-ease formula combines them:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    n_words = F.greatest(token_count(c).cast("bigint"), F.lit(1).cast("bigint"))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    return {
+        "n_sentences": n_sent.cast("bigint"),
+        "n_words": n_words,
+        "n_syllables": n_syll.cast("bigint"),
+        "flesch": (
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+        ),
+    }

@@ -6158,6 +6158,48 @@ def km_time_to_purchase(spark, sf_dir):
 
 
 @q(
+    "readability_documents",
+    r"""
+    SELECT doc_id,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_words,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                AS BIGINT) AS n_syllables,
+           round((206.835
+                  - 1.015 * (len(string_split_regex(trim(text), '\s+'))
+                             / CAST(greatest(len(regexp_extract_all(text,
+                                      '[.!?]+')), 1) AS DOUBLE))
+                  - 84.6 * (greatest(len(regexp_extract_all(lower(text),
+                                      '[aeiouy]+')), 1)
+                            / CAST(len(string_split_regex(trim(text), '\s+'))
+                                   AS DOUBLE)))
+                 * 10000) / 10000 AS flesch
+    FROM documents WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def readability_documents(spark, sf_dir):
+    """Flesch reading-ease per document (`functions.text.readability_stats`)
+    — the classic text-quality signal beside the Gopher gates: sentence
+    count (terminal-punctuation runs), word count, vowel-group syllable
+    estimate, all pure `regexp_count` projections (codegen'd, zero
+    shuffle, exactly reproducible in any engine)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    st = tx.readability_stats("text")
+    return docs.select(
+        "doc_id",
+        st["n_sentences"].alias("n_sentences"),
+        st["n_words"].alias("n_words"),
+        st["n_syllables"].alias("n_syllables"),
+        (F.round(st["flesch"] * 10_000) / 10_000).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+@q(
     "attribution_last_touch_events",
     """
     WITH touched AS (
