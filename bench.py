@@ -129,6 +129,7 @@ HEADLINE = [
     # linkage / weighted sampling / sequence analytics
     "fuzzy_match_parts",
     "weighted_sample_documents",
+    "weighted_sample_per_lang",
     "event_transition_matrix",
     "ohlc_events_daily",
     "cumulative_new_users_daily",

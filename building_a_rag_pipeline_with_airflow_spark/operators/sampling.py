@@ -20,9 +20,9 @@ granularity at 0.01%.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -202,6 +202,43 @@ def weighted_sample_topk(
         df.withColumn(priority_col, pri)
         .orderBy(F.desc(priority_col), key)
         .limit(int(k))
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis weighted sampling without
+    replacement: the ``k`` highest-priority rows of EACH group — the
+    stratified form of :func:`weighted_sample_topk` (a balanced training
+    mixture wants "top-k weighted per domain/language", not a global
+    cut). Identical priority function (``u^(1/w)`` from the content-hash
+    uniform — relayout/re-run/engine-stable), selected with one window
+    partitioned by the group keys (partition = one group's rows) instead
+    of the global TakeOrdered heap. Same loud-reject contract for
+    non-positive weights."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = F.when(
+        w > 0, F.pow(hash_uniform(key, salt), F.lit(1.0) / w)
+    ).otherwise(F.raise_error(F.lit(
+        f"weighted_sample_per_group: non-positive or NULL {weight_col}"
+    )))
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc(priority_col), key
+    )
+    return (
+        df.withColumn(priority_col, pri)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
     )
 
 

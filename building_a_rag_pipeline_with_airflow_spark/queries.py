@@ -5050,6 +5050,54 @@ def weighted_sample_documents(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_per_lang",
+    """
+    WITH pri AS (
+      SELECT lang, doc_id, n_chars,
+             pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || 'wsample'), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0,
+                 1.0 / n_chars) AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars, priority,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY priority DESC, doc_id) AS rk
+      FROM pri
+    )
+    SELECT lang, doc_id, n_chars,
+           round(priority * 1000000) / 1000000 AS priority
+    FROM ranked WHERE rk <= 5 ORDER BY lang, priority DESC, doc_id
+    """,
+)
+def weighted_sample_per_lang(spark, sf_dir):
+    """Per-group (stratified) Efraimidis–Spirakis weighted sampling
+    (`operators.sampling.weighted_sample_per_group`): top-5 documents PER
+    LANGUAGE by n_chars-weighted content-hash priority — the balanced-
+    mixture form of `weighted_sample_documents` (a training mixture wants
+    per-domain weighted picks, not a global cut). One window partitioned
+    by the stratum (partition = one language's docs); identical priority
+    function, so membership stays relayout/engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.weighted_sample_per_group(
+            docs.select("lang", "doc_id", "n_chars"),
+            ["lang"], "doc_id", "n_chars", k=5,
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            (F.round(F.col("priority") * 1_000_000) / 1_000_000).alias(
+                "priority"
+            ),
+        )
+        .orderBy("lang", F.desc("priority"), "doc_id")
+    )
+
+
+@q(
     "fuzzy_match_parts",
     r"""
     WITH names AS (SELECT DISTINCT p_name AS name FROM part),

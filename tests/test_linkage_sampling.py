@@ -119,3 +119,34 @@ def test_transition_matrix_counts_and_probs(spark):
     assert out[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
     assert out[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in out  # terminal state contributes no row
+
+
+def test_weighted_sample_per_group_semantics(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    rows = [(g, i, float(10 + i)) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id int, w double")
+    out = sampling.weighted_sample_per_group(df, ["g"], "id", "w", k=3)
+    got = out.collect()
+    # exactly k per group
+    from collections import Counter
+
+    assert Counter(r.g for r in got) == {"a": 3, "b": 3}
+    # per-group picks are that group's top-3 priorities (verified against
+    # the global operator applied per slice)
+    for g in ("a", "b"):
+        expect = {
+            r.id
+            for r in sampling.weighted_sample_topk(
+                df.where(F.col("g") == g), "id", "w", k=3
+            ).collect()
+        }
+        assert {r.id for r in got if r.g == g} == expect
+
+
+def test_weighted_sample_per_group_rejects_bad(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id int, w double")
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_per_group(df, ["g"], "id", "w", k=0)
