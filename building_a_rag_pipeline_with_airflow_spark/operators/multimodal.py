@@ -406,3 +406,60 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
         .where(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def resize_image(df: DataFrame, width: int, height: int,
+                 data_col: str = "data",
+                 id_col: str = "media_id",
+                 out_col: str = "resized") -> DataFrame:
+    """Resize every image payload to ``width×height`` — the
+    decode → resize → re-encode rung of the media pipeline
+    (thumbnailing, model-input normalization). Arrow-batched
+    ``mapInPandas`` with the same one-way contract as the other media
+    ops: the ORIGINAL payload never returns from Python, only the
+    (id, resized bytes, w, h) rows, which join back on the id.
+
+    The decode/encode cores are the stub seam (nearest-neighbor
+    resample of the byte grid — deterministic, locality-preserving, the
+    same fake as :func:`perceptual_hash`); production swaps `_resize`
+    for a real decode → interpolate → encode. Output size is exactly
+    ``width*height`` bytes per row by contract — the property the
+    partition-byte-budget planner (:func:`repartition_for_media`)
+    needs to stay accurate downstream."""
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = width * height
+
+        def _resize(b) -> bytes:
+            arr = (
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                if b is not None and len(b) > 0
+                else np.zeros(1, np.uint8)
+            )
+            idx = np.linspace(0, len(arr) - 1, n).astype(np.int64)
+            return arr[idx].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [_resize(b) for b in pdf[data_col]],
+                    "resized_w": width,
+                    "resized_h": height,
+                }
+            )
+
+    resized = df.select(id_col, data_col).mapInPandas(op, schema=out_schema)
+    return df.drop(data_col).join(resized, id_col)

@@ -249,3 +249,28 @@ def test_phash_max_bucket_guard_drops_degenerate_bands(spark, sf_dir):
     assert {(r.id_a, r.id_b) for r in some} == {
         (r.doc_id, r.doc_id + 100) for r in docs.select("doc_id").collect()
     }
+
+
+def test_resize_image_contract(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    m = mm.synthesize_media(spark, n=6)
+    out = mm.resize_image(m, 16, 16).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(bytes(r.resized)) == 16 * 16  # exact byte contract
+        assert (r.resized_w, r.resized_h) == (16, 16)
+    cols = mm.resize_image(m, 8, 8).columns
+    assert "data" not in cols  # original payload never returns
+
+    with pytest.raises(ValueError):
+        mm.resize_image(m, 0, 8)
+
+
+def test_resize_image_deterministic(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    m = mm.synthesize_media(spark, n=4)
+    a = {r.media_id: bytes(r.resized) for r in mm.resize_image(m, 8, 8).collect()}
+    b = {r.media_id: bytes(r.resized) for r in mm.resize_image(m, 8, 8).collect()}
+    assert a == b
