@@ -6317,8 +6317,8 @@ def k_core_part_graph(spark, sf_dir):
 # rotates out under the standing sibling policy recorded in the
 # _DEPRIORITIZED comments below; all oracles stay value-checked every
 # round by tests/test_oracle_parity.py regardless of window position.
-# Queries added later in r5 default to the rank between this window and
-# _DEPRIORITIZED — first in line when the r6 window rotates.
+# Queries added later in r5 are enumerated in _NEW_R5 below and sort
+# directly after this window — first in line when the r6 window rotates.
 _R5_WINDOW = (
     # (a) never driver-checked
     "grouping_sets_priority_segment",
@@ -6373,6 +6373,26 @@ _R5_WINDOW = (
     "media_frame_counts",
     "q10_returned_revenue",
 )
+
+# Oracle queries ADDED in r5, after the window was fixed: they sort
+# immediately after _R5_WINDOW (ahead of every multi-green query), so the
+# r6 rotation picks them up first. Value-checked by
+# tests/test_oracle_parity.py every round meanwhile, like all oracles.
+_NEW_R5 = (
+    "bm25_batch_topk_documents",
+    "bpe_encode_fixed_documents",
+    "psi_price_drift_orders",
+    "ks_price_drift_orders",
+    "chi2_priority_drift_orders",
+    "js_divergence_docs_by_lang",
+    "mad_outlier_prices",
+    "km_time_to_purchase",
+    "attribution_last_touch_events",
+    "readability_documents",
+    "weighted_sample_per_lang",
+    "lsh_recall_at_k",
+)
+
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
@@ -6539,6 +6559,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
             kv[0] not in _R5_WINDOW,   # the enumerated r5 window first
+            kv[0] not in _NEW_R5,      # new-in-r5 oracles next (r6 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
