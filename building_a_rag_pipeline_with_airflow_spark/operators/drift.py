@@ -69,36 +69,39 @@ def psi_profile(
             f"percentile({value_col}, array({', '.join(map(str, qs))}))"
         ).alias("_bs")
     )
-
-    def binned(df: DataFrame, side: str) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        # bin = number of boundaries strictly below the value: a 9-element
-        # map-side fold, no explode, identical int on any engine
-        b = F.aggregate(
-            "_bs",
-            F.lit(0),
-            lambda acc, bd: acc + F.when(v > bd, 1).otherwise(0),
-        )
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count("*").cast("bigint").alias(f"n_{side}"))
-        )
-
-    a, b = binned(df_base, "base"), binned(df_new, "new")
-    totals_a = df_base.agg(F.count("*").cast("double").alias("_ta"))
-    totals_b = df_new.agg(F.count("*").cast("double").alias("_tb"))
-    joined = (
-        a.join(b, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_base", F.lit(0)).alias("n_base"),
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
-        .crossJoin(F.broadcast(totals_a))
-        .crossJoin(F.broadcast(totals_b))
+    # ONE counting scan over the tagged union (baseline pays one extra
+    # pre-pass for the boundaries): bin + side-conditional counts in a
+    # single hash agg, totals derived from the n_bins-row cell frame —
+    # the two-sides-two-aggs-two-totals form scans each input twice more.
+    v = F.col(value_col).cast("double")
+    u = df_base.select(v.alias("_v"), F.lit(0).alias("_side")).unionByName(
+        df_new.select(v.alias("_v"), F.lit(1).alias("_side"))
     )
+    # bin = number of boundaries strictly below the value: a 9-element
+    # map-side fold, no explode, identical int on any engine
+    b = F.aggregate(
+        "_bs",
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col("_v") > bd, 1).otherwise(0),
+    )
+    cells = (
+        u.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bin"), "_side")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n_base").cast("double").alias("_ta"),
+        F.sum("n_new").cast("double").alias("_tb"),
+    )
+    joined = cells.crossJoin(F.broadcast(totals))
     pa = F.greatest(F.col("n_base") / F.col("_ta"), F.lit(float(eps)))
     pb = F.greatest(F.col("n_new") / F.col("_tb"), F.lit(float(eps)))
     return joined.select(

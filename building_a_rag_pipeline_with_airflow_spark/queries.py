@@ -5898,22 +5898,28 @@ _ORDERS_SPLIT_SQL = """
 
 
 def _orders_split(spark, sf_dir):
-    """The Spark twin of _ORDERS_SPLIT_SQL: one min/max aggregate
-    broadcast as the cutoff, two filtered scans (the predicate reaches
-    the parquet scan on both sides)."""
+    """The Spark twin of _ORDERS_SPLIT_SQL: the epoch-midpoint cutoff is
+    resolved DRIVER-SIDE (one min/max scalar — metadata, the
+    mixture_reweight/IVF-probe class), then both sides filter on a
+    TIMESTAMP LITERAL. That makes the split predicate PUSHABLE into the
+    parquet scan (a join-derived `_m` column blocks pushdown, so the
+    in-plan form re-reads everything) and drops the repeated
+    midpoint-agg lineage from every consumer branch. Exactness: the
+    fixture timestamps are day-aligned, so the midpoint (midnight or
+    noon) is exactly representable and the literal comparison is
+    bit-equivalent to the oracle's integer-microsecond comparison."""
+    import datetime as _dt
+
     orders = _t(spark, sf_dir, "orders")
-    mid = orders.agg(
-        (
-            (
-                F.min(F.col("o_orderdate").cast("timestamp")).cast("double")
-                + F.max(F.col("o_orderdate").cast("timestamp")).cast("double")
-            )
-            / 2
-        ).alias("_m")
-    )
-    w = orders.crossJoin(F.broadcast(mid))
     ts = F.col("o_orderdate").cast("timestamp").cast("double")
-    return w.where(ts < F.col("_m")), w.where(ts >= F.col("_m"))
+    m = float(
+        orders.agg(((F.min(ts) + F.max(ts)) / 2).alias("_m")).first()["_m"]
+    )
+    lit = F.lit(
+        _dt.datetime.fromtimestamp(m, _dt.timezone.utc).replace(tzinfo=None)
+    ).cast("timestamp")
+    c = F.col("o_orderdate").cast("timestamp")
+    return orders.where(c < lit), orders.where(c >= lit)
 
 
 @q(
