@@ -346,3 +346,71 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def layout_report(
+    spark, path: str, stat_cols: "tuple[str, ...]" = ()
+) -> "DataFrame":
+    """Distributed parquet-layout audit: one row per data file with row
+    count, byte size, row-group count, and (optionally) each
+    ``stat_cols`` column's min/max footer span — the health check run
+    before/after :func:`compact_parquet` / :func:`write_zordered`
+    (small-file pressure, clustering quality, pruning potential).
+
+    The file LIST comes from the source relation (driver-side metadata,
+    same class as any scan planning); the FOOTERS are read distributed —
+    each task opens its own files with pyarrow, so the driver never
+    touches a footer and 10⁶ files audit at cluster width. Output is
+    file-count-sized (metadata), orderable/aggregatable like any frame."""
+    import pandas as pd  # noqa: F811  (worker-side import pattern)
+    from pyspark.sql import types as T
+
+    files = [f for f in spark.read.parquet(path).inputFiles()]
+    n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(n_part)
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_row_groups", T.IntegerType()),
+    ]
+    for c in stat_cols:
+        fields += [
+            T.StructField(f"{c}_min", T.StringType()),
+            T.StructField(f"{c}_max", T.StringType()),
+        ]
+    schema = T.StructType(fields)
+
+    def op(batches):
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fp in pdf["file"]:
+                local = fp[len("file:"):] if fp.startswith("file:") else fp
+                md = pq.ParquetFile(local).metadata
+                rec = {
+                    "file": fp,
+                    "n_rows": md.num_rows,
+                    "n_bytes": os.path.getsize(local),
+                    "n_row_groups": md.num_row_groups,
+                }
+                for c in stat_cols:
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            col = md.row_group(rg).column(ci)
+                            if col.path_in_schema == c and col.statistics:
+                                s = col.statistics
+                                lo = s.min if lo is None else min(lo, s.min)
+                                hi = s.max if hi is None else max(hi, s.max)
+                    rec[f"{c}_min"] = None if lo is None else str(lo)
+                    rec[f"{c}_max"] = None if hi is None else str(hi)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return fdf.mapInPandas(op, schema=schema)

@@ -224,3 +224,22 @@ def test_upsert_documents_rewrites_only_affected_buckets(spark, sf_dir, tmp_path
     assert untouched, "test needs at least one untouched bucket"
     for p in untouched:
         assert os.path.getmtime(p) == mtimes_before[p], f"rewrote {p}"
+
+
+def test_layout_report_audits_files_and_spans(spark, sf_dir, tmp_path):
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.sources import io as sio
+
+    li = schemas.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    path = str(tmp_path / "audit_me")
+    li.repartition(4).write.parquet(path)
+    rep = sio.layout_report(spark, path, stat_cols=("l_orderkey",)).collect()
+    assert len(rep) == 4  # one row per data file
+    assert sum(r.n_rows for r in rep) == li.count()
+    assert all(r.n_bytes > 0 and r.n_row_groups >= 1 for r in rep)
+    # min/max footer spans populated and ordered
+    for r in rep:
+        assert r.l_orderkey_min is not None
+        assert int(r.l_orderkey_min) <= int(r.l_orderkey_max)
