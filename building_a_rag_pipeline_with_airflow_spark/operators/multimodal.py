@@ -368,35 +368,33 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
             f"(got {n_bands}): the pigeonhole guarantee only covers "
             "hamming < n_bands"
         )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.shiftrightunsigned(F.col(hash_col), 8 * i)
-                .bitwiseAND(F.lit(255))
-                .alias("v"),
-            )
-            for i in range(int(n_bands))
-        ]
-    )
-    banded = hashed.select(
-        F.col(id_col), F.col(hash_col), F.explode(bands).alias("band")
+    banded = _phash_band_rows(
+        hashed.select(F.col(id_col), F.col(hash_col)),
+        n_bands,
+        id_col=id_col,
+        hash_col=hash_col,
     )
     if max_bucket is not None:
-        sizes = banded.groupBy("band").agg(F.count("*").alias("_n"))
+        sizes = banded.groupBy("band_i", "band_v").agg(
+            F.count("*").alias("_n")
+        )
         banded = banded.join(
-            sizes.where(F.col("_n") <= int(max_bucket)).select("band"),
-            "band",
+            sizes.where(F.col("_n") <= int(max_bucket)).select(
+                "band_i", "band_v"
+            ),
+            ["band_i", "band_v"],
             "left_semi",
         )
     x = banded.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"), "band"
+        F.col("media_id").alias("id_a"), F.col("phash").alias("_ha"),
+        "band_i", "band_v",
     )
     y = banded.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"), "band"
+        F.col("media_id").alias("id_b"), F.col("phash").alias("_hb"),
+        "band_i", "band_v",
     )
     return (
-        x.join(y, "band")
+        x.join(y, ["band_i", "band_v"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
@@ -463,3 +461,106 @@ def resize_image(df: DataFrame, width: int, height: int,
 
     resized = df.select(id_col, data_col).mapInPandas(op, schema=out_schema)
     return df.drop(data_col).join(resized, id_col)
+
+
+def _phash_band_rows(hashed: DataFrame, n_bands: int,
+                     id_col: str = "media_id",
+                     hash_col: str = "phash") -> DataFrame:
+    """(band_i, band_v, id, hash) rows — the stored/joined form shared by
+    the in-plan matcher, the durable index build, and the streaming
+    extension (one banding definition, three consumers)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_i"),
+                F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                .bitwiseAND(F.lit(255))
+                .cast("int")
+                .alias("band_v"),
+            )
+            for i in range(int(n_bands))
+        ]
+    )
+    return hashed.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("phash"),
+        F.explode(bands).alias("_b"),
+    ).select("media_id", "phash", "_b.band_i", "_b.band_v")
+
+
+def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
+                      data_col: str = "data",
+                      id_col: str = "media_id") -> None:
+    """Materialize the perceptual-hash near-dup index on storage — the
+    MEDIA rung of the durable-index family (shingle / postings / IVF):
+    hash every payload ONCE at build time; queries and extensions then
+    touch only (band, hash) rows, never payload bytes.
+
+    Layout: ``<path>/bands/band_i=I/_batch_id=-1/`` — band rows
+    partitioned by band index, sorted by ``band_v`` within files so a
+    band-value lookup row-group-skips via min/max stats; ``<path>/meta``
+    holds (n_bands). Streaming extension appends under new ``_batch_id``
+    partitions (``streaming.ingest.streaming_extend_phash_index``);
+    no extended-mode flag is needed because the pairs query derives
+    EVERYTHING (bucket sizes included) from the stored rows in-plan —
+    there are no batch-local denormalized statistics to go stale."""
+    hashed = perceptual_hash(df, data_col=data_col, id_col=id_col)
+    rows = _phash_band_rows(hashed, n_bands, id_col=id_col).withColumn(
+        "_batch_id", F.lit(-1)
+    )
+    (
+        rows.repartition(int(n_bands), "band_i")
+        .sortWithinPartitions("band_v")
+        .write.mode("overwrite")
+        .partitionBy("band_i", "_batch_id")
+        .parquet(f"{path}/bands")
+    )
+    df.sparkSession.createDataFrame(
+        [(int(n_bands),)], "n_bands int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def phash_pairs_from_index(spark, path: str, max_hamming: int = 6,
+                           max_bucket: "int | None" = 100_000) -> DataFrame:
+    """Near-dup pairs from a :func:`build_phash_index` layout —
+    result-identical to :func:`phash_near_dups` over the same corpus
+    (parity-tested), but payloads are never re-hashed: the scan reads
+    band rows only. Same pigeonhole contract (``max_hamming <
+    n_bands``) and the same ``max_bucket`` degenerate-band guard,
+    recounted in-plan over the stored rows (batch-extension-safe by
+    construction — nothing denormalized to go stale)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_bands = int(meta["n_bands"])
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(index has {n_bands})"
+        )
+    rows = spark.read.parquet(f"{path}/bands").select(
+        "media_id", "phash", "band_i", "band_v"
+    )
+    if max_bucket is not None:
+        sizes = rows.groupBy("band_i", "band_v").agg(F.count("*").alias("_n"))
+        rows = rows.join(
+            sizes.where(F.col("_n") <= int(max_bucket)).select(
+                "band_i", "band_v"
+            ),
+            ["band_i", "band_v"],
+            "left_semi",
+        )
+    x = rows.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("_ha"),
+        "band_i", "band_v",
+    )
+    y = rows.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("_hb"),
+        "band_i", "band_v",
+    )
+    return (
+        x.join(y, ["band_i", "band_v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("_ha ^ _hb")).cast("int"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -513,3 +513,52 @@ def read_psi_report(
             "psi_contrib"
         ),
     )
+
+
+def streaming_extend_phash_index(
+    media_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    available_now: bool = True,
+):
+    """Keep a ``multimodal.build_phash_index`` layout fresh — the MEDIA
+    twin of the shingle/postings/IVF extensions: each micro-batch of NEW
+    media rows hashes once (Arrow-batched; payloads never leave the
+    batch) and appends its band rows into the same ``band_i=I``
+    partition directories under its own ``_batch_id`` (dynamic overwrite
+    → replayed batches are idempotent). No extended-mode meta flip is
+    needed: the pairs query derives bucket sizes in-plan from the stored
+    rows, so there is no batch-local denormalized statistic to go
+    stale."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as _mm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+        hashed = _mm.perceptual_hash(
+            batch_df, data_col=data_col, id_col=id_col
+        )
+        rows = _mm._phash_band_rows(
+            hashed, int(meta["n_bands"]), id_col=id_col
+        ).withColumn("_batch_id", F.lit(batch_id))
+        (
+            rows.repartition(int(meta["n_bands"]), "band_i")
+            .sortWithinPartitions("band_v")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("band_i", "_batch_id")
+            .parquet(f"{index_path}/bands")
+        )
+
+    writer = (
+        media_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

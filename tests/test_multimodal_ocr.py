@@ -274,3 +274,76 @@ def test_resize_image_deterministic(spark):
     a = {r.media_id: bytes(r.resized) for r in mm.resize_image(m, 8, 8).collect()}
     b = {r.media_id: bytes(r.resized) for r in mm.resize_image(m, 8, 8).collect()}
     assert a == b
+
+
+def test_phash_index_parity_and_streaming_extension(spark, sf_dir, tmp_path):
+    """The durable pHash index must (a) reproduce the in-plan matcher
+    exactly over the same corpus and (b) absorb a streamed batch of new
+    media such that pairs equal a full in-plan run over the union —
+    replay-idempotently (same _batch_id overwrites itself)."""
+    import shutil
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    base = mm.media_from_documents(docs.where(F.col("doc_id") < 40))
+    copies = mm.media_from_documents(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    idx = str(tmp_path / "phash_idx")
+    mm.build_phash_index(base.unionByName(copies), idx)
+
+    def pairs(df):
+        return sorted((r.id_a, r.id_b, r.hamming) for r in df.collect())
+
+    from_index = pairs(mm.phash_pairs_from_index(spark, idx, max_hamming=6))
+    in_plan = pairs(
+        mm.phash_near_dups(
+            mm.perceptual_hash(base.unionByName(copies)), max_hamming=6
+        )
+    )
+    assert from_index == in_plan and len(from_index) >= 10
+
+    # stream in a second wave of copies (doc_id+2000 of docs 10..19)
+    wave = mm.media_from_documents(
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    src = tmp_path / "media_stream"
+    src.mkdir()
+    wave.write.parquet(str(src / "w1"))
+    for i, f in enumerate((src / "w1").glob("*.parquet")):
+        shutil.move(str(f), src / f"w1_{i}.parquet")
+    shutil.rmtree(src / "w1")
+    ckpt = str(tmp_path / "phash_ckpt")
+
+    def drain():
+        raw = spark.readStream.schema(wave.schema).parquet(str(src))
+        q = ingest.streaming_extend_phash_index(raw, idx, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    extended = pairs(mm.phash_pairs_from_index(spark, idx, max_hamming=6))
+    full = pairs(
+        mm.phash_near_dups(
+            mm.perceptual_hash(
+                base.unionByName(copies).unionByName(wave)
+            ),
+            max_hamming=6,
+        )
+    )
+    assert extended == full
+    # the wave's copies actually matched their originals
+    assert {(a, b) for a, b, _ in extended} >= {
+        (i, i + 2000) for i in range(10, 20)
+    }
+    # replay idempotence: draining again (no new files) changes nothing
+    drain()
+    assert pairs(mm.phash_pairs_from_index(spark, idx, max_hamming=6)) == full
