@@ -6556,10 +6556,14 @@ _DEPRIORITIZED = (
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ordered oracle-bearing first: the driver harness checks the
-    first 50 entries, so rows-only (no-oracle) queries sort last — and the
-    _DEPRIORITIZED oracle queries sort just before them — to keep every
-    uniquely-informative oracle query inside the checked window."""
+    """Registry ordering for the driver harness (checks the FIRST 50
+    entries): the enumerated _R5_WINDOW sorts first (this round's driver
+    window — every never-driver-checked oracle plus the single-green
+    anchors), then _NEW_R5 (oracles added after the window froze — first
+    in line for r6), then the multi-green rotation pool (_DEPRIORITIZED
+    last among oracles), then rows-only queries. All oracles are
+    value-checked every round by tests/test_oracle_parity.py regardless
+    of window position."""
     ordered = sorted(
         REGISTRY.items(),
         key=lambda kv: (
