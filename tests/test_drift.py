@@ -132,3 +132,50 @@ def test_km_survival_exhausted_risk_set_is_zero(spark):
     out = {r.duration: r.survival for r in timeseries.km_survival(df, "dur", "obs").collect()}
     assert out[1] == pytest.approx(0.5)
     assert out[2] == 0.0
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_drift_invariants_random_frames(spark, seed):
+    """Mathematical invariants over randomized inputs (seeded — the
+    cheap-frame analogue of the chunker's hypothesis suite): every PSI
+    contribution is non-negative ((pa−pb) and ln(pa/pb) always share a
+    sign), KS ∈ [0,1], JSD ∈ [0, ln 2], chi2 ≥ 0 with dof = k−1."""
+    import random
+
+    rng = random.Random(seed)
+    a = spark.createDataFrame(
+        [(rng.gauss(100.0, 15.0),) for _ in range(400)], "v double"
+    )
+    b = spark.createDataFrame(
+        [(rng.gauss(110.0, 25.0),) for _ in range(300)], "v double"
+    )
+    psi_rows = drift.psi_profile(a, b, "v").collect()
+    assert all(r.psi_contrib >= 0 for r in psi_rows)
+    assert sum(r.n_base for r in psi_rows) == 400
+    assert sum(r.n_new for r in psi_rows) == 300
+
+    ks = drift.ks_statistic(a, b, "v").first()
+    assert 0.0 <= ks.d_stat <= 1.0
+    assert (ks.n_a, ks.n_b) == (400, 300)
+
+    cats_a = spark.createDataFrame(
+        [(rng.choice("xyz"),) for _ in range(200)], "c string"
+    )
+    cats_b = spark.createDataFrame(
+        [(rng.choice("xyzw"),) for _ in range(200)], "c string"
+    )
+    chi = drift.chi2_drift(cats_a, cats_b, "c").first()
+    assert chi.chi2 >= 0.0
+    assert chi.dof == chi.n_categories - 1
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    ta = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=20))) for i in range(20)],
+        "id int, text string",
+    )
+    tb = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words[2:] + ["zeta"], k=20))) for i in range(20)],
+        "id int, text string",
+    )
+    jsd = drift.js_divergence(ta, tb).first().jsd
+    assert 0.0 <= jsd <= math.log(2) + 1e-9

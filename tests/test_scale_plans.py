@@ -705,3 +705,33 @@ def test_iterative_ops_release_superseded_checkpoints(spark):
     assert pr.count() == 3
     after = sc._jsc.sc().getPersistentRDDs().size()
     assert after - before <= 1
+
+
+R5_QUERIES = [
+    "psi_price_drift_orders", "ks_price_drift_orders",
+    "chi2_priority_drift_orders", "js_divergence_docs_by_lang",
+    "mad_outlier_prices", "km_time_to_purchase",
+    "attribution_last_touch_events", "readability_documents",
+    "weighted_sample_per_lang", "lsh_recall_at_k",
+    "bm25_batch_topk_documents", "bpe_encode_fixed_documents",
+    "embedding_dup_clusters_lsh", "k_core_part_graph",
+    "media_phash_near_dups",
+]
+
+
+@pytest.mark.parametrize("name", R5_QUERIES)
+def test_r5_queries_cartesian_free(spark, sf_dir, name):
+    """Regression pin from the round's global plan lint: no r5 query may
+    plan a CartesianProduct, and any BroadcastNestedLoopJoin must be an
+    intended Cross of one-row/broadcast-small frames (the scalar-subquery
+    / broadcast-query-vector contract), never a data-sized loop join."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY[name][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # broadcast-small-by-contract shapes print Cross or carry a
+            # BuildRight/BuildLeft of an aggregate/literal one-row frame
+            assert "Cross" in line or "BuildRight" in line or "BuildLeft" in line
