@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
+from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
 from building_a_rag_pipeline_with_airflow_spark.operators.analytics import prefix_sum
 
 __all__ = ["psi_profile", "ks_statistic", "chi2_drift", "js_divergence"]
@@ -63,6 +64,10 @@ def psi_profile(
     finite (the standard smoothing, applied identically in the oracle)."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    # an empty side would surface as a mid-job ANSI DIVIDE_BY_ZERO from
+    # the proportion math — fail loudly up front instead (O(first row))
+    require_nonempty(df_base, "PSI baseline sample")
+    require_nonempty(df_new, "PSI new sample")
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = df_base.agg(
         F.expr(
@@ -127,6 +132,8 @@ def ks_statistic(
     :func:`analytics.prefix_sum` (no single-partition window at any
     cardinality), then one max-abs aggregate. Integer cumulative counts
     divided by integer totals: bit-identical on any engine."""
+    require_nonempty(df_a, "KS sample A")
+    require_nonempty(df_b, "KS sample B")
     u = (
         df_a.select(
             F.col(value_col).cast("double").alias("v"),
@@ -177,6 +184,8 @@ def chi2_drift(
     two slices of a categorical column — one row
     ``(n_categories, dof, chi2)``. Two hash aggs, a category-sized
     full-outer join, margins folded in-plan (one-row broadcasts)."""
+    require_nonempty(df_a, "chi2 sample A")
+    require_nonempty(df_b, "chi2 sample B")
     a = df_a.groupBy(F.col(cat_col).alias("cat")).agg(
         F.count("*").cast("double").alias("oa")
     )
@@ -232,6 +241,8 @@ def js_divergence(
     — KL is infinite the moment one slice has a token the other lacks,
     which across corpus slices is always. ``0·ln0 = 0`` terms drop via
     the full-outer join's null arithmetic (no smoothing needed)."""
+    require_nonempty(df_a, "JSD corpus slice A")
+    require_nonempty(df_b, "JSD corpus slice B")
 
     def counts(df: DataFrame, side: str) -> DataFrame:
         return (

@@ -179,3 +179,30 @@ def test_drift_invariants_random_frames(spark, seed):
     )
     jsd = drift.js_divergence(ta, tb).first().jsd
     assert 0.0 <= jsd <= math.log(2) + 1e-9
+
+
+def test_drift_empty_side_raises_loudly(spark):
+    """An empty comparison side must raise a clear ValueError up front,
+    not a mid-job ANSI DIVIDE_BY_ZERO from the proportion math (the
+    failure this guards was a raw SparkArithmeticException)."""
+    a = spark.createDataFrame([(1.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    for fn in (drift.psi_profile, drift.ks_statistic):
+        with pytest.raises(ValueError, match="empty"):
+            fn(a, empty, "v")
+        with pytest.raises(ValueError, match="empty"):
+            fn(empty, a, "v")
+    ec = spark.createDataFrame([], "c string")
+    with pytest.raises(ValueError, match="empty"):
+        drift.chi2_drift(spark.createDataFrame([("x",)], "c string"), ec, "c")
+    et = spark.createDataFrame([], "id int, text string")
+    with pytest.raises(ValueError, match="empty"):
+        drift.js_divergence(spark.createDataFrame([(1, "a b")], "id int, text string"), et)
+
+
+def test_mad_outliers_global_path(spark):
+    df = spark.createDataFrame(
+        [("x", float(v)) for v in range(1, 11)], "k string, v double"
+    )
+    r = analytics.mad_outliers(df, "v").first()  # no group keys: one row
+    assert (r.median, r.mad, r.n, r.n_outliers) == (5.5, 2.5, 10, 0)
