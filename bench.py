@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_clusters_documents",
     "pack_training_sequences",
     "mixture_reweight_documents",
+    "corpus_release_report",
     "pivot_priority_by_status",
     "ngram_jaccard_pairs",
     "jaccard_index_pairs",

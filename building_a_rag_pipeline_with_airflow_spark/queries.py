@@ -2626,16 +2626,14 @@ def hash_sample_orders(spark, sf_dir):
     )
 
 
-@q(
-    "curate_corpus_audit",
-    # Full-pipeline composition oracle (r3 judge directive): each stage's
-    # count is the composition of the four individually-green stage oracles
-    # — gate predicate (gopher_quality_flags) → canonical-per-cluster via
-    # the recursive-CTE closure (dedup_clusters_documents) restricted to
-    # gate survivors → 3-gram collision counts (decontaminate_documents)
-    # restricted to dedup survivors → mixture floor thresholds
-    # (mixture_reweight_documents) over what remains.
-    f"""
+# Shared survivor-CTE chain for the curation composition oracles: gates
+# (kept1) → canonical-per-cluster near-dup dedup via recursive closure
+# (kept2) → decontamination (kept3) → mixture floor thresholds (kept4 =
+# the released set). Composed from the four individually-green stage
+# oracles; consumed by BOTH curate_corpus_audit (per-stage counts) and
+# corpus_release_report (per-source release datasheet).
+_CURATE_CTES = f"""
+
     WITH RECURSIVE
     comp AS MATERIALIZED (
       SELECT doc_id,
@@ -2753,6 +2751,16 @@ def hash_sample_orders(spark, sf_dir):
       WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15) AS BIGINT)
             % {sampling.BUCKETS} < p.cut
     ),
+"""
+
+
+@q(
+    "curate_corpus_audit",
+    # Full-pipeline composition oracle (r3 judge directive): each stage's
+    # count is the composition of the four individually-green stage
+    # oracles — see _CURATE_CTES.
+    _CURATE_CTES
+    + f"""
     nn AS MATERIALIZED (
       SELECT (SELECT count(*) FROM documents) AS n0,
              (SELECT count(*) FROM kept1) AS n1,
@@ -2782,6 +2790,66 @@ def curate_corpus_audit(spark, sf_dir):
         near_dup_threshold=0.3,
     )
     return audit.orderBy("stage")
+
+
+@q(
+    "corpus_release_report",
+    _CURATE_CTES
+    + """
+    rel AS MATERIALIZED (SELECT doc_id FROM kept4)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_input,
+           CAST(count(k.doc_id) AS BIGINT) AS n_released,
+           round(count(k.doc_id) / CAST(count(*) AS DOUBLE) * 1000000)
+             / 1000000 AS retention,
+           round(avg(d.n_chars), 2) AS mean_chars_in,
+           round(avg(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars END), 2)
+             AS mean_chars_released
+    FROM documents d LEFT JOIN rel k USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_release_report(spark, sf_dir):
+    """The per-source dataset-release datasheet over the FULL curation
+    composition: for each source domain, input vs released doc counts,
+    retention fraction, and mean doc length before/after — the numbers a
+    dataset card ships next to `curate_corpus_audit`'s per-stage
+    lineage. The oracle reuses the same staged survivor-CTE chain
+    (`_CURATE_CTES`, gates → dedup closure → decontamination → mixture),
+    so the END-TO-END released SET — not just its size — is
+    value-verified per source."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    kept, _audit = curation.curate_corpus(
+        docs,
+        benchmark=bench,
+        mixture_weights={f"src{i}": 2.0 for i in range(5)},
+        near_dup_threshold=0.3,
+    )
+    rel = kept.select("doc_id").withColumn("_rel", F.lit(1))
+    return (
+        docs.join(rel, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_input"),
+            F.sum(F.coalesce("_rel", F.lit(0))).cast("bigint").alias(
+                "n_released"
+            ),
+            (
+                F.round(
+                    F.sum(F.coalesce("_rel", F.lit(0)))
+                    / F.count("*").cast("double")
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("retention"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars_in"),
+            F.round(
+                F.avg(F.when(F.col("_rel") == 1, F.col("n_chars"))), 2
+            ).alias("mean_chars_released"),
+        )
+        .orderBy("source")
+    )
 
 
 @q(
@@ -6397,6 +6465,7 @@ _NEW_R5 = (
     "readability_documents",
     "weighted_sample_per_lang",
     "lsh_recall_at_k",
+    "corpus_release_report",
 )
 
 
