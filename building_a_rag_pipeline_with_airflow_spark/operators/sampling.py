@@ -213,30 +213,51 @@ def weighted_sample_per_group(
     k: int,
     salt: str = "wsample",
     priority_col: str = "priority",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-group Efraimidis–Spirakis weighted sampling without
     replacement: the ``k`` highest-priority rows of EACH group — the
     stratified form of :func:`weighted_sample_topk` (a balanced training
     mixture wants "top-k weighted per domain/language", not a global
     cut). Identical priority function (``u^(1/w)`` from the content-hash
-    uniform — relayout/re-run/engine-stable), selected with one window
-    partitioned by the group keys (partition = one group's rows) instead
-    of the global TakeOrdered heap. Same loud-reject contract for
-    non-positive weights."""
+    uniform — relayout/re-run/engine-stable) and the same loud-reject
+    contract for non-positive weights.
+
+    Selection is a SALTED two-phase top-k, not one window per group: a
+    stratum like "language" holds a constant FRACTION of the corpus, so
+    ``row_number() OVER (PARTITION BY lang)`` would sort ~n/5 rows in one
+    task at any scale — the quantile_segment class of unscalable window.
+    Phase 1 keeps top-k within (group, content-hash salt) partitions
+    (each ≈ group/n_salts); phase 2 re-ranks the surviving
+    groups×n_salts×k rows — a bounded frame. The salt is md5-derived
+    from the key, so the result is still a pure function of the data
+    (layout-stable), and the two-phase composition is EXACTLY the plain
+    per-group top-k (any group-wide top-k row is also top-k within its
+    salt slice) — asserted in tests."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     w = F.col(weight_col).cast("double")
     pri = F.when(
         w > 0, F.pow(hash_uniform(key, salt), F.lit(1.0) / w)
     ).otherwise(F.raise_error(F.lit(
         f"weighted_sample_per_group: non-positive or NULL {weight_col}"
     )))
-    win = Window.partitionBy(*group_cols).orderBy(
+    salted = df.withColumn(priority_col, pri).withColumn(
+        "_salt", hash_bucket(key, salt + ":shard") % F.lit(int(n_salts))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
         F.desc(priority_col), key
     )
+    survivors = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.desc(priority_col), key)
     return (
-        df.withColumn(priority_col, pri)
-        .withColumn("_rk", F.row_number().over(win))
+        survivors.withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= int(k))
         .drop("_rk")
     )

@@ -150,3 +150,32 @@ def test_weighted_sample_per_group_rejects_bad(spark):
     df = spark.createDataFrame([("a", 1, 1.0)], "g string, id int, w double")
     with pytest.raises(ValueError):
         sampling.weighted_sample_per_group(df, ["g"], "id", "w", k=0)
+
+
+def test_weighted_sample_per_group_salted_equals_plain(spark):
+    """The salted two-phase selection must equal the plain one-window
+    per-group top-k exactly (any group-wide winner is also a winner
+    within its salt slice), for several salt counts including 1."""
+    from pyspark.sql import Window
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    rows = [(g, i, float(1 + (i * 7) % 13)) for g in ("a", "b", "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id int, w double")
+    pri = F.pow(sampling.hash_uniform("id", "wsample"), 1.0 / F.col("w"))
+    w = Window.partitionBy("g").orderBy(F.desc("priority"), "id")
+    plain = {
+        (r.g, r.id)
+        for r in df.withColumn("priority", pri)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 5)
+        .collect()
+    }
+    for n_salts in (1, 4, 16):
+        got = {
+            (r.g, r.id)
+            for r in sampling.weighted_sample_per_group(
+                df, ["g"], "id", "w", k=5, n_salts=n_salts
+            ).collect()
+        }
+        assert got == plain, n_salts
