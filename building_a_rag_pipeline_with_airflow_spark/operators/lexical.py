@@ -615,9 +615,24 @@ def bm25_topk_many_from_index(
     per_query = hits.groupBy("q_id", "doc_id").agg(
         F.round(F.sum("_c"), 4).alias("score")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # Salted two-phase top-k (the weighted_sample_per_group pattern): a
+    # query containing one common term can have corpus-scale candidates,
+    # and row_number() OVER (PARTITION BY q_id) would sort them all in
+    # one task. Phase 1 cuts top-k within (q_id, doc-hash shard); phase 2
+    # re-ranks the bounded q×shards×k survivors. Composition is exactly
+    # the per-query top-k (a query-wide winner wins its shard too).
+    n_shards = 16
+    w1 = Window.partitionBy(
+        "q_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    survivors = (
+        per_query.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        per_query.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= int(k))
         .select("q_id", "doc_id", "score", "rank")
     )
