@@ -53,6 +53,31 @@ def topk_cosine(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def _per_query_topk(scored, q_id: str, c_id: str, k: int, n_shards: int = 16):
+    """Salted two-phase per-query top-k over a (q, candidate, score)
+    frame — the weighted_sample_per_group / bm25_topk_many pattern. A
+    single ``row_number() OVER (PARTITION BY q)`` sorts each query's
+    WHOLE candidate set (corpus-scale for the exact tier, a hot band for
+    LSH) in one task; phase 1 cuts top-k within (q, candidate-hash
+    shard), phase 2 re-ranks the bounded q×shards×k survivors.
+    Composition is exactly the per-query top-k — a query-wide winner
+    also wins its shard; deterministic tiebreaks unchanged."""
+    w1 = Window.partitionBy(
+        q_id, F.pmod(F.xxhash64(F.col(c_id)), F.lit(int(n_shards)))
+    ).orderBy(F.desc("score"), F.asc(c_id))
+    survivors = (
+        scored.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(k))
+        .select(q_id, c_id, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -81,12 +106,8 @@ def knn_join(
             4,
         ).alias("score"),
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(q_id, c_id, "score", F.col("rank").cast("int").alias("rank"))
-    )
+    # scale-safe per-query cut — see _per_query_topk
+    return _per_query_topk(scored, q_id, c_id, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
@@ -321,12 +342,8 @@ def lsh_knn_join(
             4,
         ).alias("score"),
     )
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(q_id, c_id, "score", F.col("rank").cast("int").alias("rank"))
-    )
+    # scale-safe per-query cut — see _per_query_topk
+    return _per_query_topk(scored, q_id, c_id, k)
 
 
 def brp_similarity_join(
