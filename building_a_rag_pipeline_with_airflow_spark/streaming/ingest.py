@@ -562,3 +562,53 @@ def streaming_extend_phash_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_psi_trend(
+    spark: SparkSession, state_path: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-batch PSI time series from the streamed state — the drift
+    TRAJECTORY (is the stream drifting away batch over batch, or did one
+    bad batch spike?), where :func:`read_psi_report` gives the
+    accumulated-stream snapshot. One row per ``_batch_id`` with that
+    batch's own PSI vs the frozen baseline: a join of the
+    (bins × batches) partial rows against the n_bins baseline frame plus
+    one grouped fold — metadata-scale, no raw-data rescan."""
+    base = spark.read.parquet(f"{state_path}/baseline").select(
+        "bin", "n_base"
+    )
+    tb = base.agg(F.sum("n_base").cast("double").alias("_ta"))
+    batches = spark.read.parquet(f"{state_path}/batches")
+    # full grid: every (batch, baseline bin) plus any batch-only bins
+    grid = (
+        batches.select("_batch_id")
+        .distinct()
+        .crossJoin(base)
+        .join(batches, ["_batch_id", "bin"], "full_outer")
+        .select(
+            "_batch_id",
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    per_batch_tot = grid.groupBy("_batch_id").agg(
+        F.sum("n_new").cast("double").alias("_tb")
+    )
+    w = (
+        grid.join(per_batch_tot, "_batch_id")
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.greatest(F.col("n_base") / F.col("_ta"), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_new") / F.col("_tb"), F.lit(float(eps)))
+    return (
+        w.groupBy(F.col("_batch_id").alias("batch_id"))
+        .agg(
+            F.sum("n_new").cast("bigint").alias("n_rows"),
+            (
+                F.round(F.sum((pa - pb) * F.log(pa / pb)) * 1_000_000)
+                / 1_000_000
+            ).alias("psi"),
+        )
+        .orderBy("batch_id")
+    )

@@ -498,3 +498,52 @@ def test_session_counts_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in W.session_counts(batch).collect()
     }
     assert got == expect
+
+
+def test_read_psi_trend_per_batch(spark, sf_dir, tmp_path):
+    """Each batch's PSI in the trend must equal drift.psi_profile run
+    batch-side between the baseline and THAT batch's rows alone."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    ev = schemas.load_table(spark, sf_dir, "events")
+    baseline = ev.where(F.col("event_type") == "view").select("value")
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "trend_state"), str(tmp_path / "trend_ckpt")
+
+    def land(df, stem):
+        df.coalesce(1).write.parquet(str(src / stem))
+        for i, f in enumerate((src / stem).glob("*.parquet")):
+            shutil.move(str(f), src / f"{stem}_{i}.parquet")
+        shutil.rmtree(src / stem)
+
+    def drain():
+        raw = spark.readStream.schema("value double").parquet(str(src))
+        q = ingest.streaming_psi(raw, baseline, "value", state, ckpt, n_bins=10)
+        q.awaitTermination(120)
+
+    land(ev.where(F.col("event_type") == "purchase").select("value"), "b1")
+    drain()
+    land(ev.where(F.col("event_type") == "click").select("value"), "b2")
+    drain()
+
+    trend = {r.batch_id: (r.n_rows, r.psi) for r in ingest.read_psi_trend(spark, state).collect()}
+    assert len(trend) == 2
+    slices = {
+        0: ev.where(F.col("event_type") == "purchase").select("value"),
+        1: ev.where(F.col("event_type") == "click").select("value"),
+    }
+    for bid, sl in slices.items():
+        expect_psi = round(
+            sum(r.psi_contrib for r in drift.psi_profile(baseline, sl, "value").collect()),
+            6,
+        )
+        n, psi = trend[bid]
+        assert n == sl.count()
+        assert abs(psi - expect_psi) < 5e-6, (bid, psi, expect_psi)
