@@ -74,9 +74,21 @@ def cooccurrence_recommend(
             F.col("item_b").alias("item"), F.col("item_a").alias("rec"), "n"
         )
     )
-    w = Window.partitionBy("item").orderBy(F.desc("n"), F.col("rec"))
+    # Salted two-phase per-item cut (the similarity._per_query_topk
+    # pattern): a mega-popular item co-occurs with a catalog-scale rec
+    # list, and one per-item window would sort it in a single task.
+    n_shards = 16
+    w1 = Window.partitionBy(
+        "item", F.pmod(F.xxhash64("rec"), F.lit(n_shards))
+    ).orderBy(F.desc("n"), F.col("rec"))
+    survivors = (
+        sym.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy("item").orderBy(F.desc("n"), F.col("rec"))
     return (
-        sym.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= int(k))
         .select("item", "rec", "n", "rank")
     )
