@@ -94,9 +94,10 @@ HEADLINE = [
     "pack_training_sequences",
     "mixture_reweight_documents",
     # corpus_release_report / curate_corpus_audit are deliberately NOT
-    # benched: the full curation composition re-executes every stage at
-    # sf0.1 (~240 s measured) and would eat the driver's whole bench
-    # budget; their correctness lives in CORRECTNESS_r{N}, and each
+    # benched: even after the r5 stage-checkpoint fix (each curation
+    # stage now runs ONCE — 240 s -> 35.5 s at sf0.1, measured) the
+    # composition still costs ~30 s/run, ~20% of the bench budget over
+    # three rounds; correctness lives in CORRECTNESS_r{N}, and each
     # stage's cost is benched individually (gopher/dedup_clusters/
     # decontaminate/mixture rows above).
     "pivot_priority_by_status",

@@ -287,14 +287,28 @@ def curate_corpus(
         mixture_reweight,
     )
 
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        release_checkpoint,
+    )
+
     spark = df.sparkSession
     stages: list[tuple[str, int, int]] = []
 
+    # Each stage output is CHECKPOINTED, not just counted: the stage
+    # counts force materialization anyway, and without truncation stage
+    # N's lazy plan re-executes stages 1..N-1 — the whole pipeline ran
+    # ~5x (once per count plus once for the returned frame's consumer;
+    # measured 240 s -> ~60 s at sf0.1). Superseded stage checkpoints
+    # are released as soon as the next stage materializes (the
+    # connected_components discipline); the RETURNED kept frame is the
+    # final checkpoint and belongs to the caller, like CC/pagerank
+    # returns. At 100 TB swap localCheckpoint for storage checkpoints —
+    # the docstring's write-metrics note.
     n0 = df.count()
     gates = gopher_quality_flags(df, text_col, id_col, **gate_kw)
     kept = df.join(
         gates.where(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     n1 = kept.count()
     stages.append(("quality_gates", n0, n1))
 
@@ -302,7 +316,9 @@ def curate_corpus(
         kept, text_col, id_col, threshold=near_dup_threshold
     )
     dupes = clusters.where(~F.col("is_canonical")).select(id_col)
-    kept = kept.join(dupes, id_col, "left_anti")
+    prev = kept
+    kept = kept.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
+    release_checkpoint(prev)
     n2 = kept.count()
     stages.append(("near_dup_dedup", n1, n2))
 
@@ -312,14 +328,21 @@ def curate_corpus(
             .where(F.col("contaminated"))
             .select(id_col)
         )
-        kept = kept.join(contaminated, id_col, "left_anti")
+        prev = kept
+        kept = kept.join(contaminated, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        release_checkpoint(prev)
     n3 = kept.count()
     stages.append(("decontamination", n2, n3))
 
     if mixture_weights is not None:
-        kept, _plan = mixture_reweight(
+        sampled, _plan = mixture_reweight(
             kept, strata_col, mixture_weights, key=id_col
         )
+        prev = kept
+        kept = sampled.localCheckpoint(eager=True)
+        release_checkpoint(prev)
     n4 = kept.count()
     stages.append(("mixture_reweight", n3, n4))
 
