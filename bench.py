@@ -161,6 +161,7 @@ HEADLINE = [
     "mad_outlier_prices",
     "km_time_to_purchase",
     # mergeable sketches (r5)
+    "hll_weekly_rollup_events",
     "kll_quantile_profile_orders",
     "theta_overlap_customers",
     # multimodal dedup (r5)

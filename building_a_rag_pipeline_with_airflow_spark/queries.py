@@ -4228,6 +4228,33 @@ def sketch_distinct_profile(spark, sf_dir):
     return est.crossJoin(pct)
 
 
+@q("hll_weekly_rollup_events", None)
+def hll_weekly_rollup_events(spark, sf_dir):
+    """Bench-only (sketch estimates): the MERGEABLE distinct-count path
+    end to end — per-day DataSketches HLL partials of user_id
+    (`analytics.hll_partials`) unioned up to ISO weeks
+    (`analytics.hll_rollup`) WITHOUT rescanning raw events. This is the
+    production shape for "distinct users per day/week/all-time" at
+    100 TB: the weekly numbers cost KB-sized sketch merges, not a second
+    corpus pass. Estimate accuracy vs exact is pytest-pinned
+    (test_analytics.py); sketch internals are not externally
+    reproducible, same class as sketch_distinct_profile."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400).cast(
+            "bigint"
+        ),
+    )
+    daily = analytics.hll_partials(ev, ["day"], "user_id")
+    weekly = analytics.hll_rollup(
+        daily.withColumn("week", F.floor(F.col("day") / 7).cast("bigint")),
+        by=["week"],
+    )
+    return weekly.select(
+        "week", F.round("distinct_estimate").cast("bigint").alias("approx_users")
+    ).orderBy("week")
+
+
 @q("kll_quantile_profile_orders", None)
 def kll_quantile_profile_orders(spark, sf_dir):
     """Bench-only (approximate by construction, like

@@ -416,3 +416,32 @@ def test_attribution_rejects_bad_model(spark):
     df = spark.createDataFrame([(1, 1, "purchase", 0.0)], "event_id long, user_id long, event_type string, value double")
     with pytest.raises(ValueError):
         analytics.attribute_conversions(df, ts_col="event_id", model="linear")
+
+
+def test_hll_weekly_rollup_near_exact(spark, sf_dir):
+    """The mergeable rollup (daily HLL partials unioned to weeks) must
+    land within sketch error of the exact weekly distinct counts —
+    pinning the registry query's estimates."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+
+    got = {
+        r.week: r.approx_users
+        for r in REGISTRY["hll_weekly_rollup_events"][0](spark, sf_dir).collect()
+    }
+    ev = schemas.load_table(spark, sf_dir, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.select(
+            F.floor(
+                F.floor(F.col("ts").cast("timestamp").cast("double") / 86400) / 7
+            ).cast("bigint").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert abs(got[w] - n) <= max(3, 0.05 * n), (w, got[w], n)
