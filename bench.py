@@ -135,6 +135,7 @@ HEADLINE = [
     "pagerank_supplier_cosupply",
     # linkage / weighted sampling / sequence analytics
     "fuzzy_match_parts",
+    "trigram_search_parts",
     "weighted_sample_documents",
     "weighted_sample_per_lang",
     "event_transition_matrix",

@@ -77,3 +77,97 @@ def blocked_fuzzy_pairs(
         .where(F.col("distance") <= int(max_distance))
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def trigram_set(col: "str | Column") -> Column:
+    """Distinct character 3-grams of a lowercased string as an array —
+    pure Catalyst (`transform` over a `sequence` of positions +
+    `array_distinct`), reproducible in any engine via
+    ``generate_series`` + ``substr`` + ``DISTINCT``. Strings shorter
+    than 3 chars contribute their whole text as one gram."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.greatest(F.length(c) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(3))
+        )
+    )
+
+
+def trigram_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    c_id: str = "name_id",
+    c_text: str = "name",
+    max_posting: int = 100_000,
+) -> DataFrame:
+    """Fuzzy string SEARCH: for every query string, the top-k most
+    similar corpus strings by trigram-set Jaccard — the search-shaped
+    sibling of :func:`blocked_fuzzy_pairs` (which enumerates within-block
+    PAIRS). The standard engine trick (PostgreSQL pg_trgm, n-gram FTS):
+
+    * both sides project to DISTINCT trigram sets (map-side, no UDF);
+    * an inverted-index equi-join on the trigram yields candidates — a
+      corpus string is considered only if it SHARES a gram with the
+      query, never all-pairs; ``max_posting`` drops stop-grams (grams in
+      more corpus strings than the cap — the shingle-index stop-shingle
+      guard) whose candidates would be the whole corpus;
+    * shared-gram counts aggregate per (query, candidate); Jaccard
+      derives from the two stored set sizes; the per-query cut is the
+      salted two-phase top-k (`similarity._per_query_topk` pattern).
+
+    Deterministic: scores round to 6 decimals with id tiebreaks, so the
+    whole operator carries a full SQL oracle."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import (
+        _per_query_topk,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qg = queries.select(
+        F.col(q_id).alias("q_id"), trigram_set(q_text).alias("_g")
+    ).withColumn("_qn", F.size("_g"))
+    cg = corpus.select(
+        F.col(c_id).alias("name_id"),
+        F.col(c_text).alias("name"),
+        trigram_set(c_text).alias("_g"),
+    ).withColumn("_cn", F.size("_g"))
+    cpost = cg.select(
+        "name_id", "_cn", F.explode("_g").alias("gram")
+    )
+    if max_posting is not None:
+        sizes = cpost.groupBy("gram").agg(F.count("*").alias("_n"))
+        cpost = cpost.join(
+            sizes.where(F.col("_n") <= int(max_posting)).select("gram"),
+            "gram",
+            "left_semi",
+        )
+    qpost = qg.select("q_id", "_qn", F.explode("_g").alias("gram"))
+    shared = (
+        qpost.join(cpost, "gram")
+        .groupBy("q_id", "name_id")
+        .agg(
+            F.count("*").cast("double").alias("_shared"),
+            F.first("_qn").alias("_qn"),
+            F.first("_cn").alias("_cn"),
+        )
+    )
+    scored = shared.select(
+        "q_id",
+        "name_id",
+        (
+            F.round(
+                F.col("_shared")
+                / (F.col("_qn") + F.col("_cn") - F.col("_shared"))
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("score"),
+    )
+    out = _per_query_topk(scored, "q_id", "name_id", int(k))
+    return out.join(
+        cg.select("name_id", "name"), "name_id"
+    ).select("q_id", "name_id", "name", "score", "rank")

@@ -5145,6 +5145,69 @@ def weighted_sample_documents(spark, sf_dir):
 
 
 @q(
+    "trigram_search_parts",
+    """
+    WITH corpus AS (
+      SELECT min(p_partkey) AS name_id, p_name AS name
+      FROM part GROUP BY p_name
+    ),
+    q AS (
+      SELECT p_partkey AS q_id, substr(p_name, 3) AS q_text
+      FROM part WHERE p_partkey <= 5
+    ),
+    cg AS (
+      SELECT name_id, name,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(name) - 2, 1)),
+               i -> substr(lower(name), i, 3))) AS g
+      FROM corpus
+    ),
+    qg AS (
+      SELECT q_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(q_text) - 2, 1)),
+               i -> substr(lower(q_text), i, 3))) AS g
+      FROM q
+    ),
+    scored AS (
+      SELECT qg.q_id, cg.name_id, cg.name,
+             round(CAST(len(list_intersect(qg.g, cg.g)) AS DOUBLE)
+                   / (len(qg.g) + len(cg.g)
+                      - len(list_intersect(qg.g, cg.g)))
+                   * 1000000) / 1000000 AS score
+      FROM qg, cg
+      WHERE len(list_intersect(qg.g, cg.g)) > 0
+    )
+    SELECT q_id, name_id, name, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, name_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 5 ORDER BY q_id, rank
+    """,
+)
+def trigram_search_parts(spark, sf_dir):
+    """Fuzzy string SEARCH over distinct part names
+    (`operators.linkage.trigram_topk`, the pg_trgm shape): queries are
+    truncated part names (chars 3+ of parts 1–5 — partial-match
+    lookups), matched by trigram-set Jaccard through an inverted gram
+    index — candidates share ≥1 gram, never all-pairs; stop-grams capped
+    by `max_posting`; per-query cut via the salted two-phase top-k. The
+    oracle cross-checks with the brute-force `list_intersect` form —
+    same scores, same set, different plan."""
+    part = _t(spark, sf_dir, "part")
+    corpus = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("name_id")
+    ).select("name_id", F.col("p_name").alias("name"))
+    queries = part.where(F.col("p_partkey") <= 5).select(
+        F.col("p_partkey").alias("q_id"),
+        F.expr("substring(p_name, 3)").alias("q_text"),
+    )
+    from building_a_rag_pipeline_with_airflow_spark.operators import linkage
+
+    return linkage.trigram_topk(queries, corpus, k=5).orderBy("q_id", "rank")
+
+
+@q(
     "weighted_sample_per_lang",
     """
     WITH pri AS (
@@ -6493,6 +6556,7 @@ _NEW_R5 = (
     "weighted_sample_per_lang",
     "lsh_recall_at_k",
     "corpus_release_report",
+    "trigram_search_parts",
 )
 
 

@@ -179,3 +179,50 @@ def test_weighted_sample_per_group_salted_equals_plain(spark):
             ).collect()
         }
         assert got == plain, n_salts
+
+
+def test_trigram_topk_finds_exact_and_near(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import linkage
+
+    corpus = spark.createDataFrame(
+        [(1, "chocolate brown metal"), (2, "chocolate brown steel"),
+         (3, "ivory white copper"), (4, "xy")],
+        "name_id int, name string",
+    )
+    queries = spark.createDataFrame(
+        [(10, "chocolate brown metal"), (11, "ivory white coper")],
+        "q_id int, q_text string",
+    )
+    out = {
+        (r.q_id, r.rank): (r.name_id, r.score)
+        for r in linkage.trigram_topk(queries, corpus, k=2).collect()
+    }
+    # exact match scores 1.0 and ranks first
+    assert out[(10, 1)] == (1, 1.0)
+    assert out[(10, 2)][0] == 2  # near variant second
+    # typo query still ranks its target first, below 1.0
+    assert out[(11, 1)][0] == 3 and 0 < out[(11, 1)][1] < 1.0
+
+
+def test_trigram_topk_stop_gram_guard(spark):
+    """Grams above max_posting are dropped from the index: with every
+    corpus gram over the cap there are no candidates at all."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import linkage
+
+    corpus = spark.createDataFrame(
+        [(i, "aaaa") for i in range(5)], "name_id int, name string"
+    )
+    queries = spark.createDataFrame([(1, "aaaa")], "q_id int, q_text string")
+    assert linkage.trigram_topk(queries, corpus, k=3, max_posting=2).isEmpty()
+    assert linkage.trigram_topk(queries, corpus, k=3).count() == 3
+
+
+def test_trigram_topk_rejects_bad_k(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import linkage
+
+    df = spark.createDataFrame([(1, "abc")], "name_id int, name string")
+    q = spark.createDataFrame([(1, "abc")], "q_id int, q_text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        linkage.trigram_topk(q, df, k=0)
