@@ -121,6 +121,7 @@ HEADLINE = [
     "ivf_topk_cosine",
     "ivf_topk_cosine_kmeans",
     "brp_topk",
+    "binary_quant_topk",
     "lsh_recall_at_k",
     # multimodal plumbing
     "media_image_meta",

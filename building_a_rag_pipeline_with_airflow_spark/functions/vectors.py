@@ -133,3 +133,33 @@ def dequantize_int8(q: Column | str) -> Column:
         qc.getField("codes"),
         lambda c: (c.cast("double") * qc.getField("scale")).cast("float"),
     )
+
+
+def binary_signature(a: "Column | str", dim: int = 64) -> Column:
+    """1-bit (sign) quantization of a ≤64-dim vector packed into ONE
+    long: bit i set iff component i ≥ 0 — 32× smaller than float storage
+    and comparable with a single codegen'd ``bit_count(a XOR b)``.
+
+    Unlike the 8-plane sign-LSH signature (random projections), this is
+    per-DIMENSION sign: for mean-centered embeddings the hamming
+    distance between packed signs tracks angular distance closely enough
+    to serve as the COARSE shortlist tier (the "binary quantization"
+    mode every production vector store ships); exact re-ranking of the
+    shortlist restores true scores. Pure Catalyst fold — no UDF."""
+    if not 1 <= dim <= 64:
+        raise ValueError(f"dim must be in [1, 64], got {dim}")
+    c = F.col(a) if isinstance(a, str) else a
+    # static per-dimension expansion with PYTHON-computed bit literals:
+    # shiftleft() only takes a literal shift and pow(2, i) loses
+    # exactness past 2^53; bit 63 is the long's sign bit (two's
+    # complement literal). dim is a schema constant, so the 64-term OR
+    # tree is built once at plan time and codegens.
+    sig = F.lit(0).cast("long")
+    for i in range(int(dim)):
+        bit = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(c.getItem(i) >= 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig

@@ -695,3 +695,55 @@ def blocked_cosine_pairs(
         )
         .where(F.col("cosine") >= float(threshold))
     )
+
+
+def binary_topk_cosine(
+    corpus: DataFrame,
+    query_vec: "list[float]",
+    k: int = TOP_K,
+    shortlist: int = 100,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN tier: 1-bit sign signatures
+    (``vectors.binary_signature`` — 32× smaller than float storage)
+    shortlisted by hamming distance (one codegen'd
+    ``bit_count(sig XOR qsig)`` per row, TakeOrdered heap), then EXACT
+    cosine re-rank of the ``shortlist`` rows only — the coarse tier
+    every production vector store ships between brute force and IVF.
+    The query signature packs driver-side (metadata); scores/tiebreaks
+    match the exact scan on whatever the shortlist retains (recall is
+    the quality knob: raise ``shortlist`` to trade IO for recall;
+    pinned in tests/test_mllib_ann.py)."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
+        binary_signature,
+        cosine_similarity,
+    )
+
+    if k < 1 or shortlist < k:
+        raise ValueError(
+            f"need shortlist >= k >= 1, got k={k} shortlist={shortlist}"
+        )
+    qsig = 0
+    for i, x in enumerate(query_vec[: int(dim)]):
+        if float(x) >= 0:
+            qsig |= 1 << i
+    if qsig >= 1 << 63:
+        qsig -= 1 << 64  # two's-complement long
+    sigged = corpus.withColumn(
+        "_sig", binary_signature(c_vec, int(dim))
+    ).withColumn(
+        "_ham",
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig).cast("long"))),
+    )
+    short = sigged.orderBy(F.asc("_ham"), F.asc(c_id)).limit(int(shortlist))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        short.select(
+            c_id,
+            F.round(cosine_similarity(F.col(c_vec), qlit), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(c_id))
+        .limit(int(k))
+    )

@@ -4255,6 +4255,20 @@ def hll_weekly_rollup_events(spark, sf_dir):
     ).orderBy("week")
 
 
+@q("binary_quant_topk", None)
+def binary_quant_topk(spark, sf_dir):
+    """Bench-only (approximate by construction, like brp_topk): the 1-bit
+    binary-quantization ANN tier (`similarity.binary_topk_cosine`) —
+    sign signatures packed into one long (32x smaller than float
+    storage), hamming shortlist via one codegen'd bit_count per row,
+    exact cosine re-rank of the shortlist only. Recall pinned
+    (tests/test_mllib_ann.py); signatures are reproducible but the tier
+    is a recall/IO trade, tracked in BENCH not CORRECTNESS."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    return similarity.binary_topk_cosine(emb, qv, k=5, shortlist=100)
+
+
 @q("kll_quantile_profile_orders", None)
 def kll_quantile_profile_orders(spark, sf_dir):
     """Bench-only (approximate by construction, like

@@ -267,3 +267,38 @@ def test_lsh_clusters_match_exact_at_high_threshold(spark, emb):
     # every planted copy clusters with its source under its source's label
     assert {(v + 100_000, v) for v in range(20)} <= exact
     assert lsh == exact
+
+
+def test_binary_quant_recall_and_planted_exact(spark, emb, query_vec):
+    """The 1-bit tier: a positively scaled copy of the query has the
+    IDENTICAL sign signature (hamming 0), so it must surface at rank 1
+    with cosine 1.0; and on the fixture corpus shortlist=64 must reach
+    recall >= 0.8 vs the exact top-5 (binary signs are the coarse tier —
+    raise shortlist for more)."""
+    from pyspark.sql import functions as F
+
+    planted = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900_000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    got = similarity.binary_topk_cosine(corpus, query_vec, k=5, shortlist=64)
+    rows = got.collect()
+    assert rows[0].score == 1.0 and rows[0].vec_id in (0, 900_000)
+
+    exact = {
+        r.vec_id
+        for r in similarity.topk_cosine(emb, query_vec, k=5).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in similarity.binary_topk_cosine(
+            emb, query_vec, k=5, shortlist=64
+        ).collect()
+    }
+    assert len(approx & exact) >= 4  # recall >= 0.8 at this shortlist
+
+
+def test_binary_quant_rejects_bad_args(spark, emb, query_vec):
+    with pytest.raises(ValueError):
+        similarity.binary_topk_cosine(emb, query_vec, k=10, shortlist=5)
