@@ -6479,84 +6479,22 @@ def k_core_part_graph(spark, sf_dir):
     )
 
 
-# r5 rotation (judge directive #1): the driver checks the FIRST 50 registry
-# entries; this tuple IS that window for r5, enumerated explicitly. It
-# holds (a) every oracle query that has NEVER had a driver-checked row —
-# the whole late-r4 backlog (lexical family, graph/baskets/recommend,
-# time-series OHLC/decay, SCD2, Benford/trend, winsorize, weighted
-# sampling, fuzzy linkage, transition matrix, embedding clusters, plus
-# q20/q21, funnel, cohort, heavy-hitters, grouping sets, percent_rank,
-# scrub_pii, corr, cv_folds) and the new-in-r5 embedding_dup_clusters_lsh
-# — 35 entries; and (b) 15 single-green anchors needing fresh evidence:
-# the twelve r4-only greens (incl. anomaly_zscore_events_daily and
-# pagerank_supplier_cosupply, whose oracles/operators changed in r5) and
-# the three r2-only strays (simhash_documents, media_frame_counts,
-# q10_returned_revenue). Everything else has >= 2 green driver rounds and
-# rotates out under the standing sibling policy recorded in the
-# _DEPRIORITIZED comments below; all oracles stay value-checked every
-# round by tests/test_oracle_parity.py regardless of window position.
-# Queries added later in r5 are enumerated in _NEW_R5 below and sort
-# directly after this window — first in line when the r6 window rotates.
-_R5_WINDOW = (
-    # (a) never driver-checked
-    "grouping_sets_priority_segment",
-    "q20_volume_part_suppliers",
-    "q21_sole_late_supplier",
-    "corr_lineitem_metrics",
-    "scrub_pii_documents",
-    "cv_folds_orders",
-    "cohort_retention_weekly",
-    "funnel_view_click_purchase",
-    "heavy_hitter_tokens",
-    "percent_rank_nation_balance",
-    "bm25_topk_documents",
-    "tfidf_top_terms_documents",
-    "bigram_lm_ppl_documents",
-    "rrf_fusion_topk",
-    "line_dedup_documents",
-    "vocab_coverage_documents",
-    "zipf_profile_documents",
-    "weighted_sample_documents",
-    "fuzzy_match_parts",
-    "event_transition_matrix",
-    "ohlc_events_daily",
-    "cumulative_new_users_daily",
-    "decayed_user_value",
-    "label_centroids_embeddings",
-    "entropy_profile_orders",
-    "embedding_dup_clusters",
-    "embedding_dup_clusters_lsh",
-    "winsorized_price_stats",
-    "frequent_part_pairs",
-    "cooccur_recommend_parts",
-    "triangle_count_part_graph",
-    "top_event_paths",
-    "trend_by_event_type",
-    "benford_price_profile",
-    "scd2_customer_segments",
-    # (b) single-green anchors
-    "jaccard_index_pairs",
-    "curate_corpus_audit",
-    "quantile_segment_customer_value",
-    "q4_priority_exists",
-    "q2_min_cost_supplier",
-    "q11_important_nation_share",
-    "q12_late_shipment_priority",
-    "q16_supplier_variety",
-    "chunk_semantic_refconst",
-    "resample_interpolate_purchases",
-    "anomaly_zscore_events_daily",
-    "pagerank_supplier_cosupply",
-    "simhash_documents",
-    "media_frame_counts",
-    "q10_returned_revenue",
-)
-
-# Oracle queries ADDED in r5, after the window was fixed: they sort
-# immediately after _R5_WINDOW (ahead of every multi-green query), so the
-# r6 rotation picks them up first. Value-checked by
-# tests/test_oracle_parity.py every round meanwhile, like all oracles.
-_NEW_R5 = (
+# r6 rotation (judge directive #1): the driver checks the FIRST 50 registry
+# entries; this tuple IS that window for r6, enumerated explicitly.
+# Selection is data-driven from CORRECTNESS_r01..r05 green history:
+# (a) the 14 r5-late oracles that have NEVER had a driver row (the
+# _NEW_R5 queue the r5 policy promised would sort first this round);
+# (b) the 36 stalest oracle queries by (last-green-round asc, green-count
+# asc): the 21 double-green queries last seen r2, the 5 double-green
+# queries last seen r3, and the 10 triple-green queries last seen r3.
+# Everything rotating OUT carries a green r4 or r5 driver row (the whole
+# r5 window went 50/50 green), so every oracle keeps recent driver
+# evidence while the stale tail gets refreshed. All oracles remain
+# value-checked every round by tests/test_oracle_parity.py regardless of
+# window position. (r5's window is preserved in git history at this spot;
+# its 50/50 green rows are CORRECTNESS_r05.json.)
+_R6_WINDOW = (
+    # (a) never driver-checked — the r5 _NEW_R5 queue, first in line
     "bm25_batch_topk_documents",
     "bpe_encode_fixed_documents",
     "psi_price_drift_orders",
@@ -6571,6 +6509,53 @@ _NEW_R5 = (
     "lsh_recall_at_k",
     "corpus_release_report",
     "trigram_search_parts",
+    # (b) stalest double-green, last driver row r2
+    "pagination_orders",
+    "topk_orders",
+    "value_counts_mktsegment",
+    "column_profile_orders",
+    "orders_year_quarter",
+    "orders_date_validation",
+    "latest_order_per_customer",
+    "distinct_nation_segments",
+    "nations_without_suppliers",
+    "rollup_returnflag_status",
+    "chunk_fixed_documents",
+    "token_counts_documents",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "topk_cosine",
+    "knn_join",
+    "embedding_norms",
+    "near_dup_embeddings_exact",
+    "brand_revenue_topk",
+    "pairwise_overlap_stats",
+    # (b) double-green, last driver row r3
+    "union_distinct_values",
+    "chunk_recursive_documents",
+    "chunk_semantic_documents",
+    "events_hourly",
+    "events_props_json",
+    # (b) triple-green, last driver row r3
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "chunk_overlap_adjacent",
+    "doc_quality_scores",
+    "lang_id_documents",
+    "hybrid_topk_cosine",
+    "chunk_first_positions",
+    "pivot_priority_status",
+    "ivf_topk_cosine",
+    "winnow_fingerprints",
+)
+
+# Oracle queries ADDED in r6, after the window above was fixed: they sort
+# immediately after _R6_WINDOW (ahead of every multi-green query), so the
+# r7 rotation picks them up first. Value-checked by
+# tests/test_oracle_parity.py every round meanwhile, like all oracles.
+_NEW_R6 = (
+    "binary_quant_topk",
 )
 
 
@@ -6731,19 +6716,19 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R5_WINDOW sorts first (this round's driver
-    window — every never-driver-checked oracle plus the single-green
-    anchors), then _NEW_R5 (oracles added after the window froze — first
-    in line for r6), then the multi-green rotation pool (_DEPRIORITIZED
-    last among oracles), then rows-only queries. All oracles are
-    value-checked every round by tests/test_oracle_parity.py regardless
-    of window position."""
+    entries): the enumerated _R6_WINDOW sorts first (this round's driver
+    window — the 14 never-driver-checked r5-late oracles plus the 36
+    stalest rotation anchors), then _NEW_R6 (oracles added after the
+    window froze — first in line for r7), then the multi-green rotation
+    pool (_DEPRIORITIZED last among oracles), then rows-only queries.
+    All oracles are value-checked every round by
+    tests/test_oracle_parity.py regardless of window position."""
     ordered = sorted(
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R5_WINDOW,   # the enumerated r5 window first
-            kv[0] not in _NEW_R5,      # new-in-r5 oracles next (r6 queue)
+            kv[0] not in _R6_WINDOW,   # the enumerated r6 window first
+            kv[0] not in _NEW_R6,      # new-in-r6 oracles next (r7 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
