@@ -547,12 +547,28 @@ def kll_merge_quantiles(
     )
     cols = [
         F.kll_sketch_get_quantile_double("_m", F.lit(float(q))).alias(
-            f"q{str(q).replace('0.', '').ljust(2, '0')}"
+            _quantile_label(q)
         )
         for q in quantiles
     ]
     n = F.kll_sketch_get_n_double("_m").alias("n")
     return merged.select(*by, n, *cols)
+
+
+def _quantile_label(q: float) -> str:
+    """Deterministic, collision-free column label for a quantile in
+    (0, 1): per-mille resolution — ``0.5 -> q50``, ``0.05 -> q05``,
+    ``0.999 -> q999``, ``0.925 -> q925``. Two-digit labels only arise
+    from multiples of 0.01 and three-digit ones always end in a nonzero
+    digit, so the two ranges cannot collide (q25 vs q025). String-munged
+    labels (str(q).replace...) produced invalid identifiers at the
+    edges (q=1.0 -> 'q1.0')."""
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"quantile must be in (0, 1), got {q!r}")
+    milli = int(round(float(q) * 1000))
+    if not (0 < milli < 1000):
+        raise ValueError(f"quantile must be in [0.001, 0.999], got {q!r}")
+    return f"q{milli // 10:02d}" if milli % 10 == 0 else f"q{milli:03d}"
 
 
 def theta_overlap(
@@ -568,7 +584,12 @@ def theta_overlap(
     share": exact requires shuffling both key sets; sketches reduce each
     side to KBs in one pass and the set algebra (union, intersection)
     happens on the sketches. ~2-3% standard error at ``lg_k=12``;
-    estimates round to whole entities."""
+    estimates round to whole entities. Empty inputs raise loudly (the
+    drift-family contract) instead of yielding a 0/0 NaN jaccard."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    require_nonempty(df_a, "theta overlap slice A")
+    require_nonempty(df_b, "theta overlap slice B")
     sa = df_a.agg(
         F.theta_sketch_agg(F.col(key_col).cast("string"), F.lit(int(lg_k))).alias("s")
     )
@@ -639,9 +660,16 @@ def attribute_conversions(
         )
         .agg(
             F.count("*").cast("bigint").alias("n_conversions"),
+            # Exact-cents sum (same device as anomaly_zscore/trend): summing
+            # raw doubles then rounding leaves the result at the mercy of
+            # partial-sum order when a total lands on a half-cent boundary;
+            # pre-scaling to integer cents makes the sum exact and
+            # order-free, descaled once at the end.
             (
-                F.round(F.sum(F.col(value_col).cast("double")) * 100)
-                / 100
+                F.sum(
+                    F.round(F.col(value_col).cast("double") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("attributed_value"),
         )
     )

@@ -6439,7 +6439,9 @@ def readability_documents(spark, sf_dir):
     )
     SELECT coalesce(touch, 'direct') AS channel,
            CAST(count(*) AS BIGINT) AS n_conversions,
-           round(sum(value) * 100) / 100 AS attributed_value
+           -- exact-cents sum, same device as anomaly_zscore_events_daily
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS attributed_value
     FROM touched WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY channel
     """,

@@ -438,15 +438,39 @@ def streaming_psi(
             b = b + F.when(F.col(col).cast("double") > F.lit(bd), 1).otherwise(0)
         return b
 
-    base_counts = (
-        baseline_df.select(bin_expr(value_col).alias("bin"))
-        .groupBy("bin")
-        .agg(F.count("*").cast("bigint").alias("n_base"))
-        .withColumn("_bounds", F.lit(str(bounds)))
-    )
-    base_counts.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_path}/baseline"
-    )
+    # Re-invocation guard: previously streamed per-batch counts under
+    # <state_path>/batches are binned with the bounds frozen at FIRST
+    # invocation — silently recomputing bounds from a different
+    # baseline_df would mix incompatible bin definitions in
+    # read_psi_report. If a baseline already exists: same bounds -> keep
+    # it (idempotent restart, batches stay consistent); different
+    # bounds -> raise (caller must use a fresh state_path to re-baseline).
+    spark = baseline_df.sparkSession
+    try:
+        prev_row = (
+            spark.read.parquet(f"{state_path}/baseline").select("_bounds").first()
+        )
+    except Exception:
+        prev_row = None
+    if prev_row is not None:
+        if prev_row["_bounds"] != str(bounds):
+            raise ValueError(
+                f"streaming_psi: {state_path}/baseline already holds bin "
+                f"bounds {prev_row['_bounds']} but the supplied baseline_df "
+                f"produces {bounds}; accumulated batch counts under "
+                f"{state_path}/batches would be binned inconsistently. "
+                "Use a fresh state_path (and checkpoint) to re-baseline."
+            )
+    else:
+        base_counts = (
+            baseline_df.select(bin_expr(value_col).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n_base"))
+            .withColumn("_bounds", F.lit(str(bounds)))
+        )
+        base_counts.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/baseline"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -445,3 +445,60 @@ def test_hll_weekly_rollup_near_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for w, n in exact.items():
         assert abs(got[w] - n) <= max(3, 0.05 * n), (w, got[w], n)
+
+
+def test_quantile_label_deterministic():
+    """Column labels for merged-sketch quantiles come from a numeric
+    per-mille format, not string munging: 0.5/0.05 keep their historical
+    q50/q05 names, three-decimal quantiles get three digits, and
+    out-of-range q raises instead of producing an invalid identifier
+    (the old str(q) path yielded 'q1.0' for q=1.0)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.analytics import (
+        _quantile_label,
+    )
+
+    assert _quantile_label(0.5) == "q50"
+    assert _quantile_label(0.05) == "q05"
+    assert _quantile_label(0.95) == "q95"
+    assert _quantile_label(0.25) == "q25"
+    assert _quantile_label(0.999) == "q999"
+    assert _quantile_label(0.925) == "q925"
+    assert _quantile_label(0.025) == "q025"
+    for bad in (0.0, 1.0, -0.5, 1.5, 0.0004):
+        with pytest.raises(ValueError):
+            _quantile_label(bad)
+
+
+def test_theta_overlap_empty_side_raises(spark, sf_dir):
+    """Empty inputs raise loudly (drift-family contract) instead of a
+    0/0 NaN jaccard from the zero union estimate."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    empty = orders.where(F.lit(False))
+    with pytest.raises(ValueError, match="theta overlap"):
+        analytics.theta_overlap(empty, orders, "o_custkey")
+    with pytest.raises(ValueError, match="theta overlap"):
+        analytics.theta_overlap(orders, empty, "o_custkey")
+
+
+def test_attribution_sums_exact_cents(spark):
+    """Attributed value is summed in integer cents (order-free), not as
+    raw doubles rounded after the fact — half-cent inputs land exactly."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import analytics
+
+    rows = [
+        (1, 1, "view", 0.0),
+        (2, 1, "purchase", 10.005),
+        (3, 1, "purchase", 10.005),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = {
+        r.channel: (r.n_conversions, r.attributed_value)
+        for r in analytics.attribute_conversions(df, ts_col="event_id").collect()
+    }
+    # round(1000.5) cents = 1001 per purchase (HALF_UP both engines)
+    assert out == {"view": (2, 20.02)}

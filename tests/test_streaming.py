@@ -547,3 +547,45 @@ def test_read_psi_trend_per_batch(spark, sf_dir, tmp_path):
         n, psi = trend[bid]
         assert n == sl.count()
         assert abs(psi - expect_psi) < 5e-6, (bid, psi, expect_psi)
+
+
+def test_streaming_psi_rebaseline_guard(spark, sf_dir, tmp_path):
+    """Re-invoking streaming_psi over an existing state with a DIFFERENT
+    baseline must raise before any write: the accumulated per-batch
+    counts are binned with the bounds frozen at first invocation, and a
+    silent bounds rewrite would mix incompatible bin definitions in
+    read_psi_report. Same-baseline restarts keep the stored baseline
+    (idempotent — exercised by the parity test's double run_stream)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    ev = schemas.load_table(spark, sf_dir, "events")
+    baseline = ev.where(F.col("event_type") == "view").select("value")
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    ev.where(F.col("event_type") == "purchase").select("value").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    for f in (src / "b1").glob("*.parquet"):
+        shutil.move(str(f), src / "p1.parquet")
+    shutil.rmtree(src / "b1")
+
+    raw = spark.readStream.schema("value double").parquet(str(src))
+    q = ingest.streaming_psi(raw, baseline, "value", state, ckpt, n_bins=10)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(f"{state}/baseline")
+    bounds_before = stored.select("_bounds").first()["_bounds"]
+
+    other_baseline = ev.where(F.col("event_type") == "click").select("value")
+    with pytest.raises(ValueError, match="re-baseline"):
+        ingest.streaming_psi(
+            raw, other_baseline, "value", state, str(tmp_path / "ckpt2"), n_bins=10
+        )
+    # stored baseline untouched by the rejected invocation
+    after = spark.read.parquet(f"{state}/baseline")
+    assert after.select("_bounds").first()["_bounds"] == bounds_before
