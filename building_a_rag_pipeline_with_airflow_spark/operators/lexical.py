@@ -342,19 +342,55 @@ def vocab_coverage(
     )
 
 
+def _ranked_vocab(freqs: DataFrame) -> DataFrame:
+    """``row_number() OVER (ORDER BY freq DESC, word)`` over the
+    vocabulary relation WITHOUT a single-partition window — the
+    `analytics.prefix_sum` device applied to ranking: at web scale the
+    type count is itself billions (typos, hashes, code tokens), so the
+    vocab relation is NOT metadata-scale and must never sort in one task.
+
+    1. range-repartition on (freq desc, word) — each partition owns a
+       contiguous slice of the global rank order,
+    2. within-partition ``row_number`` via a window partitioned by
+       ``spark_partition_id()`` (bounded partitions, never global),
+    3. per-partition row counts (one row per partition) turned into
+       exclusive rank offsets by a cumulative window over that
+       #partitions-sized frame,
+    4. broadcast-joined back: global rank = local row_number + offset.
+
+    Adds a ``rank`` (double) column; deterministic because (freq, word)
+    is unique per row."""
+    n = max(int(freqs.sparkSession.sparkContext.defaultParallelism), 1)
+    d = freqs.repartitionByRange(
+        n, F.col("freq").desc(), F.col("word")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(F.desc("freq"), "word")
+    d = d.withColumn("_rn", F.row_number().over(w_in))
+    tot = d.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn("rank", (F.col("_rn") + F.col("_off")).cast("double"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def zipf_profile(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """One-row corpus frequency profile: vocabulary size, token count,
     type-token ratio, and the Zipf slope — the OLS slope of ln(freq) on
     ln(rank) over the full frequency table (≈ -1 for natural language;
     far-off values flag synthetic/boilerplate corpora).
 
-    Plan: one explode+agg for frequencies, a rank window ordered by
-    (freq desc, word) — global, but over the VOCABULARY relation, which
-    is metadata-scale next to the corpus (the same justification as the
-    BPE trainer's driver loop; for a billion-type vocab swap in
-    quantile_segment-style distributed ranking) — then slope =
-    covar_pop/var_pop in the same single-row aggregate DuckDB's
-    regr_slope computes."""
+    Plan: one explode+agg for frequencies, the DISTRIBUTED rank
+    (:func:`_ranked_vocab` — range-partitioned row_number + broadcast
+    offsets, no single-partition window even at billion-type vocab
+    scale), then slope = covar_pop/var_pop in the same single-row
+    aggregate DuckDB's regr_slope computes. The slope/aggregates are
+    order-insensitive, so the oracle is unchanged by the rank's plan."""
     freqs = (
         ensure_min_partitions(
             df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -363,10 +399,9 @@ def zipf_profile(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("double").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "word")
-    ranked = freqs.select(
+    ranked = _ranked_vocab(freqs).select(
         F.log("freq").alias("lf"),
-        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log("rank").alias("lr"),
         "freq",
     )
     return ranked.agg(

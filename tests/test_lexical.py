@@ -274,3 +274,41 @@ def test_bm25_many_matches_per_query_loop_and_prunes(spark, sf_dir, tmp_path):
     # the bucket partition filter is DYNAMIC (from the broadcast side)
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ranked_vocab_equals_global_window(spark):
+    """The distributed vocabulary rank must reproduce
+    row_number() OVER (ORDER BY freq DESC, word) exactly."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"w{i:04d}", float(rng.randint(1, 50))) for i in range(500)]
+    freqs = spark.createDataFrame(rows, "word string, freq double")
+    got = {
+        r.word: r.rank for r in lexical._ranked_vocab(freqs).collect()
+    }
+    w = Window.orderBy(F.desc("freq"), "word")
+    expect = {
+        r.word: float(r.rn)
+        for r in freqs.select("word", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == expect
+
+
+def test_zipf_vocab_rank_no_global_data_window(spark, sf_dir):
+    """Every window over the vocabulary relation must carry the _pid
+    partition key; only the #partitions-sized offset frame may be global
+    (the quantile_segment/prefix_sum discipline — directive: the vocab
+    relation is corpus-derived and NOT metadata-scale at 100 TB)."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    out = lexical.zipf_profile(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()
+    ]
+    assert win_lines  # the per-partition rank + offset windows exist...
+    # ...and the data-sized one (producing _rn) is keyed by _pid
+    data_wins = [ln for ln in win_lines if "_rn" in ln]
+    assert data_wins and all("_pid" in ln for ln in data_wins)
