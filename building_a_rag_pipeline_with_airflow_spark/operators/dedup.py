@@ -187,8 +187,14 @@ def build_shingle_index(
       after pair aggregation.
     * ``<path>/meta/`` — one row recording (n, n_buckets) so readers
       validate compatibility.
+
+    Layout mechanics (``_batch_id`` tagging, partitioned write, dynamic
+    replay overwrite) come from the family-shared
+    :mod:`~building_a_rag_pipeline_with_airflow_spark.sources.index_layout`
+    contract, pinned by ``tests/test_index_contract.py``.
     """
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
@@ -200,33 +206,26 @@ def build_shingle_index(
     sizes = sh.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )
-    postings = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
-        )
-        # base build = batch -1, mirroring the IVF layout: streaming
-        # extensions append under their own _batch_id so a replayed batch
-        # overwrites itself (dynamic partition overwrite) instead of
-        # duplicating
-        .withColumn("_batch_id", F.lit(-1))
+    postings = sh.join(dfreq, "shingle").withColumn(
+        "bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
     )
     # one shuffle into the bucket layout; sort within files for row-group
     # skipping on shingle point lookups
-    (
-        postings.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("shingle")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "_batch_id")
-        .parquet(f"{path}/postings")
+    index_layout.write_index_rows(
+        postings,
+        f"{path}/postings",
+        partition_cols=("bucket",),
+        sort_col="shingle",
+        n_files=n_buckets,
     )
-    sizes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").partitionBy(
-        "_batch_id"
-    ).parquet(f"{path}/doc_sizes")
-    df.sparkSession.createDataFrame(
-        [(int(n), int(n_buckets), False)],
-        "n int, n_buckets int, extended boolean",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    index_layout.write_index_rows(sizes, f"{path}/doc_sizes")
+    index_layout.write_meta(
+        df.sparkSession.createDataFrame(
+            [(int(n), int(n_buckets), False)],
+            "n int, n_buckets int, extended boolean",
+        ),
+        path,
+    )
 
 
 def jaccard_pairs_from_index(
@@ -253,7 +252,9 @@ def jaccard_pairs_from_index(
     in-plan recount (group postings by shingle, filter, semi-join back) —
     still zero corpus re-tokenization, one extra agg over the same
     (bucket, shingle) shuffle key."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    meta = index_layout.read_meta(spark, path)
     raw = spark.read.parquet(f"{path}/postings")
     if meta and meta.extended:
         base = raw.select("bucket", "shingle", "doc_id")

@@ -441,6 +441,7 @@ def build_postings_index(
       resolve).
     """
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     base = ensure_min_partitions(_tokenized(df, id_col, text_col))
     require_nonempty(base, "postings index corpus")
@@ -452,22 +453,15 @@ def build_postings_index(
         .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
-    postings = (
-        tf.join(dfreq, "term")
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
-        # base build = batch -1, mirroring the IVF/shingle layouts:
-        # streaming extensions append under their own _batch_id so a
-        # replayed batch overwrites itself instead of duplicating
-        .withColumn("_batch_id", F.lit(-1))
+    postings = tf.join(dfreq, "term").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
-    (
-        postings.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "_batch_id")
-        .parquet(f"{path}/postings")
+    index_layout.write_index_rows(
+        postings,
+        f"{path}/postings",
+        partition_cols=("bucket",),
+        sort_col="term",
+        n_files=n_buckets,
     )
     stats = (
         base.agg(
@@ -477,7 +471,7 @@ def build_postings_index(
         .withColumn("n_buckets", F.lit(int(n_buckets)))
         .withColumn("extended", F.lit(False))
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    index_layout.write_meta(stats, path)
     # per-batch corpus stats, the replay-idempotent way to keep n_docs /
     # avgdl exact under streaming extension: each batch owns one
     # _batch_id partition (dynamic overwrite), and extended-mode queries
@@ -486,9 +480,9 @@ def build_postings_index(
     batch_stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
-    ).withColumn("_batch_id", F.lit(-1))
-    batch_stats.coalesce(1).write.mode("overwrite").partitionBy("_batch_id").parquet(
-        f"{path}/batch_stats"
+    )
+    index_layout.write_index_rows(
+        batch_stats, f"{path}/batch_stats", coalesce=1
     )
 
 
@@ -521,7 +515,9 @@ def bm25_topk_from_index(
     meta fold would double-count a replayed batch).
     """
     terms = sorted(set(query_terms))
-    meta = spark.read.parquet(f"{path}/meta").first()
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    meta = index_layout.read_meta(spark, path)
     n_buckets = int(meta["n_buckets"])
     if bool(meta["extended"]):
         # exact corpus stats from the per-batch rows (one row per batch)
@@ -599,7 +595,9 @@ def bm25_topk_many_from_index(
     cut down. Final top-k is a per-query window (partition = one query's
     candidate docs — bounded), never a global sort.
     """
-    meta = spark.read.parquet(f"{path}/meta").first()
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    meta = index_layout.read_meta(spark, path)
     n_buckets = int(meta["n_buckets"])
     extended = bool(meta["extended"])
     if extended:

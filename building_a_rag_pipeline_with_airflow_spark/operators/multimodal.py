@@ -504,20 +504,20 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
     no extended-mode flag is needed because the pairs query derives
     EVERYTHING (bucket sizes included) from the stored rows in-plan —
     there are no batch-local denormalized statistics to go stale."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
     hashed = perceptual_hash(df, data_col=data_col, id_col=id_col)
-    rows = _phash_band_rows(hashed, n_bands, id_col=id_col).withColumn(
-        "_batch_id", F.lit(-1)
+    rows = _phash_band_rows(hashed, n_bands, id_col=id_col)
+    index_layout.write_index_rows(
+        rows,
+        f"{path}/bands",
+        partition_cols=("band_i",),
+        sort_col="band_v",
+        n_files=n_bands,
     )
-    (
-        rows.repartition(int(n_bands), "band_i")
-        .sortWithinPartitions("band_v")
-        .write.mode("overwrite")
-        .partitionBy("band_i", "_batch_id")
-        .parquet(f"{path}/bands")
+    index_layout.write_meta(
+        df.sparkSession.createDataFrame([(int(n_bands),)], "n_bands int"), path
     )
-    df.sparkSession.createDataFrame(
-        [(int(n_bands),)], "n_bands int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def phash_pairs_from_index(spark, path: str, max_hamming: int = 6,
@@ -529,7 +529,9 @@ def phash_pairs_from_index(spark, path: str, max_hamming: int = 6,
     n_bands``) and the same ``max_bucket`` degenerate-band guard,
     recounted in-plan over the stored rows (batch-extension-safe by
     construction — nothing denormalized to go stale)."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    meta = index_layout.read_meta(spark, path)
     n_bands = int(meta["n_bands"])
     if max_hamming >= n_bands:
         raise ValueError(

@@ -491,12 +491,14 @@ def build_ivf_index(
         )
     else:
         assigned = assigned.withColumn("_vnorm", l2_norm(c_vec))
-    # base build = batch -1; streaming_extend_ivf_index appends under
-    # its own _batch_id values so a replayed batch overwrites itself
-    assigned = assigned.withColumn("_batch_id", F.lit(-1))
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell_id", "_batch_id").parquet(
-        f"{path}/vectors"
+    # family-shared layout write (sources.index_layout): base build =
+    # batch -1; streaming_extend_ivf_index appends under its own
+    # _batch_id values so a replayed batch overwrites itself
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    index_layout.write_index_rows(
+        assigned, f"{path}/vectors", partition_cols=("cell_id",)
     )
 
 

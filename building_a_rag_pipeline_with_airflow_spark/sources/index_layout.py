@@ -1,0 +1,106 @@
+"""Shared storage contract for the durable-index family.
+
+Four durable indexes follow ONE layout contract (shingle near-dup
+postings — ``operators.dedup.build_shingle_index``; BM25 postings —
+``operators.lexical.build_postings_index``; IVF vectors —
+``operators.similarity.build_ivf_index``; perceptual-hash bands —
+``operators.multimodal.build_phash_index``):
+
+* **Data** lives under ``<path>/<subdir>/`` partitioned by the layout's
+  pruning key(s) PLUS ``_batch_id``: the base build writes everything as
+  batch ``-1``; streaming extensions append each micro-batch under its
+  own ``_batch_id`` with DYNAMIC partition overwrite, so a replayed
+  batch overwrites exactly its own rows instead of duplicating them
+  (replay idempotence). Files are optionally sorted within partitions so
+  point lookups row-group-skip via parquet min/max stats.
+* **Meta** is one tiny parquet row under ``<path>/meta`` recording the
+  build constants a reader must agree on (bucket counts, n-gram size,
+  band counts) and, where the index denormalizes corpus statistics into
+  data rows, an ``extended`` flag that tells queries to stop trusting
+  the (now batch-local) stored statistics and recount in-plan.
+* **Extensions** are ``foreachBatch`` writers with a checkpoint — the
+  standard grow-in-production path (recompute/re-cluster offline when
+  balance drifts, never per arrival).
+
+These helpers are the single implementation of that contract; a fix to
+the write/replay mechanics lands in all four indexes at once.
+``tests/test_index_contract.py`` pins the contract itself, parameterized
+over every index: build ≡ in-plan, extension replay is idempotent, and
+point queries prune the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the base build's batch id — streaming extensions use the stream's own
+#: (non-negative) batch ids, so -1 can never collide with one
+BASE_BATCH_ID = -1
+
+
+def write_index_rows(
+    rows: DataFrame,
+    path: str,
+    *,
+    partition_cols: Sequence[str] = (),
+    sort_col: "str | None" = None,
+    n_files: "int | None" = None,
+    batch_id: int = BASE_BATCH_ID,
+    extend: bool = False,
+    coalesce: "int | None" = None,
+) -> None:
+    """Write one batch of index data rows under the family layout.
+
+    ``partition_cols`` are the pruning keys (``_batch_id`` is always
+    appended); ``n_files`` repartitions on the first partition col so
+    each partition directory gets a bounded file count; ``sort_col``
+    sorts within files for row-group skipping on point lookups.
+    ``extend=False`` (base build) is a full overwrite of ``path``;
+    ``extend=True`` switches to dynamic partition overwrite — the
+    replay-idempotence mechanism: a re-delivered ``batch_id`` replaces
+    its own partitions and touches nothing else."""
+    out = rows.withColumn("_batch_id", F.lit(int(batch_id)))
+    if n_files and partition_cols:
+        out = out.repartition(int(n_files), partition_cols[0])
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    if coalesce:
+        out = out.coalesce(int(coalesce))
+    writer = out.write.mode("overwrite")
+    if extend:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_cols, "_batch_id").parquet(path)
+
+
+def write_meta(meta_df: DataFrame, path: str) -> None:
+    """Overwrite the index's one-row meta parquet (``<path>/meta``)."""
+    meta_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_meta(spark: SparkSession, path: str):
+    """The index meta row (driver-side — metadata-scale by contract)."""
+    return spark.read.parquet(f"{path}/meta").first()
+
+
+def start_extender(
+    stream: DataFrame,
+    checkpoint_path: str,
+    write_batch: Callable[[DataFrame, int], None],
+    available_now: bool = True,
+):
+    """The family's ``foreachBatch`` wiring: checkpointed, append-mode,
+    optionally drained with ``availableNow`` (test/batch-catch-up mode).
+    ``write_batch`` receives (batch_df, batch_id) and is responsible for
+    writing with :func:`write_index_rows` ``extend=True`` so replays stay
+    idempotent."""
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

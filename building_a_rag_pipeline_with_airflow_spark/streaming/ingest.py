@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
 
 def read_documents_stream(
@@ -154,19 +155,17 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
             )
         else:
             assigned = assigned.withColumn("_vnorm", l2_norm(c_vec))
-        assigned = assigned.withColumn("_batch_id", F.lit(batch_id))
-        assigned.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("cell_id", "_batch_id").parquet(f"{index_path}/vectors")
+        index_layout.write_index_rows(
+            assigned,
+            f"{index_path}/vectors",
+            partition_cols=("cell_id",),
+            batch_id=batch_id,
+            extend=True,
+        )
 
-    writer = (
-        vec_stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
+    return index_layout.start_extender(
+        vec_stream, checkpoint_path, write_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def streaming_extend_shingle_index(
@@ -198,47 +197,46 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        meta = spark.read.parquet(f"{index_path}/meta").first()
+        meta = index_layout.read_meta(spark, index_path)
         sh = shingles(batch_df, text_col, id_col, int(meta.n)).select(
             F.col(id_col).alias("doc_id"), "shingle"
         )
         dfreq = sh.groupBy("shingle").agg(
             F.count("*").cast("bigint").alias("shingle_df")
         )
-        postings = (
-            sh.join(dfreq, "shingle")
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("shingle"), F.lit(int(meta.n_buckets))).cast(
-                    "int"
-                ),
-            )
-            .withColumn("_batch_id", F.lit(batch_id))
+        postings = sh.join(dfreq, "shingle").withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("shingle"), F.lit(int(meta.n_buckets))).cast("int"),
         )
-        postings.repartition(int(meta.n_buckets), "bucket").sortWithinPartitions(
-            "shingle"
-        ).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket", "_batch_id").parquet(f"{index_path}/postings")
-        sh.groupBy("doc_id").agg(
-            F.count("*").cast("bigint").alias("n_shingles")
-        ).withColumn("_batch_id", F.lit(batch_id)).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_batch_id").parquet(f"{index_path}/doc_sizes")
+        index_layout.write_index_rows(
+            postings,
+            f"{index_path}/postings",
+            partition_cols=("bucket",),
+            sort_col="shingle",
+            n_files=int(meta.n_buckets),
+            batch_id=batch_id,
+            extend=True,
+        )
+        index_layout.write_index_rows(
+            sh.groupBy("doc_id").agg(
+                F.count("*").cast("bigint").alias("n_shingles")
+            ),
+            f"{index_path}/doc_sizes",
+            batch_id=batch_id,
+            extend=True,
+        )
         if not meta.extended:
-            spark.createDataFrame(
-                [(int(meta.n), int(meta.n_buckets), True)],
-                "n int, n_buckets int, extended boolean",
-            ).write.mode("overwrite").parquet(f"{index_path}/meta")
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta.n), int(meta.n_buckets), True)],
+                    "n int, n_buckets int, extended boolean",
+                ),
+                index_path,
+            )
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
+    return index_layout.start_extender(
+        docs_stream, checkpoint_path, write_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def streaming_extend_postings_index(
@@ -273,7 +271,7 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        meta = spark.read.parquet(f"{index_path}/meta").first()
+        meta = index_layout.read_meta(spark, index_path)
         n_buckets = int(meta["n_buckets"])
         base = _tokenized(batch_df, id_col, text_col)
         tf = (
@@ -289,40 +287,40 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
             )
         )
         dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
-        postings = (
-            tf.join(dfreq, "term")
-            .withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-            )
-            .withColumn("_batch_id", F.lit(batch_id))
+        postings = tf.join(dfreq, "term").withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        postings.repartition(n_buckets, "bucket").sortWithinPartitions(
-            "term"
-        ).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket", "_batch_id").parquet(f"{index_path}/postings")
-        base.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-        ).withColumn("_batch_id", F.lit(batch_id)).coalesce(1).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "_batch_id"
-        ).parquet(f"{index_path}/batch_stats")
+        index_layout.write_index_rows(
+            postings,
+            f"{index_path}/postings",
+            partition_cols=("bucket",),
+            sort_col="term",
+            n_files=n_buckets,
+            batch_id=batch_id,
+            extend=True,
+        )
+        index_layout.write_index_rows(
+            base.agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            ),
+            f"{index_path}/batch_stats",
+            batch_id=batch_id,
+            extend=True,
+            coalesce=1,
+        )
         if not meta["extended"]:
-            spark.createDataFrame(
-                [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
-                "n_docs bigint, avgdl double, n_buckets int, extended boolean",
-            ).write.mode("overwrite").parquet(f"{index_path}/meta")
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
+                    "n_docs bigint, avgdl double, n_buckets int, extended boolean",
+                ),
+                index_path,
+            )
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
+    return index_layout.start_extender(
+        docs_stream, checkpoint_path, write_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def streaming_incremental_agg(
@@ -562,30 +560,26 @@ def streaming_extend_phash_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        meta = spark.read.parquet(f"{index_path}/meta").first()
+        meta = index_layout.read_meta(spark, index_path)
         hashed = _mm.perceptual_hash(
             batch_df, data_col=data_col, id_col=id_col
         )
         rows = _mm._phash_band_rows(
             hashed, int(meta["n_bands"]), id_col=id_col
-        ).withColumn("_batch_id", F.lit(batch_id))
-        (
-            rows.repartition(int(meta["n_bands"]), "band_i")
-            .sortWithinPartitions("band_v")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("band_i", "_batch_id")
-            .parquet(f"{index_path}/bands")
+        )
+        index_layout.write_index_rows(
+            rows,
+            f"{index_path}/bands",
+            partition_cols=("band_i",),
+            sort_col="band_v",
+            n_files=int(meta["n_bands"]),
+            batch_id=batch_id,
+            extend=True,
         )
 
-    writer = (
-        media_stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
+    return index_layout.start_extender(
+        media_stream, checkpoint_path, write_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_psi_trend(

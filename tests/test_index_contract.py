@@ -1,0 +1,209 @@
+"""ONE parameterized contract test for the durable-index family.
+
+The four durable indexes (shingle postings, BM25 postings, IVF vectors,
+pHash bands) share the layout mechanics in
+``sources/index_layout.py``; this file pins the CONTRACT itself once,
+parameterized over every index, so a mechanics fix that lands in one
+path cannot silently miss the other three:
+
+1. **build ≡ in-plan** — querying the built-then-extended index equals
+   the in-plan operator over the same full corpus;
+2. **extension replay is idempotent** — re-delivering the SAME batch
+   through a fresh checkpoint (the crash-replay scenario) changes
+   nothing;
+3. **the query's scan prunes** — partition filters (or pushed parquet
+   predicates, for the shingle stop-guard) appear in the executed plan.
+
+The per-index tests (test_streaming / test_lexical / test_multimodal /
+test_scale_plans) keep their deeper operator-specific assertions; this
+is the family-wide safety net.
+"""
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import (
+    dedup,
+    lexical,
+    multimodal as mm,
+    similarity as sim,
+)
+from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+QUERY_TERMS = ["spark", "join", "merge"]
+
+
+def _rows(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+@dataclass
+class IndexSpec:
+    name: str
+    # full corpus + its (base, new) split, derived from sf_dir tables
+    corpus: Callable
+    split_col: str
+    build: Callable          # (base_df, path) -> None
+    extend: Callable         # (stream_df, path, ckpt) -> StreamingQuery
+    query: Callable          # (spark, path) -> DataFrame
+    inplan: Callable         # (full_df) -> DataFrame
+    prune_plan: Callable     # (spark, path) -> DataFrame whose plan must prune
+    prune_marker: Callable   # (plan_str) -> bool
+
+
+SPECS = [
+    IndexSpec(
+        name="shingle",
+        corpus=lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 80),
+        split_col="doc_id",
+        build=lambda base, path: dedup.build_shingle_index(
+            base, path, n=3, n_buckets=8
+        ),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_shingle_index(
+            stream, path, ckpt
+        ),
+        query=lambda spark, path: dedup.jaccard_pairs_from_index(
+            spark, path, threshold=0.1, max_posting=1000
+        ),
+        inplan=lambda full: dedup.ngram_jaccard_pairs(
+            full, n=3, threshold=0.1, max_posting=1000
+        ),
+        prune_plan=lambda spark, path: dedup.jaccard_pairs_from_index(
+            spark, path, threshold=0.1, max_posting=1000
+        ),
+        # non-extended index: the stop-shingle guard is a PUSHED parquet
+        # predicate (extended indexes recount in-plan instead)
+        prune_marker=lambda plan: "shingle_df" in plan
+        and "PushedFilters" in plan,
+    ),
+    IndexSpec(
+        name="postings",
+        corpus=lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 80),
+        split_col="doc_id",
+        build=lambda base, path: lexical.build_postings_index(
+            base, path, n_buckets=8
+        ),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_postings_index(
+            stream, path, ckpt
+        ),
+        query=lambda spark, path: lexical.bm25_topk_from_index(
+            spark, path, QUERY_TERMS, k=5
+        ),
+        inplan=lambda full: lexical.bm25_topk(full, QUERY_TERMS, k=5),
+        prune_plan=lambda spark, path: lexical.bm25_topk_from_index(
+            spark, path, QUERY_TERMS, k=5
+        ),
+        prune_marker=lambda plan: "PartitionFilters" in plan
+        and "bucket" in plan,
+    ),
+    IndexSpec(
+        name="ivf",
+        corpus=lambda spark, sf: spark.read.parquet(f"{sf}/embeddings.parquet"),
+        # base keeps the odd ids: stride centroids are vec_id % 16 == 1
+        # rows, all odd, so build(base) and in-plan(full) agree on cells
+        split_col="vec_id",
+        build=lambda base, path: sim.build_ivf_index(
+            base, path, method="stride", stride=16
+        ),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_ivf_index(
+            stream, path, ckpt
+        ),
+        query=None,  # needs the query vector; filled per-test below
+        inplan=None,
+        prune_plan=None,
+        prune_marker=lambda plan: "PartitionFilters" in plan
+        and "cell_id" in plan,
+    ),
+    IndexSpec(
+        name="phash",
+        corpus=lambda spark, sf: mm.synthesize_media(spark, n=32),
+        split_col="media_id",
+        build=lambda base, path: mm.build_phash_index(base, path, n_bands=8),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_phash_index(
+            stream, path, ckpt
+        ),
+        query=lambda spark, path: mm.phash_pairs_from_index(
+            spark, path, max_hamming=6
+        ),
+        inplan=lambda full: mm.phash_near_dups(
+            mm.perceptual_hash(full), max_hamming=6
+        ),
+        # the band-partitioned layout's point-lookup contract
+        prune_plan=lambda spark, path: spark.read.parquet(
+            f"{path}/bands"
+        ).where(F.col("band_i") == 2),
+        prune_marker=lambda plan: "PartitionFilters" in plan
+        and "band_i" in plan,
+    ),
+]
+
+
+def _run_contract(spec, spark, sf_dir, tmp_path):
+    full = spec.corpus(spark, sf_dir)
+    key = F.col(spec.split_col)
+    base = full.where(key % 2 == 1)
+    new = full.where(key % 2 == 0)
+    path = str(tmp_path / f"{spec.name}_idx")
+    spec.build(base, path)
+
+    # IVF needs a query vector off the corpus; close over it here so the
+    # spec table stays declarative
+    if spec.name == "ivf":
+        qvec = [
+            float(x)
+            for x in full.where(key == 1).first()["embedding"]
+        ]
+        spec.query = lambda spark, p: sim.query_ivf_index(
+            spark, p, qvec, k=5, nprobe=4
+        )
+        spec.inplan = lambda f: sim.ivf_topk_cosine(
+            f, qvec, k=5, nprobe=4, method="stride", stride=16
+        )
+        spec.prune_plan = spec.query
+
+    # ---- contract 3: the query's scan prunes (checked on the freshly
+    # built index — the shingle stop-guard's pushed-predicate fast path
+    # deliberately gives way to an in-plan recount once extended)
+    plan = (
+        spec.prune_plan(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert spec.prune_marker(plan), f"{spec.name}: scan does not prune"
+
+    # ---- extension: stream the second half in as one micro-batch
+    landing = tmp_path / f"{spec.name}_landing"
+    landing.mkdir()
+    new.write.parquet(str(landing / "drop1"))
+    schema = spark.read.parquet(str(landing / "drop1")).schema
+    stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+    q = spec.extend(stream, path, str(tmp_path / f"{spec.name}_ck1"))
+    q.awaitTermination(120)
+
+    # ---- contract 1: build+extend ≡ in-plan over the full corpus
+    got = _rows(spec.query(spark, path))
+    expect = _rows(spec.inplan(full))
+    assert got == expect, f"{spec.name}: from-index != in-plan"
+
+    # ---- contract 2: replaying the SAME batch through a fresh
+    # checkpoint (crash replay re-delivers it with the same batch id)
+    # must change nothing
+    stream2 = spark.readStream.schema(schema).parquet(f"{landing}/*")
+    q2 = spec.extend(stream2, path, str(tmp_path / f"{spec.name}_ck2"))
+    q2.awaitTermination(120)
+    assert _rows(spec.query(spark, path)) == got, (
+        f"{spec.name}: extension replay was not idempotent"
+    )
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_durable_index_contract(spec, spark, sf_dir, tmp_path):
+    _run_contract(spec, spark, sf_dir, tmp_path)
