@@ -14,8 +14,13 @@ pairs) and measures the wrong thing. Instead each replica r > 0:
 * documents: every token gets a ``_r{r}`` suffix — intra-replica
   near-dup structure is preserved exactly, cross-replica texts share no
   3-gram shingles / lines / phash bytes;
-* embeddings: dimensions cyclically shifted by r — norms and
-  intra-replica geometry preserved, cross-replica cosines ~random;
+* embeddings: replicas are md5-derived pseudo-random vectors — fresh
+  corpus mass whose banded-candidate/verify cost grows with size while
+  the near-dup pair structure stays replica-0's (a cyclic dimension
+  shift was tried first and produced highly correlated copies: the
+  synthetic vectors are smooth, so shifted replicas chained the
+  connected-components diameter past its bound — a real data-shape
+  lesson, recorded here);
 * lineitem: supplier/part keys offset per replica — 5 disjoint copies
   of the co-supply graph;
 * part: names get a ``ZZ{r}Q`` suffix — distinct corpus strings with
@@ -105,16 +110,20 @@ def build_scaled(spark) -> dict:
         f"{dup_dir}/documents.parquet"
     )
 
-    # embeddings, dimension-shifted per replica
+    # embeddings: replicas are md5-derived pseudo-random vectors (see
+    # module docstring — shifted copies of the smooth synthetic vectors
+    # cross-correlate and chain the CC diameter)
     def mk_emb(r):
         if r == 0:
             return emb
-        shifted = F.expr(
-            f"concat(slice(embedding, {r + 1}, 64 - {r}), slice(embedding, 1, {r}))"
+        rnd = F.expr(
+            "transform(sequence(1, 64), i -> cast("
+            f"  (conv(substring(md5(concat(cast(vec_id as string), '_{r}_', cast(i as string))), 1, 8), 16, 10) % 100000) / 50000.0 - 1.0"
+            " as float))"
         )
         return emb.select(
             (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-            shifted.alias("embedding"),
+            rnd.alias("embedding"),
             "label",
         )
 
@@ -191,6 +200,11 @@ def main() -> None:
 
     print(f"{'query':34s} {'sf0.1':>8s} {'5x':>8s} {'ratio':>6s}")
     for name, variant in QUERIES:
+        # one untimed warmup at EACH scale first: timing SRC-then-scaled
+        # without it systematically flatters the scaled side (JIT/worker
+        # reuse from the SRC runs) — observed ratios < 1 on first cut
+        run(name, SRC, repeats=1)
+        run(name, dirs[variant], repeats=1)
         t1 = run(name, SRC)
         t5 = run(name, dirs[variant])
         print(
