@@ -22,13 +22,28 @@ deterministic, plan-inspectable prefilter the caller controls:
 3. :func:`bloom_prefilter_join` composes prefilter + exact join: the
    result is EXACTLY the plain join (false positives are dropped by the
    join itself), but the exchange carries only survivors. That is why
-   the registry query carries a FULL value oracle — the plain SQL
-   join — despite the approximate filter inside.
+   the registry query (``bloom_prefilter_supplier_revenue`` in
+   ``queries.py``) carries a FULL value oracle — the plain SQL join —
+   despite the approximate filter inside.
 
 Saturation guard: the bitmap row records its set-bit count; a fill
 fraction beyond 50% means false-positive rates ≥ (1/2)^k and a
 prefilter that no longer pays for its own scan — the probe raises
 loudly (the drift-family contract) instead of silently degrading.
+
+Key-type contract: ``xxhash64`` hashes the BYTES of its input, so the
+same numeric value at two widths hashes differently (int 5 ≠ bigint 5)
+— a build/probe type mismatch would silently drop matching rows, the
+one failure mode a bloom prefilter must never have.
+:func:`bloom_prefilter_join` therefore widens both keys to a common
+numeric type before building and probing (wider integral for two
+integrals; double when either side is fractional — Spark's own
+comparison coercion never considers values equal that differ after
+this widening), and refuses loudly for non-widenable mixes (e.g.
+string vs numeric: equality there passes through engine-version-
+dependent coercion, so the caller must cast explicitly). The bitmap
+row records the build key's type and :func:`bloom_semi_prefilter`
+re-checks it against the probe column at plan time.
 """
 
 from __future__ import annotations
@@ -36,11 +51,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Integral widening ladder; any fractional participant widens to double
+# (Spark's binary-comparison coercion for integral-vs-fractional also
+# goes through double, so values the JOIN treats as equal stay equal —
+# and therefore hash identically — after this cast).
+_INTEGRALS = ("tinyint", "smallint", "int", "bigint")
+_FRACTIONALS = ("float", "double")
+
+
+def _common_key_type(big_t: str, small_t: str) -> str:
+    """Spark simpleString of the type both keys are cast to before
+    hashing. Identical types pass through; numeric mixes widen; anything
+    else raises (the caller must align the types explicitly rather than
+    inherit silent false negatives)."""
+    if big_t == small_t:
+        return big_t
+    if big_t in _FRACTIONALS or small_t in _FRACTIONALS:
+        if (big_t in _INTEGRALS + _FRACTIONALS
+                and small_t in _INTEGRALS + _FRACTIONALS):
+            return "double"
+    if big_t in _INTEGRALS and small_t in _INTEGRALS:
+        return _INTEGRALS[max(_INTEGRALS.index(big_t), _INTEGRALS.index(small_t))]
+    raise ValueError(
+        f"bloom prefilter keys have non-widenable types ({big_t} vs "
+        f"{small_t}): xxhash64 is byte-sensitive, so a type mismatch "
+        "silently drops matching rows. Cast both keys to one type first."
+    )
+
 
 def _positions(key: Column, m_bits: int, k_hashes: int) -> "list[Column]":
     # xxhash64(key, seed_i): k independent positions in [0, m). Build and
     # probe share THIS function, so a small-side key can never probe an
-    # unset bit (no false negatives).
+    # unset bit (no false negatives) — PROVIDED the key types match;
+    # xxhash64 hashes bytes, and int 5 / bigint 5 are different bytes
+    # (bloom_prefilter_join widens both sides; bloom_bitmap records its
+    # build type and the probe re-checks it).
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(int(m_bits)))
         for i in range(int(k_hashes))
@@ -66,9 +111,12 @@ def bloom_bitmap(
     Two metadata-scale aggregations: explode each key's k (word, bit)
     coordinates, ``bit_or`` per word (≤ m/64 groups), fold the words
     into a map. Null keys set no bits (the exact join drops them
-    anyway)."""
+    anyway). The build key's resolved type rides along as ``key_type``
+    so the probe can refuse a byte-incompatible key (see module
+    docstring)."""
     _validate(m_bits, k_hashes)
     c = F.col(key) if isinstance(key, str) else key
+    key_type = small.select(c.alias("_k")).schema[0].dataType.simpleString()
     coords = F.array(
         *[
             F.struct(
@@ -94,6 +142,7 @@ def bloom_bitmap(
         F.lit(int(m_bits)).alias("m_bits"),
         F.lit(int(k_hashes)).alias("k_hashes"),
         "n_set_bits",
+        F.lit(key_type).alias("key_type"),
     )
 
 
@@ -112,7 +161,10 @@ def bloom_semi_prefilter(
     The bitmap row is read driver-side once (index-meta class — the
     probe expressions need m/k at plan time); a fill fraction beyond
     ``max_fill`` raises: at ≥50% fill the filter passes ≥ (1/2)^k of
-    EVERYTHING and no longer pays for itself."""
+    EVERYTHING and no longer pays for itself. A probe key whose resolved
+    type differs from the recorded build ``key_type`` also raises —
+    xxhash64 is byte-sensitive, so the mismatch would silently drop
+    matching rows (false negatives, the one forbidden failure mode)."""
     meta = bitmap.first()
     if meta is None or meta["bf"] is None or len(meta["bf"]) == 0:
         raise ValueError(
@@ -127,6 +179,14 @@ def bloom_semi_prefilter(
             f">= {fill ** k_hashes:.1%} — raise m_bits or skip the prefilter"
         )
     c = F.col(key) if isinstance(key, str) else key
+    probe_type = big.select(c.alias("_k")).schema[0].dataType.simpleString()
+    if meta["key_type"] is not None and probe_type != meta["key_type"]:
+        raise ValueError(
+            f"bloom probe key type {probe_type} != build key type "
+            f"{meta['key_type']}: xxhash64 hashes bytes, so this mismatch "
+            "would produce false negatives. Cast both keys to one type "
+            "(bloom_prefilter_join widens automatically)."
+        )
     cond = c.isNotNull()
     for p in _positions(c, m_bits, k_hashes):
         word = F.coalesce(
@@ -155,10 +215,30 @@ def bloom_prefilter_join(
     one pass over a SMALL relation by contract. For a broadcast-sized
     ``small`` prefer a plain broadcast join — this operator targets the
     broadcast-infeasible-but-selective middle ground where the shuffle
-    is the cost."""
+    is the cost.
+
+    Both keys are widened to their common numeric type before hashing
+    (see module docstring): int-keyed ``small`` against bigint-keyed
+    ``big`` must probe the same bytes it built, or equal keys hash
+    apart and matching rows vanish. Non-widenable type mixes raise."""
     sk = small_key or big_key
-    bitmap = bloom_bitmap(small, sk, m_bits=m_bits, k_hashes=k_hashes)
-    survivors = bloom_semi_prefilter(big, big_key, bitmap)
+    big_t = big.select(F.col(big_key).alias("_k")).schema[0].dataType.simpleString()
+    small_t = small.select(F.col(sk).alias("_k")).schema[0].dataType.simpleString()
+    ct = _common_key_type(big_t, small_t)
+    bitmap = bloom_bitmap(
+        small, F.col(sk).cast(ct), m_bits=m_bits, k_hashes=k_hashes
+    )
+    if int(bitmap.first()["n_set_bits"]) == 0:
+        # Empty (or all-null-keyed) small side: the exact inner join is
+        # empty by definition — return it with the join's schema instead
+        # of probing an empty bitmap (which bloom_semi_prefilter refuses,
+        # correctly, for DIRECT semi-filter use where an empty result
+        # more likely means the caller built the bitmap off the wrong
+        # frame).
+        if sk == big_key:
+            return big.limit(0).join(small, on=big_key, how="inner")
+        return big.limit(0).join(small, big[big_key] == small[sk], how="inner")
+    survivors = bloom_semi_prefilter(big, F.col(big_key).cast(ct), bitmap)
     if sk == big_key:
         return survivors.join(small, on=big_key, how="inner")
     return survivors.join(small, survivors[big_key] == small[sk], how="inner")

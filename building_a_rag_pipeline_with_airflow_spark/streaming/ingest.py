@@ -29,6 +29,7 @@ stream over the landing directory feeding the SAME batch plan
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -448,7 +449,14 @@ def streaming_psi(
         prev_row = (
             spark.read.parquet(f"{state_path}/baseline").select("_bounds").first()
         )
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY the missing-path case means "no prior baseline". Any other
+        # read failure (corrupt footer, permission, transient FS error) must
+        # propagate: swallowing it here would silently overwrite the frozen
+        # bounds — the exact inconsistency this guard exists to prevent.
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
         prev_row = None
     if prev_row is not None:
         if prev_row["_bounds"] != str(bounds):

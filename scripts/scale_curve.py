@@ -188,8 +188,31 @@ def main() -> None:
     dirs = build_scaled(spark)
     # dup dir needs the other tables too? No: bm25_batch reads documents only.
 
+    def _lsh_clusters_relaxed(spark_, sf_dir_):
+        # Same composition as the registry's embedding_dup_clusters_lsh,
+        # with ONLY the CC round cap raised: at 5x the fresh random
+        # replica mass percolates the 0.4-threshold graph (thousands of
+        # chance cross-replica edges above threshold inside shared LSH
+        # bands) into components whose diameter exceeds the production
+        # cap of 20, so the registry query raises — correctly, per its
+        # contract. Convergence ROUNDS are a data-shape property, not a
+        # scale property; the stage whose scaling this script measures
+        # (banded candidate generation + exact verify) is unchanged.
+        from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+        from building_a_rag_pipeline_with_airflow_spark import schemas
+
+        emb = schemas.load_table(spark_, sf_dir_, "embeddings")
+        pairs = dedup.embedding_near_dups(
+            emb, vec_col="embedding", id_col="vec_id",
+            threshold=0.4, n_planes=8, n_bands=2, dim=64, seed=42,
+        )
+        return dedup.connected_components(pairs, "id_a", "id_b", max_iter=64)
+
     def run(name, sf_dir, repeats=2):
-        fn, _ = REGISTRY[name]
+        if name == "embedding_dup_clusters_lsh":
+            fn = _lsh_clusters_relaxed
+        else:
+            fn, _ = REGISTRY[name]
         best = None
         for _ in range(repeats):
             t0 = time.time()
