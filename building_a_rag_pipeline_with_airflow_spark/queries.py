@@ -6560,84 +6560,86 @@ def bloom_prefilter_supplier_revenue(spark, sf_dir):
     )
 
 
-# r6 rotation (judge directive #1): the driver checks the FIRST 50 registry
-# entries; this tuple IS that window for r6, enumerated explicitly.
-# Selection is data-driven from CORRECTNESS_r01..r05 green history:
-# (a) the 14 r5-late oracles that have NEVER had a driver row (the
-# _NEW_R5 queue the r5 policy promised would sort first this round);
-# (b) the 36 stalest oracle queries by (last-green-round asc, green-count
-# asc): the 21 double-green queries last seen r2, the 5 double-green
-# queries last seen r3, and the 10 triple-green queries last seen r3.
-# Everything rotating OUT carries a green r4 or r5 driver row (the whole
-# r5 window went 50/50 green), so every oracle keeps recent driver
-# evidence while the stale tail gets refreshed. All oracles remain
-# value-checked every round by tests/test_oracle_parity.py regardless of
-# window position. (r5's window is preserved in git history at this spot;
-# its 50/50 green rows are CORRECTNESS_r05.json.)
-_R6_WINDOW = (
-    # (a) never driver-checked — the r5 _NEW_R5 queue, first in line
-    "bm25_batch_topk_documents",
-    "bpe_encode_fixed_documents",
-    "psi_price_drift_orders",
-    "ks_price_drift_orders",
-    "chi2_priority_drift_orders",
-    "js_divergence_docs_by_lang",
-    "mad_outlier_prices",
-    "km_time_to_purchase",
-    "attribution_last_touch_events",
-    "readability_documents",
-    "weighted_sample_per_lang",
-    "lsh_recall_at_k",
-    "corpus_release_report",
-    "trigram_search_parts",
-    # (b) stalest double-green, last driver row r2
-    "pagination_orders",
-    "topk_orders",
-    "value_counts_mktsegment",
-    "column_profile_orders",
-    "orders_year_quarter",
-    "orders_date_validation",
-    "latest_order_per_customer",
-    "distinct_nation_segments",
-    "nations_without_suppliers",
-    "rollup_returnflag_status",
-    "chunk_fixed_documents",
-    "token_counts_documents",
-    "dedup_exact_documents",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "topk_cosine",
-    "knn_join",
-    "embedding_norms",
-    "near_dup_embeddings_exact",
-    "brand_revenue_topk",
-    "pairwise_overlap_stats",
-    # (b) double-green, last driver row r3
-    "union_distinct_values",
-    "chunk_recursive_documents",
-    "chunk_semantic_documents",
-    "events_hourly",
-    "events_props_json",
-    # (b) triple-green, last driver row r3
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "chunk_overlap_adjacent",
-    "doc_quality_scores",
-    "lang_id_documents",
-    "hybrid_topk_cosine",
-    "chunk_first_positions",
-    "pivot_priority_status",
-    "ivf_topk_cosine",
-    "winnow_fingerprints",
+# r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
+# registry entries; this tuple IS that window for r7, enumerated
+# explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
+# history, by (never-checked first, then last-green-round asc,
+# green-count asc):
+# (a) the 2 oracle queries with NO driver row yet — binary_quant_topk
+#     (oracled late in r6, the _NEW_R6 queue) and the r7-new
+#     bloom_prefilter_supplier_revenue;
+# (b) the 38 stalest anchors, all last driver-green in r4 (26 double-,
+#     5 triple-, 7 quadruple-green), and the first 10 of the r5
+#     single-green cohort. Everything rotating OUT carries a green r5 or
+#     r6 driver row (both windows went 50/50 green), so every oracle
+#     keeps recent driver evidence while the stale tail refreshes. All
+#     oracles remain value-checked every round by
+#     tests/test_oracle_parity.py regardless of window position. (r6's
+#     window is preserved in git history at this spot; its 50/50 green
+#     rows are CORRECTNESS_r06.json.)
+_R7_WINDOW = (
+    # (a) never driver-checked, first in line
+    "binary_quant_topk",
+    "bloom_prefilter_supplier_revenue",
+    # (b) stalest anchors: last driver-green r4, double-green
+    "asof_join_events_orders",
+    "cube_priority_segment",
+    "decontaminate_documents",
+    "dedup_clusters_documents",
+    "gopher_quality_flags",
+    "hash_sample_orders",
+    "intersect_nation_segments",
+    "interval_join_purchase_follow",
+    "lsh_knn_join",
+    "mixture_reweight_documents",
+    "ntile_customer_value",
+    "pack_training_sequences",
+    "percentiles_by_returnflag",
+    "pivot_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "rag_retrieve_context",
+    "repetition_stats_documents",
+    "rolling_revenue_7d",
+    "stratified_sample_customers",
+    # (b) last driver-green r4, triple-green
+    "events_sessionize",
+    "histogram_quantity",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q6_revenue_forecast",
+    # (b) last driver-green r4, quadruple-green
+    "chunk_stats",
+    "filter_pushdown_orders",
+    "media_image_meta",
+    "minhash_lsh_pairs",
+    "q5_region_revenue",
+    "quarter_classification",
+    "sql_top_customers_per_nation",
+    # (b) r5 single-green cohort, first ten in sort order
+    "benford_price_profile",
+    "bigram_lm_ppl_documents",
+    "bm25_topk_documents",
+    "cohort_retention_weekly",
+    "cooccur_recommend_parts",
+    "corr_lineitem_metrics",
+    "cumulative_new_users_daily",
+    "cv_folds_orders",
+    "decayed_user_value",
+    "embedding_dup_clusters",
 )
 
-# Oracle queries ADDED in r6, after the window above was fixed: they sort
-# immediately after _R6_WINDOW (ahead of every multi-green query), so the
-# r7 rotation picks them up first. Value-checked by
+# Oracle queries ADDED in r7 after the window above was fixed: they sort
+# immediately after _R7_WINDOW (ahead of every multi-green query), so the
+# r8 rotation picks them up first. Value-checked by
 # tests/test_oracle_parity.py every round meanwhile, like all oracles.
-_NEW_R6 = (
-    "binary_quant_topk",
-)
+_NEW_R7 = ()
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
@@ -6797,10 +6799,10 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R6_WINDOW sorts first (this round's driver
-    window — the 14 never-driver-checked r5-late oracles plus the 36
-    stalest rotation anchors), then _NEW_R6 (oracles added after the
-    window froze — first in line for r7), then the multi-green rotation
+    entries): the enumerated _R7_WINDOW sorts first (this round's driver
+    window — the 2 never-driver-checked oracles plus the 48 stalest
+    rotation anchors), then _NEW_R7 (oracles added after the window
+    froze — first in line for r8), then the multi-green rotation
     pool (_DEPRIORITIZED last among oracles), then rows-only queries.
     All oracles are value-checked every round by
     tests/test_oracle_parity.py regardless of window position."""
@@ -6808,8 +6810,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R6_WINDOW,   # the enumerated r6 window first
-            kv[0] not in _NEW_R6,      # new-in-r6 oracles next (r7 queue)
+            kv[0] not in _R7_WINDOW,   # the enumerated r7 window first
+            kv[0] not in _NEW_R7,      # new-in-r7 oracles next (r8 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
