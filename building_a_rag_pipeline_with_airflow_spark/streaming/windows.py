@@ -240,3 +240,56 @@ def enrich_with_dim(
     return stream.join(
         F.broadcast(dim), on=[on] if isinstance(on, str) else list(on), how=how
     )
+
+
+def bloom_gated_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: "str | None" = None,
+    m_bits: int = 1 << 19,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Stream-static INNER enrichment gated by a bloom bitmap of the
+    dimension's join keys — the 100 TB CDC shape that
+    :func:`enrich_with_dim` can't cover: when the dim is too big to
+    broadcast, a stream-static inner join shuffles every micro-batch row
+    toward dim partitions, and at high event volume against a SELECTIVE
+    dim (most events match nothing) almost all of that exchange is
+    wasted motion.
+
+    Composition of the repo's explicit bloom prefilter
+    (`plans.bloom`, same bitmap/probe mechanics and key-type widening as
+    the batch `bloom_prefilter_join`) with the stream-static join:
+
+    1. the dim's keys fold into a ONE-ROW bitmap at plan time
+       (batch-side action over the static dim — metadata-scale, ~64 KB);
+    2. each micro-batch probes the broadcast bitmap MAP-SIDE and drops
+       events whose key cannot be in the dim (zero stream-side state,
+       zero shuffle for the gate — verified against Spark's
+       stream-static support by the parity test);
+    3. only survivors reach the exact inner join, which drops the bloom
+       false positives — so the result is IDENTICAL to the plain
+       stream-static inner join (stream ≡ batch parity is the oracle,
+       `tests/test_streaming.py::test_bloom_gated_enrich_parity`).
+
+    The dim snapshot is frozen where the bitmap is built: unlike a plain
+    stream-static join (dim re-resolved per batch), a dim row added
+    AFTER the bitmap was built may be gated out. Rebuild the gate (new
+    query) when the dim changes — the same freeze-or-rebaseline contract
+    as ``streaming_psi``'s frozen bounds."""
+    from building_a_rag_pipeline_with_airflow_spark.plans.bloom import (
+        _common_key_type,
+        bloom_bitmap,
+        bloom_semi_prefilter,
+    )
+
+    dk = dim_key or stream_key
+    s_t = stream.select(F.col(stream_key).alias("_k")).schema[0].dataType.simpleString()
+    d_t = dim.select(F.col(dk).alias("_k")).schema[0].dataType.simpleString()
+    ct = _common_key_type(s_t, d_t)
+    bitmap = bloom_bitmap(dim, F.col(dk).cast(ct), m_bits=m_bits, k_hashes=k_hashes)
+    gated = bloom_semi_prefilter(stream, F.col(stream_key).cast(ct), bitmap)
+    if dk == stream_key:
+        return gated.join(dim, on=stream_key, how="inner")
+    return gated.join(dim, gated[stream_key] == dim[dk], how="inner")

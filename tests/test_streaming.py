@@ -62,6 +62,56 @@ def test_tumbling_ohlc_stream_equals_batch(spark, events_batch, events_dir):
         assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
 
 
+def test_bloom_gated_enrich_parity(spark, events_batch, events_dir):
+    """Stream ≡ batch for the bloom-gated stream-static join (the same
+    function body runs in both modes), plus the gate's two contracts:
+    the result equals the PLAIN stream-static inner join (bloom false
+    positives die in the join), and the map-side gate really drops
+    non-matching events before the join."""
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 13 == 5)
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("user_id") % 3))
+    )
+    raw = W.read_events_stream(spark, events_dir)
+    out = W.bloom_gated_enrich(
+        raw.select("event_id", "user_id", "event_type"), dim, "user_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_gate_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("bloom_gate_mem").collect()))
+
+    # batch twin of the SAME composition
+    batch_out = W.bloom_gated_enrich(
+        events_batch.select("event_id", "user_id", "event_type"), dim, "user_id"
+    )
+    assert got == sorted(map(tuple, batch_out.collect()))
+
+    # and both equal the plain inner join (the oracle)
+    plain = events_batch.select("event_id", "user_id", "event_type").join(
+        dim, on="user_id", how="inner"
+    )
+    assert got == sorted(map(tuple, plain.collect()))
+    assert len(got) > 0
+
+    # the gate filters: far fewer survivors than events (selective dim)
+    from building_a_rag_pipeline_with_airflow_spark.plans.bloom import (
+        bloom_bitmap,
+        bloom_semi_prefilter,
+    )
+
+    bm = bloom_bitmap(dim, "user_id")
+    n_all = events_batch.count()
+    n_surv = bloom_semi_prefilter(events_batch, "user_id", bm).count()
+    assert n_surv < n_all
+
+
 def test_session_counts_batch(spark, events_batch):
     out = W.session_counts(events_batch).collect()
     assert len(out) > 0
