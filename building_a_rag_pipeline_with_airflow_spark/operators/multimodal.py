@@ -344,7 +344,8 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
                     id_col: str = "media_id",
                     hash_col: str = "phash",
                     n_bands: int = 8,
-                    max_bucket: "int | None" = 100_000) -> DataFrame:
+                    max_bucket: "int | None" = 100_000,
+                    min_shared_bands: int = 1) -> DataFrame:
     """Near-duplicate media pairs from perceptual hashes: band the 64-bit
     hash into ``n_bands`` 8-bit slices, equi-join on (band index, band
     value) — pigeonhole guarantees any pair within hamming distance
@@ -361,19 +362,46 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 6,
     than the cap (the ``linkage.max_block`` / ``baskets.max_items``
     contract: a degenerate band is an explicit modeling decision, and a
     pair of near-constant payloads loses only that band's vote — the
-    other 7 bands still match identical-ish hashes). ``None`` disables."""
-    if max_hamming >= n_bands:
+    other 7 bands still match identical-ish hashes). ``None`` disables.
+
+    ``min_shared_bands`` is the corpus-SCALE lever: at n rows, CHANCE
+    single-band collisions alone cost ~C(n,2)·n_bands·2^-width
+    candidates — quadratic in corpus size with a constant that 8-bit
+    bands stop absorbing around 10⁴ rows (measured: 5× the sf0.1 media
+    corpus made the single-band candidate stage ~6× slower, the one
+    superlinear row in the r7 scale-curve run). The pigeonhole argument
+    gives the fix for free: a pair within hamming ≤ h differs in at
+    most h bands, so it shares at least ``n_bands − h`` CLEAN bands —
+    requiring candidates to collide on ``c = min_shared_bands`` bands
+    at once (equi-join keyed on C(n_bands, c) band-combination values)
+    keeps the guarantee for ``max_hamming ≤ n_bands − c`` while
+    dividing the chance-collision rate by ~2^((c−1)·width)/C(n_bands,c)
+    (c=2 over 8-bit bands: ~73× fewer chance candidates for 3.5× more
+    banding rows). Equality with the c=1 pair set is pinned by test."""
+    if min_shared_bands < 1:
+        raise ValueError(f"min_shared_bands must be >= 1, got {min_shared_bands}")
+    if max_hamming > n_bands - min_shared_bands:
         raise ValueError(
-            f"max_hamming={max_hamming} needs n_bands > max_hamming "
-            f"(got {n_bands}): the pigeonhole guarantee only covers "
-            "hamming < n_bands"
+            f"max_hamming={max_hamming} needs n_bands - min_shared_bands "
+            f">= max_hamming (got {n_bands} - {min_shared_bands}): a pair "
+            f"at hamming h is only guaranteed {n_bands} - h shared clean "
+            "bands"
         )
-    banded = _phash_band_rows(
-        hashed.select(F.col(id_col), F.col(hash_col)),
-        n_bands,
-        id_col=id_col,
-        hash_col=hash_col,
-    )
+    if min_shared_bands == 1:
+        banded = _phash_band_rows(
+            hashed.select(F.col(id_col), F.col(hash_col)),
+            n_bands,
+            id_col=id_col,
+            hash_col=hash_col,
+        )
+    else:
+        banded = _phash_combo_rows(
+            hashed.select(F.col(id_col), F.col(hash_col)),
+            n_bands,
+            min_shared_bands,
+            id_col=id_col,
+            hash_col=hash_col,
+        )
     if max_bucket is not None:
         sizes = banded.groupBy("band_i", "band_v").agg(
             F.count("*").alias("_n")
@@ -485,6 +513,47 @@ def _phash_band_rows(hashed: DataFrame, n_bands: int,
         F.col(id_col).alias("media_id"),
         F.col(hash_col).alias("phash"),
         F.explode(bands).alias("_b"),
+    ).select("media_id", "phash", "_b.band_i", "_b.band_v")
+
+
+def _phash_combo_rows(hashed: DataFrame, n_bands: int, c: int,
+                      id_col: str = "media_id",
+                      hash_col: str = "phash") -> DataFrame:
+    """(band_i, band_v, id, hash) rows keyed by ``c``-band COMBINATIONS:
+    ``band_i`` enumerates the C(n_bands, c) index combos, ``band_v``
+    packs the combo's band values into one bigint (8 bits per band —
+    same extraction as :func:`_phash_band_rows`, so the two forms band
+    identically). The scale form of the banding: candidates must share
+    ``c`` whole bands at once, which the pigeonhole bound guarantees for
+    every pair within hamming ≤ n_bands − c (see
+    :func:`phash_near_dups`). C(n_bands, c) rows per item instead of
+    n_bands — bounded, plan-time-enumerated, still pure Catalyst."""
+    from itertools import combinations
+
+    def band(i):
+        return (
+            F.shiftrightunsigned(F.col(hash_col), 8 * i)
+            .bitwiseAND(F.lit(255))
+            .cast("bigint")
+        )
+
+    combos = list(combinations(range(int(n_bands)), int(c)))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("band_i"),
+                sum(
+                    (band(i) * F.lit(1 << (8 * k)) for k, i in enumerate(combo)),
+                    F.lit(0).cast("bigint"),
+                ).alias("band_v"),
+            )
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    return hashed.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("phash"),
+        F.explode(entries).alias("_b"),
     ).select("media_id", "phash", "_b.band_i", "_b.band_v")
 
 

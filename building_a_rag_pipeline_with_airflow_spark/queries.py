@@ -2410,9 +2410,15 @@ def media_phash_near_dups_q(spark, sf_dir):
     )
     corpus = media.unionByName(copies).unionByName(edited)
     hashed = multimodal.perceptual_hash(corpus)
-    return multimodal.phash_near_dups(hashed, max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+    # min_shared_bands=2: the corpus-scale banding (band-PAIR keyed
+    # candidates — ~73x fewer chance collisions; r7 scale-curve measured
+    # the single-band form going ~6x slower on 5x data, the combo form
+    # restores near-linear growth). Pair-set equality with the classic
+    # single-band form is pinned by
+    # tests/test_multimodal_ocr.py::test_phash_combo_banding_equals_single_band.
+    return multimodal.phash_near_dups(
+        hashed, max_hamming=6, min_shared_bands=2
+    ).orderBy("id_a", "id_b")
 
 
 @q(

@@ -210,6 +210,50 @@ def test_phash_near_dups_rejects_uncovered_hamming(spark):
     m = mm.perceptual_hash(mm.synthesize_media(spark, n=2))
     with pytest.raises(ValueError):
         mm.phash_near_dups(m, max_hamming=8, n_bands=8)
+    # the combo form tightens the bound: c shared bands only cover
+    # hamming <= n_bands - c
+    with pytest.raises(ValueError):
+        mm.phash_near_dups(m, max_hamming=7, n_bands=8, min_shared_bands=2)
+    with pytest.raises(ValueError):
+        mm.phash_near_dups(m, max_hamming=0, min_shared_bands=0)
+
+
+def test_phash_combo_banding_equals_single_band(spark, sf_dir):
+    """min_shared_bands=2 (the corpus-scale banding) must return the
+    EXACT same verified pair set as the classic single-band form: both
+    candidate sets are supersets of every pair within max_hamming (a
+    pair at hamming h shares >= n_bands - h clean bands, so >= 2 when
+    h <= 6 over 8 bands) and the exact bit_count verify prunes both to
+    the identical final set."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    docs = schemas.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    )
+    base = docs.where((F.col("doc_id") < 10) & (F.length("text") > 20))
+    edited = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10), F.lit("#"), F.expr("substring(text, 12)")
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    hashed = mm.perceptual_hash(
+        mm.media_from_documents(docs.unionByName(edited))
+    )
+    one = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_near_dups(hashed, max_hamming=6).collect()
+    )
+    two = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_near_dups(
+            hashed, max_hamming=6, min_shared_bands=2
+        ).collect()
+    )
+    assert one == two
+    assert len(two) >= 8  # the planted edits are (almost all) found
 
 
 def test_phash_payload_never_returns_from_python(spark):
