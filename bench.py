@@ -46,6 +46,18 @@ unchanged plan. The drift was session-neighborhood inflation (the r5 round
 added two 5-9 s cluster queries adjacent in the headline list), not a plan
 regression. Verdict: noise; watch closed.
 
+r7 noise watches CLOSED (r6 judge directive #5, chunk_recursive_documents
+1.3 -> 2.5 s and cooccur_recommend_parts 1.8 -> 2.8 s interleaved-median
+swings on plans untouched in r6): isolated solo re-profiles at sf0.1 on
+the r7 code — chunk_recursive cold 5.2 s, warm 1.46/1.28/1.22 (median
+1.28, matching its r5 reading); cooccur_recommend cold 4.19 s, warm
+2.19/1.81/1.86 (median 1.86, matching its r5 reading). Both r6
+interleaved medians were session-neighborhood inflation (the two
+Python-UDF / MLlib-ALS-adjacent rows are the repo's most
+neighbor-sensitive, per the r2 calibration above). Verdict: noise on
+both; true warm numbers recorded here so future rounds compare against
+these, not the interleaved swings.
+
 Curation composition (judge directive #7): the full `curate_corpus`
 end-to-end cost is measured ONCE per bench run and printed as its own tail
 line ("curate_corpus_e2e_s") right before the compact line — visible every
@@ -194,6 +206,7 @@ HEADLINE = [
     # linkage / weighted sampling / sequence analytics
     "fuzzy_match_parts",
     "trigram_search_parts",
+    "bloom_prefilter_supplier_revenue",
     "weighted_sample_documents",
     "weighted_sample_per_lang",
     "event_transition_matrix",
