@@ -522,9 +522,26 @@ def embedding_near_dups(
     n_bands: int = 2,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing + exact
-    verification (id_a < id_b, cosine >= threshold)."""
+    verification (id_a < id_b, cosine >= threshold).
+
+    Candidate cost is ``Σ_buckets |bucket|²`` over the band buckets. Each
+    band carries ``n_planes // n_bands`` signature bits, so RANDOM pairs
+    collide per band at ~2^-(planes/bands): chance candidates grow
+    O(n² · n_bands · 2^-(planes/bands)) — quadratic in corpus size with a
+    constant the banding parameters control. The production scaling rule
+    (measured, r7 scale-curve: 5× corpus at planes=8/bands=2 ran 72×
+    slower; re-tuned planes=12 ran 15.5× faster) is planes/bands ~
+    2·log2(n) — re-tune as the corpus grows, like IVF re-clustering.
+    ``max_bucket`` is the in-plan backstop, the `phash_near_dups` /
+    `linkage.max_block` / `baskets.max_items` contract: band buckets
+    larger than the cap are DROPPED (an oversized bucket is either a
+    degenerate embedding region or an under-provisioned banding — an
+    explicit modeling decision, and a dropped bucket loses only that
+    band's vote; the other bands still propose the pair). ``None``
+    (default, and the oracle-replayed registry form) disables."""
     from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
         dot_product,
         l2_norm,
@@ -547,6 +564,13 @@ def embedding_near_dups(
         ]
     )
     banded = sig.withColumn("band", F.explode(bands_arr))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band").agg(F.count("*").alias("_n"))
+        banded = banded.join(
+            sizes.where(F.col("_n") <= int(max_bucket)).select("band"),
+            "band",
+            "left_semi",
+        )
     x = banded.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
                       "band")

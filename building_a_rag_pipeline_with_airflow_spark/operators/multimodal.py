@@ -590,26 +590,44 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
 
 
 def phash_pairs_from_index(spark, path: str, max_hamming: int = 6,
-                           max_bucket: "int | None" = 100_000) -> DataFrame:
+                           max_bucket: "int | None" = 100_000,
+                           min_shared_bands: int = 1) -> DataFrame:
     """Near-dup pairs from a :func:`build_phash_index` layout —
     result-identical to :func:`phash_near_dups` over the same corpus
     (parity-tested), but payloads are never re-hashed: the scan reads
-    band rows only. Same pigeonhole contract (``max_hamming <
-    n_bands``) and the same ``max_bucket`` degenerate-band guard,
-    recounted in-plan over the stored rows (batch-extension-safe by
-    construction — nothing denormalized to go stale)."""
+    band rows only. Same pigeonhole contract (``max_hamming <=
+    n_bands - min_shared_bands``) and the same ``max_bucket``
+    degenerate-band guard, recounted in-plan over the stored rows
+    (batch-extension-safe by construction — nothing denormalized to go
+    stale).
+
+    ``min_shared_bands`` (the corpus-scale banding, see
+    :func:`phash_near_dups`) needs NO layout change or migration: every
+    stored band row carries the full hash, so the combo keys derive
+    in-plan from one distinct pass over the stored rows — the durable
+    index keeps its point-lookup-prunable single-band layout while the
+    all-pairs matcher gets the collision-resistant candidate keys."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     meta = index_layout.read_meta(spark, path)
     n_bands = int(meta["n_bands"])
-    if max_hamming >= n_bands:
+    if min_shared_bands < 1:
+        raise ValueError(f"min_shared_bands must be >= 1, got {min_shared_bands}")
+    if max_hamming > n_bands - min_shared_bands:
         raise ValueError(
-            f"max_hamming={max_hamming} needs n_bands > max_hamming "
-            f"(index has {n_bands})"
+            f"max_hamming={max_hamming} needs n_bands - min_shared_bands "
+            f">= max_hamming (index has {n_bands} bands, "
+            f"min_shared_bands={min_shared_bands})"
         )
     rows = spark.read.parquet(f"{path}/bands").select(
         "media_id", "phash", "band_i", "band_v"
     )
+    if min_shared_bands > 1:
+        rows = _phash_combo_rows(
+            rows.select("media_id", "phash").dropDuplicates(["media_id"]),
+            n_bands,
+            min_shared_bands,
+        )
     if max_bucket is not None:
         sizes = rows.groupBy("band_i", "band_v").agg(F.count("*").alias("_n"))
         rows = rows.join(

@@ -269,6 +269,39 @@ def test_lsh_clusters_match_exact_at_high_threshold(spark, emb):
     assert lsh == exact
 
 
+def test_embedding_near_dups_max_bucket_guard(spark, emb):
+    """The `max_bucket` backstop (the phash/linkage/baskets cap contract,
+    added after the r7 scale-curve measured oversized chance buckets
+    driving a 72x slowdown): a generous cap changes nothing, a cap of 1
+    drops every band bucket (every vector shares its band with at least
+    its planted copy) and so yields zero pairs."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    kw = dict(
+        vec_col="embedding", id_col="vec_id",
+        threshold=0.9, n_planes=8, n_bands=2, dim=64, seed=42,
+    )
+    base = sorted(
+        (r.id_a, r.id_b) for r in dedup.embedding_near_dups(corpus, **kw).collect()
+    )
+    assert len(base) >= 20
+    capped = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dups(
+            corpus, max_bucket=corpus.count(), **kw
+        ).collect()
+    )
+    assert capped == base
+    assert (
+        dedup.embedding_near_dups(corpus, max_bucket=1, **kw).count() == 0
+    )
+
+
 def test_binary_quant_recall_and_planted_exact(spark, emb, query_vec):
     """The 1-bit tier: a positively scaled copy of the query has the
     IDENTICAL sign signature (hamming 0), so it must surface at rank 1

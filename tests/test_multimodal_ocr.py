@@ -352,6 +352,17 @@ def test_phash_index_parity_and_streaming_extension(spark, sf_dir, tmp_path):
         )
     )
     assert from_index == in_plan and len(from_index) >= 10
+    # the combo-banded matcher runs off the SAME stored layout (combo
+    # keys derive in-plan from the stored rows) and must return the
+    # identical verified pair set
+    assert (
+        pairs(
+            mm.phash_pairs_from_index(
+                spark, idx, max_hamming=6, min_shared_bands=2
+            )
+        )
+        == from_index
+    )
 
     # stream in a second wave of copies (doc_id+2000 of docs 10..19)
     wave = mm.media_from_documents(
