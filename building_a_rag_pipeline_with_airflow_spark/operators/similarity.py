@@ -502,6 +502,89 @@ def build_ivf_index(
     )
 
 
+def ivf_balance_report(spark, path: str) -> DataFrame:
+    """Per-cell health of a :func:`build_ivf_index` layout: one row per
+    cell with ``n_vectors`` and ``n_batches`` (how many streamed
+    extensions landed there), plus the global share each cell holds.
+
+    This is the drift signal the IVF docstrings' maintenance contract
+    keys on ("recompute/re-cluster offline when balance drifts, never
+    per arrival"): streamed extensions assign to the NEAREST EXISTING
+    centroid, so a shifting corpus piles into few cells and probe cost
+    degrades toward O(corpus/nprobe-fraction-of-one-cell). The scan
+    reads only partition/metadata-class columns (cell_id is a partition
+    value); output is n_cells rows. Decide with
+    ``max(n_vectors) / avg(n_vectors)`` — the imbalance factor a
+    balanced index holds near 1 — then run :func:`recluster_ivf_index`."""
+    rows = spark.read.parquet(f"{path}/vectors")
+    per_cell = rows.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count_distinct("_batch_id").cast("int").alias("n_batches"),
+    )
+    total = F.sum("n_vectors").over(Window.partitionBy())  # n_cells rows only
+    return per_cell.select(
+        "cell_id",
+        "n_vectors",
+        "n_batches",
+        F.round(F.col("n_vectors") / total, 4).alias("share"),
+    ).orderBy(F.desc("n_vectors"), F.asc("cell_id"))
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    out_path: str,
+    n_cells: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> None:
+    """Offline IVF re-cluster: read every stored vector (ALL batches —
+    base build plus streamed extensions), fit fresh k-means centroids
+    over the corpus as it exists NOW, and write a NEW index at
+    ``out_path`` — the maintenance operation every IVF docstring defers
+    to when :func:`ivf_balance_report` shows drift.
+
+    Contract points:
+
+    * **Swap-then-expire, never in-place** (the `compact_parquet`
+      rule): the old index keeps serving concurrent readers; the caller
+      swaps the path in its manifest and expires the old directory.
+    * **Quantized layouts re-cluster losslessly-enough**: int8 codes are
+      dequantized in-plan (pure Catalyst) for the fit/assign, and the
+      rebuilt index is re-quantized — set by whether the source layout
+      stored codes.
+    * **The rebuild is a fresh BASE build** (every vector lands under
+      batch -1): streamed extension history is consolidated, so an
+      extension stream must restart with a FRESH checkpoint against the
+      new path — the same freeze-or-rebaseline contract as
+      ``streaming_psi`` (a replayed old batch id would overwrite rows
+      that now belong to the consolidated base).
+
+    Delegates the fit/assign/write to :func:`build_ivf_index` — one
+    implementation of the layout mechanics (the `index_layout` family
+    rule)."""
+    rows = spark.read.parquet(f"{path}/vectors")
+    quantized = "_codes" in rows.columns
+    if quantized:
+        corpus = rows.select(
+            F.col(c_id),
+            F.transform(
+                F.col("_codes"), lambda c: c.cast("double") * F.col("_scale")
+            ).alias(c_vec),
+        )
+    else:
+        corpus = rows.select(c_id, c_vec)
+    build_ivf_index(
+        corpus,
+        out_path,
+        n_cells=n_cells,
+        method="kmeans",
+        c_id=c_id,
+        c_vec=c_vec,
+        quantize=quantized,
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -137,11 +137,26 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
             return
         spark = batch_df.sparkSession
         centroids = spark.read.parquet(f"{index_path}/centroids")
+        stored = spark.read.parquet(f"{index_path}/vectors").schema
+        # Conform incoming columns to the stored layout's types BEFORE
+        # writing (bloom key-type rule: normalize at the boundary): an
+        # array<double> batch appended to an array<float> base writes
+        # parquet files the unified multi-batch scan cannot read at all
+        # (PARQUET_COLUMN_DATA_TYPE_MISMATCH), and a widened id type
+        # would silently fork the dedup-by-id semantics downstream.
+        stored_types = {f.name: f.dataType for f in stored.fields}
+        batch_df = batch_df.select(
+            *(
+                F.col(c).cast(stored_types[c]).alias(c)
+                if c in stored_types
+                else F.col(c)
+                for c in batch_df.columns
+            )
+        )
         assigned = ivf_assign(batch_df, centroids, c_id, c_vec)
         # match the existing layout: a quantized base index (int8 codes +
         # scale) must be extended with the same coded schema
-        existing = spark.read.parquet(f"{index_path}/vectors").schema.names
-        if "_codes" in existing:
+        if "_codes" in stored.names:
             from building_a_rag_pipeline_with_airflow_spark.functions.vectors import (
                 dequantize_int8,
                 quantize_int8,

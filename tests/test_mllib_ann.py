@@ -335,3 +335,72 @@ def test_binary_quant_recall_and_planted_exact(spark, emb, query_vec):
 def test_binary_quant_rejects_bad_args(spark, emb, query_vec):
     with pytest.raises(ValueError):
         similarity.binary_topk_cosine(emb, query_vec, k=10, shortlist=5)
+
+
+def test_ivf_balance_report_and_recluster(spark, emb, tmp_path):
+    """The IVF maintenance pair the index docstrings defer to: streamed
+    growth piles into existing cells; ivf_balance_report surfaces the
+    drift; recluster_ivf_index rebuilds a balanced index at a NEW path
+    (swap-then-expire) that still answers queries correctly."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, method="stride", stride=16)
+
+    # skewed growth: 60 small perturbations of ONE vector — every new
+    # vector assigns to that vector's nearest existing centroid
+    seed_vec = emb.where(F.col("vec_id") == 1).first().embedding
+    skew = spark.createDataFrame(
+        [(100_000 + i, [float(x) + (i % 7) * 1e-4 for x in seed_vec])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    skew.write.parquet(str(src / "w1"))
+    stream = spark.readStream.schema(skew.schema).parquet(f"{src}/*")
+    ingest.streaming_extend_ivf_index(
+        stream, idx, str(tmp_path / "ck")
+    ).awaitTermination(120)
+
+    report = similarity.ivf_balance_report(spark, idx)
+    rows = report.collect()
+    assert {"cell_id", "n_vectors", "n_batches", "share"} <= set(
+        report.columns
+    )
+    stats = report.agg(
+        F.max("n_vectors").alias("mx"), F.avg("n_vectors").alias("avg"),
+        F.sum("n_vectors").alias("total"),
+    ).first()
+    assert stats["total"] == emb.count() + 60
+    imbalance_before = stats["mx"] / stats["avg"]
+    assert imbalance_before > 2.0  # the skewed batch shows up
+    assert rows[0].n_batches >= 2  # hottest cell took streamed rows
+
+    # offline recluster into a fresh path
+    idx2 = str(tmp_path / "ivf2")
+    similarity.recluster_ivf_index(spark, idx, idx2, n_cells=16)
+    s2 = similarity.ivf_balance_report(spark, idx2).agg(
+        F.max("n_vectors").alias("mx"), F.avg("n_vectors").alias("avg"),
+        F.sum("n_vectors").alias("total"),
+    ).first()
+    assert s2["total"] == stats["total"]  # no vector lost
+    assert s2["mx"] / s2["avg"] < imbalance_before  # measurably rebalanced
+
+    # the rebuilt index still answers: an exact stored copy of the query
+    # must surface at rank 1 with score 1.0
+    got = similarity.query_ivf_index(
+        spark, idx2, [float(x) for x in seed_vec], k=3, nprobe=4
+    ).collect()
+    assert got[0].score == 1.0
+
+
+def test_recluster_preserves_quantized_layout(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivfq")
+    similarity.build_ivf_index(
+        emb, idx, method="stride", stride=16, quantize=True
+    )
+    idx2 = str(tmp_path / "ivfq2")
+    similarity.recluster_ivf_index(spark, idx, idx2, n_cells=8)
+    cols = spark.read.parquet(f"{idx2}/vectors").columns
+    assert "_codes" in cols and "_scale" in cols and "embedding" not in cols
