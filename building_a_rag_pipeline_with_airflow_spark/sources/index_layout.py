@@ -35,10 +35,43 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 #: the base build's batch id — streaming extensions use the stream's own
 #: (non-negative) batch ids, so -1 can never collide with one
 BASE_BATCH_ID = -1
+
+
+def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
+    """Cast every column that already exists in the layout at ``path`` to
+    its STORED type before appending.
+
+    Extension batches carry pass-through columns (ids, vectors) whose
+    types come from the caller's source, not from the index: an
+    ``array<double>`` batch appended to an ``array<float>`` base — or an
+    ``int`` id into a ``bigint`` base — writes parquet files the unified
+    multi-batch scan cannot read (PARQUET_COLUMN_DATA_TYPE_MISMATCH).
+    Normalizing at the layout boundary (the bloom key-type rule) fixes
+    this once for all four indexes. A missing path means a fresh base
+    write — nothing to conform to; any OTHER read failure propagates
+    (the streaming_psi guard rule: swallowing it would mask a corrupt
+    layout)."""
+    spark = rows.sparkSession
+    try:
+        stored = {
+            f.name: f.dataType for f in spark.read.parquet(path).schema.fields
+        }
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        return rows
+    return rows.select(
+        *(
+            F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+            for c in rows.columns
+        )
+    )
 
 
 def write_index_rows(
@@ -61,7 +94,11 @@ def write_index_rows(
     ``extend=False`` (base build) is a full overwrite of ``path``;
     ``extend=True`` switches to dynamic partition overwrite — the
     replay-idempotence mechanism: a re-delivered ``batch_id`` replaces
-    its own partitions and touches nothing else."""
+    its own partitions and touches nothing else — and conforms the
+    batch's column types to the stored layout's
+    (:func:`_conform_to_existing`)."""
+    if extend:
+        rows = _conform_to_existing(rows, path)
     out = rows.withColumn("_batch_id", F.lit(int(batch_id)))
     if n_files and partition_cols:
         out = out.repartition(int(n_files), partition_cols[0])

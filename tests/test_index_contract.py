@@ -282,3 +282,36 @@ def test_compaction_preserves_index_contract(spark, sf_dir, tmp_path):
         "compacted layout lost partition pruning"
     )
     assert _rows(q) == before, "compaction changed the query result"
+
+
+def test_extension_conforms_types_to_stored_layout(spark, tmp_path):
+    """Family mechanics: a pass-through column whose type drifts between
+    the base build and an extension batch (int id into a bigint base,
+    array<double> vector into an array<float> base) must be cast to the
+    STORED type at the layout boundary — without it the unified
+    multi-batch scan fails outright (PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+    and every reader of the index is dead until the batch is rewritten."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 1, [3.0, 4.0])],
+        "id bigint, bucket int, vec array<float>",
+    )
+    index_layout.write_index_rows(base, path, partition_cols=("bucket",))
+
+    drifted = spark.createDataFrame(
+        [(3, 0, [5.0, 6.0])], "id int, bucket int, vec array<double>"
+    )
+    index_layout.write_index_rows(
+        drifted, path, partition_cols=("bucket",), batch_id=0, extend=True
+    )
+
+    unified = spark.read.parquet(path)
+    assert unified.count() == 3  # the scan can actually read every batch
+    types = dict(unified.dtypes)
+    assert types["id"] == "bigint"
+    assert types["vec"] == "array<float>"
+    # the drifted row's values survived the cast
+    got = unified.where(F.col("id") == 3).first()
+    assert [round(float(x), 3) for x in got["vec"]] == [5.0, 6.0]
