@@ -548,7 +548,10 @@ def recluster_ivf_index(
 
     * **Swap-then-expire, never in-place** (the `compact_parquet`
       rule): the old index keeps serving concurrent readers; the caller
-      swaps the path in its manifest and expires the old directory.
+      swaps the path via
+      :func:`~building_a_rag_pipeline_with_airflow_spark.sources.index_layout.publish_index`
+      (readers resolve through ``current_index``) and later expires the
+      old directory with ``expire_index_versions``.
     * **Quantized layouts re-cluster losslessly-enough**: int8 codes are
       dequantized in-plan (pure Catalyst) for the fit/assign, and the
       rebuilt index is re-quantized — set by whether the source layout

@@ -122,6 +122,92 @@ def read_meta(spark: SparkSession, path: str):
     return spark.read.parquet(f"{path}/meta").first()
 
 
+def publish_index(spark: SparkSession, manifest_path: str, index_path: str) -> int:
+    """Record ``index_path`` as the NEWEST version of an index in a tiny
+    versioned manifest — the swap half of the swap-then-expire contract
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.similarity.recluster_ivf_index`
+    (and ``compact_parquet``) defer to.
+
+    The manifest is parquet rows partitioned by ``version``; a publish
+    appends one row under ``version=N+1``, so concurrent READERS either
+    resolve the old version or the new one — never a half-swapped index
+    (the new index directory is fully written before publish is called,
+    and the old one is untouched until :func:`expire_index_versions`).
+    Publishing is a single-writer maintenance operation, like the
+    rebuild itself — two concurrent publishers could mint the same
+    version number. Returns the new version."""
+    try:
+        prev = (
+            spark.read.parquet(manifest_path)
+            .agg(F.max("version").cast("int").alias("v"))
+            .first()["v"]
+        )
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        prev = None
+    version = (prev or 0) + 1
+    spark.createDataFrame(
+        [(version, index_path)], "version int, index_path string"
+    ).coalesce(1).write.mode("append").partitionBy("version").parquet(manifest_path)
+    return version
+
+
+def current_index(spark: SparkSession, manifest_path: str) -> str:
+    """Resolve the manifest to the newest published index path — what
+    every reader calls instead of hard-coding an index directory, so an
+    offline rebuild becomes visible with one :func:`publish_index`."""
+    row = (
+        spark.read.parquet(manifest_path)
+        .orderBy(F.desc("version"))
+        .select("index_path")
+        .first()
+    )
+    return row["index_path"]
+
+
+def expire_index_versions(
+    spark: SparkSession, manifest_path: str, keep_latest: int = 2
+) -> "list[str]":
+    """The expire half of swap-then-expire: delete the index DIRECTORIES
+    of all but the ``keep_latest`` newest manifest versions, drop their
+    manifest rows, and return the deleted paths.
+
+    ``keep_latest`` must be ≥ 1 (the current version is never
+    expendable); keeping 2 is the safe default — readers that resolved
+    the previous version just before a publish may still be mid-query on
+    it, so expire runs as a later maintenance pass, not in the same
+    breath as the publish (the grace period is the caller's scheduling
+    decision). Versions whose ``index_path`` is also published under a
+    RETAINED version are dropped from the manifest but their directory
+    is left alone."""
+    if keep_latest < 1:
+        raise ValueError("expire_index_versions: keep_latest must be >= 1")
+    rows = (
+        spark.read.parquet(manifest_path)
+        .select("version", "index_path")
+        .collect()  # manifest-scale: one row per publish
+    )
+    by_version = {int(r["version"]): r["index_path"] for r in rows}
+    versions = sorted(by_version)
+    drop = versions[:-keep_latest]
+    kept_paths = {by_version[v] for v in versions[-keep_latest:]}
+    jvm_manifest = spark._jvm.org.apache.hadoop.fs.Path(manifest_path)
+    fs = jvm_manifest.getFileSystem(spark._jsc.hadoopConfiguration())
+    deleted = []
+    for v in drop:
+        path = by_version[v]
+        if path not in kept_paths:
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(path), True)
+            deleted.append(path)
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(f"{manifest_path}/version={v}"),
+            True,
+        )
+    return deleted
+
+
 def start_extender(
     stream: DataFrame,
     checkpoint_path: str,

@@ -315,3 +315,75 @@ def test_extension_conforms_types_to_stored_layout(spark, tmp_path):
     # the drifted row's values survived the cast
     got = unified.where(F.col("id") == 3).first()
     assert [round(float(x), 3) for x in got["vec"]] == [5.0, 6.0]
+
+
+def test_manifest_swap_then_expire_lifecycle(spark, sf_dir, tmp_path):
+    """The full maintenance lifecycle the recluster docstring describes:
+    build v1 + publish; readers resolve through current_index; an
+    offline recluster lands at a NEW path and one publish swaps readers
+    to it; a later expire pass deletes the v1 directory (and its
+    manifest row) without touching the live version."""
+    import os
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    manifest = str(tmp_path / "manifest")
+    v1 = str(tmp_path / "ivf_v1")
+
+    sim.build_ivf_index(emb, v1, method="stride", stride=16)
+    assert index_layout.publish_index(spark, manifest, v1) == 1
+    assert index_layout.current_index(spark, manifest) == v1
+    before = _rows(
+        sim.query_ivf_index(
+            spark, index_layout.current_index(spark, manifest), qvec, k=5, nprobe=4
+        )
+    )
+
+    v2 = str(tmp_path / "ivf_v2")
+    sim.recluster_ivf_index(spark, v1, v2, n_cells=16)
+    assert index_layout.publish_index(spark, manifest, v2) == 2
+    assert index_layout.current_index(spark, manifest) == v2
+    # same corpus, fresh centroids: the planted exact match still leads
+    after = sim.query_ivf_index(
+        spark, index_layout.current_index(spark, manifest), qvec, k=5, nprobe=4
+    ).first()
+    assert after["score"] == 1.0
+
+    # keep_latest=2 keeps both; nothing deleted
+    assert index_layout.expire_index_versions(spark, manifest, keep_latest=2) == []
+    # keep_latest=1 drops v1: directory gone, manifest row gone, live
+    # version still answers identically
+    deleted = index_layout.expire_index_versions(spark, manifest, keep_latest=1)
+    assert deleted == [v1]
+    assert not os.path.exists(v1)
+    assert index_layout.current_index(spark, manifest) == v2
+    assert sim.query_ivf_index(spark, v2, qvec, k=5, nprobe=4).first()["score"] == 1.0
+    assert before[0] is not None  # v1 was readable before expiry
+
+    with pytest.raises(ValueError):
+        index_layout.expire_index_versions(spark, manifest, keep_latest=0)
+
+
+def test_expire_skips_directories_still_published(spark, tmp_path):
+    """Re-publishing the SAME directory under a newer version (e.g. a
+    no-op maintenance pass) must not let expire delete a path a retained
+    version still points at."""
+    import os
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    manifest = str(tmp_path / "m")
+    shared = str(tmp_path / "idx_shared")
+    spark.range(3).write.parquet(shared)
+    index_layout.publish_index(spark, manifest, shared)
+    index_layout.publish_index(spark, manifest, shared)
+    deleted = index_layout.expire_index_versions(spark, manifest, keep_latest=1)
+    assert deleted == []            # the path is still current
+    assert os.path.exists(shared)   # directory untouched
+    # the stale manifest row is gone: only version 2 remains
+    assert [
+        int(r["version"])
+        for r in spark.read.parquet(manifest).select("version").collect()
+    ] == [2]
