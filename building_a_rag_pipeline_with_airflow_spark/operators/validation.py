@@ -1,0 +1,165 @@
+"""Data-contract validation and snapshot reconciliation.
+
+Generalizes the reference's single date-validation rule
+(``Airflow_Dags/dashboard_dag.py`` report-date sanity window — F8 in
+SURVEY.md §2, engine twin ``operators.tabular.valid_report_date``) into
+the two table-level checks a training-data pipeline runs before
+promoting a corpus release:
+
+* :func:`expectations_report` — a declarative contract (not-null,
+  unique, range, set membership, regex) evaluated over the whole table
+  in ONE aggregation pass, one result row per expectation.
+* :func:`table_diff` — key-level reconciliation of two snapshots of the
+  same table (added / removed / changed rows, with the changed columns
+  named), one full-outer shuffle join, no window.
+
+Both are pure Catalyst (no Python in the hot path) and oracle-exact:
+the registry queries ``expectations_orders`` and
+``table_diff_orders_snapshots`` replay them in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: expectation kinds understood by :func:`expectations_report`
+KINDS = ("not_null", "unique", "in_range", "in_set", "matches")
+
+
+def _violation_agg(e: Mapping) -> "F.Column":
+    """The per-expectation violation counter (one conditional aggregate).
+
+    Null semantics, fixed so the DuckDB replay is exact: for every kind
+    except ``unique``, a row VIOLATES when the contract predicate is not
+    TRUE — so a NULL value violates ``in_range``/``in_set``/``matches``
+    (a contract about values is a contract the absent value fails), and
+    ``not_null`` is the explicit completeness check. ``unique`` counts
+    the surplus occurrences among non-null values
+    (``count(col) - count(distinct col)``)."""
+    kind, col = e["kind"], e["col"]
+    if kind == "not_null":
+        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+    if kind == "unique":
+        return F.count(col) - F.count_distinct(col)
+    if kind == "in_range":
+        ok = (F.col(col) >= F.lit(e["lo"])) & (F.col(col) <= F.lit(e["hi"]))
+    elif kind == "in_set":
+        ok = F.col(col).isin(list(e["values"]))
+    elif kind == "matches":
+        ok = F.col(col).rlike(e["pattern"])
+    else:
+        raise ValueError(f"unknown expectation kind {kind!r}; one of {KINDS}")
+    return F.sum(F.when(ok, 0).otherwise(1))
+
+
+def expectations_report(df: DataFrame, expectations: Sequence[Mapping]) -> DataFrame:
+    """Evaluate a declarative data contract in ONE aggregation pass.
+
+    ``expectations`` is a sequence of dicts, each with a unique ``name``,
+    a ``kind`` from :data:`KINDS`, the target ``col``, and the kind's
+    parameters (``lo``/``hi`` for ``in_range``, ``values`` for
+    ``in_set``, ``pattern`` for ``matches``). Returns one row per
+    expectation: ``(expectation, kind, col_name, n_violations, n_rows,
+    passed)``, ordered by name.
+
+    Scale shape: every counter is a conditional aggregate in a single
+    ``df.agg`` — one scan, map-side partial aggregation, a one-row
+    result exploded to #expectations rows. ``unique`` checks add exact
+    ``count_distinct`` (a distinct-expand in the same pass); at extreme
+    cardinalities swap them for ``approx_count_distinct`` variants
+    explicitly — this report is a release GATE, so it defaults to
+    exact."""
+    names = [e["name"] for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError("expectation names must be unique")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")]
+    aggs += [
+        _violation_agg(e).cast("bigint").alias(e["name"]) for e in expectations
+    ]
+    one = df.agg(*aggs)
+    per_exp = F.array(
+        *(
+            F.struct(
+                F.lit(e["name"]).alias("expectation"),
+                F.lit(e["kind"]).alias("kind"),
+                F.lit(e["col"]).alias("col_name"),
+                F.col(e["name"]).alias("n_violations"),
+            )
+            for e in expectations
+        )
+    )
+    return (
+        one.select(F.col("_n_rows").alias("n_rows"), F.explode(per_exp).alias("e"))
+        .select(
+            "e.expectation",
+            "e.kind",
+            "e.col_name",
+            "e.n_violations",
+            "n_rows",
+            (F.col("e.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Key-level diff of two snapshots: which rows were ``added`` (key
+    only in ``right``), ``removed`` (key only in ``left``), or
+    ``changed`` (key in both, any compared column differing null-safely)
+    — with ``changed_cols`` naming the differing columns
+    (comma-joined, sorted). Unchanged rows are dropped, so the output is
+    the (small) delta, not the (huge) union.
+
+    Scale shape: ONE full-outer shuffle join on the keys; presence flags
+    and per-column null-safe comparisons are map-side expressions. The
+    key set is the snapshot's primary key by contract — skew-free by
+    construction; compare columns default to the columns the two schemas
+    share beyond the keys."""
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in left.columns if c not in keys and c in right.columns
+        ]
+    compare_cols = list(compare_cols)
+    l = left.select(*keys, *compare_cols, F.lit(True).alias("_pl"))
+    r = right.select(
+        *keys,
+        *(F.col(c).alias(f"_r_{c}") for c in compare_cols),
+        F.lit(True).alias("_pr"),
+    )
+    j = l.join(r, on=keys, how="full_outer")
+    diff_names = F.filter(
+        F.array(
+            *(
+                F.when(
+                    ~F.col(c).eqNullSafe(F.col(f"_r_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    changed = F.concat_ws(",", F.array_sort(diff_names))
+    status = (
+        F.when(F.col("_pl").isNull(), F.lit("added"))
+        .when(F.col("_pr").isNull(), F.lit("removed"))
+        .when(changed != F.lit(""), F.lit("changed"))
+    )
+    return (
+        j.select(
+            *keys,
+            status.alias("status"),
+            F.when(status == "changed", changed).otherwise(F.lit("")).alias(
+                "changed_cols"
+            ),
+        )
+        .where(F.col("status").isNotNull())
+    )

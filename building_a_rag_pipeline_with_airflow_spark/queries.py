@@ -6566,6 +6566,150 @@ def bloom_prefilter_supplier_revenue(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Data-contract validation + snapshot reconciliation (operators/validation.py
+# — the table-level generalization of F8's date-sanity rule)
+# --------------------------------------------------------------------------
+
+@q(
+    "expectations_orders",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)                                            AS v_nn,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                  AS BIGINT)                                            AS v_uq,
+             CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000
+                           THEN 0 ELSE 1 END) AS BIGINT)                AS v_rg,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                           THEN 0 ELSE 1 END) AS BIGINT)                AS v_st,
+             CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 0 ELSE 1 END) AS BIGINT)                AS v_re
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'custkey_not_null' AS expectation, 'not_null' AS kind,
+             'o_custkey' AS col_name, v_nn AS n_violations, n_rows,
+             v_nn = 0 AS passed FROM m
+      UNION ALL SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+             v_uq, n_rows, v_uq = 0 FROM m
+      UNION ALL SELECT 'price_in_range', 'in_range', 'o_totalprice',
+             v_rg, n_rows, v_rg = 0 FROM m
+      UNION ALL SELECT 'status_in_set', 'in_set', 'o_orderstatus',
+             v_st, n_rows, v_st = 0 FROM m
+      UNION ALL SELECT 'priority_matches', 'matches', 'o_orderpriority',
+             v_re, n_rows, v_re = 0 FROM m
+    ) ORDER BY expectation
+    """,
+)
+def expectations_orders(spark, sf_dir):
+    """A five-expectation release contract over ``orders``, evaluated in
+    ONE aggregation pass (`operators.validation.expectations_report`):
+    completeness, key uniqueness, a price range, a status enum, and a
+    priority regex. The oracle recomputes every counter with identical
+    null semantics (a NULL value fails a value contract; see the
+    operator docstring), so this pins the whole kind ladder, not just
+    the happy path. Scale shape: one scan, conditional aggregates with
+    map-side partials, #expectations output rows."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    orders = _t(spark, sf_dir, "orders")
+    return validation.expectations_report(
+        orders,
+        [
+            {"name": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+            {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+            {
+                "name": "price_in_range",
+                "kind": "in_range",
+                "col": "o_totalprice",
+                "lo": 0.0,
+                "hi": 600000.0,
+            },
+            {
+                "name": "status_in_set",
+                "kind": "in_set",
+                "col": "o_orderstatus",
+                "values": ["O", "F", "P"],
+            },
+            {
+                "name": "priority_matches",
+                "kind": "matches",
+                "col": "o_orderpriority",
+                "pattern": "^[1-5]-",
+            },
+        ],
+    )
+
+
+@q(
+    "table_diff_orders_snapshots",
+    """
+    WITH lt AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice, 1 AS _pl
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    rt AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END, 2) AS o_totalprice, 1 AS _pr
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT coalesce(lt.o_orderkey, rt.o_orderkey) AS o_orderkey,
+             lt._pl, rt._pr,
+             lt.o_orderstatus AS ls, rt.o_orderstatus AS rs,
+             lt.o_totalprice AS lp, rt.o_totalprice AS rp
+      FROM lt FULL OUTER JOIN rt ON lt.o_orderkey = rt.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN _pl IS NULL THEN 'added'
+                WHEN _pr IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN _pl IS NULL OR _pr IS NULL THEN ''
+                ELSE concat_ws(',',
+                       CASE WHEN ls IS DISTINCT FROM rs THEN 'o_orderstatus' END,
+                       CASE WHEN lp IS DISTINCT FROM rp THEN 'o_totalprice' END)
+           END AS changed_cols
+    FROM j
+    WHERE _pl IS NULL OR _pr IS NULL
+       OR ls IS DISTINCT FROM rs OR lp IS DISTINCT FROM rp
+    ORDER BY o_orderkey
+    """,
+)
+def table_diff_orders_snapshots(spark, sf_dir):
+    """Snapshot reconciliation (`operators.validation.table_diff`): two
+    deterministic "releases" of ``orders`` (previous = keys not ≡0 mod
+    7; current = keys not ≡0 mod 5, with every key ≡0 mod 11 repriced
+    +1) diffed on the primary key — added / removed / changed rows with
+    the changed columns named. One full-outer shuffle join, unchanged
+    rows dropped map-side, no window; the oracle replays the same
+    full-outer join with IS DISTINCT FROM (the SQL spelling of the
+    engine's null-safe column compare). The SQL's changed-column list
+    is written in sorted order to match the engine's array_sort."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    orders = _t(spark, sf_dir, "orders")
+    prev = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    curr = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("o_totalprice"),
+    )
+    return validation.table_diff(prev, curr, ["o_orderkey"]).orderBy("o_orderkey")
+
+
 # r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
 # registry entries; this tuple IS that window for r7, enumerated
 # explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
@@ -6645,7 +6789,7 @@ _R7_WINDOW = (
 # immediately after _R7_WINDOW (ahead of every multi-green query), so the
 # r8 rotation picks them up first. Value-checked by
 # tests/test_oracle_parity.py every round meanwhile, like all oracles.
-_NEW_R7 = ()
+_NEW_R7 = ("expectations_orders", "table_diff_orders_snapshots")
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

@@ -1,0 +1,121 @@
+"""operators/validation.py — data-contract expectations + snapshot diff."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 30, "US"),
+            (2, "bob", 200, "FR"),      # age out of range
+            (2, "carol", 25, "DE"),     # duplicate id
+            (None, "dave", 40, "XX"),   # null id, country not in set
+            (5, None, None, "US"),      # null name (regex), null age (range)
+        ],
+        "id bigint, name string, age int, country string",
+    )
+
+
+def _report(people, expectations):
+    rows = validation.expectations_report(people, expectations).collect()
+    return {r["expectation"]: r for r in rows}
+
+
+def test_expectations_all_kinds_and_null_semantics(people):
+    got = _report(
+        people,
+        [
+            {"name": "id_not_null", "kind": "not_null", "col": "id"},
+            {"name": "id_unique", "kind": "unique", "col": "id"},
+            {"name": "age_range", "kind": "in_range", "col": "age", "lo": 0, "hi": 120},
+            {"name": "country_set", "kind": "in_set", "col": "country",
+             "values": ["US", "FR", "DE"]},
+            {"name": "name_re", "kind": "matches", "col": "name", "pattern": "^[a-z]+$"},
+        ],
+    )
+    assert got["id_not_null"]["n_violations"] == 1          # the None id
+    assert got["id_unique"]["n_violations"] == 1            # one surplus 2
+    # 200 out of range + NULL age fails the value contract
+    assert got["age_range"]["n_violations"] == 2
+    assert got["country_set"]["n_violations"] == 1          # XX
+    assert got["name_re"]["n_violations"] == 1              # NULL name
+    assert all(r["n_rows"] == 5 for r in got.values())
+    assert not any(r["passed"] for r in got.values())
+    # a passing expectation reports passed=True
+    ok = _report(
+        people, [{"name": "c", "kind": "matches", "col": "country", "pattern": "^[A-Z]{2}$"}]
+    )
+    assert ok["c"]["passed"] and ok["c"]["n_violations"] == 0
+
+
+def test_expectations_rejects_bad_input(people):
+    with pytest.raises(ValueError):
+        validation.expectations_report(
+            people, [{"name": "x", "kind": "median_of", "col": "age"}]
+        )
+    with pytest.raises(ValueError):
+        validation.expectations_report(
+            people,
+            [
+                {"name": "dup", "kind": "not_null", "col": "id"},
+                {"name": "dup", "kind": "unique", "col": "id"},
+            ],
+        )
+
+
+def test_expectations_single_pass_plan(people):
+    """The whole contract must stay ONE aggregation over ONE scan — no
+    per-expectation jobs (at 100 TB each extra pass is a full re-read)."""
+    df = validation.expectations_report(
+        people,
+        [
+            {"name": "a", "kind": "not_null", "col": "id"},
+            {"name": "b", "kind": "in_range", "col": "age", "lo": 0, "hi": 120},
+            {"name": "c", "kind": "matches", "col": "name", "pattern": "."},
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged -> dropped
+         (2, "B", 21.0),            # both columns changed
+         (3, "c", 30.0),            # null -> value is a change (null-safe)
+         (5, "e", 50.0)],           # added
+        "k bigint, s string, v double",
+    )
+    got = {r["k"]: r for r in validation.table_diff(left, right, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["status"] == "changed" and got[2]["changed_cols"] == "s,v"
+    assert got[3]["status"] == "changed" and got[3]["changed_cols"] == "v"
+    assert got[4]["status"] == "removed" and got[4]["changed_cols"] == ""
+    assert got[5]["status"] == "added" and got[5]["changed_cols"] == ""
+
+
+def test_table_diff_composite_key_and_explicit_cols(spark):
+    left = spark.createDataFrame(
+        [(1, "x", 1.0, "ignore_l")], "k1 bigint, k2 string, v double, noise string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 2.0, "ignore_r")], "k1 bigint, k2 string, v double, noise string"
+    )
+    got = validation.table_diff(
+        left, right, ["k1", "k2"], compare_cols=["v"]
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["status"] == "changed" and got[0]["changed_cols"] == "v"
+    # identical when the differing column is excluded from the contract
+    assert (
+        validation.table_diff(left, right, ["k1", "k2"], compare_cols=[]).count()
+        == 0
+    )
