@@ -241,6 +241,9 @@ HEADLINE = [
     # attribution / dense-substructure (r5)
     "attribution_last_touch_events",
     "k_core_part_graph",
+    # data-contract validation / snapshot reconciliation (r7)
+    "expectations_orders",
+    "table_diff_orders_snapshots",
 ]
 
 
