@@ -653,3 +653,129 @@ def read_psi_trend(
         )
         .orderBy("batch_id")
     )
+
+
+def streaming_expectations(
+    rows_stream: DataFrame,
+    expectations,
+    state_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming data-contract gate: maintain
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.validation.expectations_report`
+    incrementally — the contract twin of :func:`streaming_psi`.
+
+    Each micro-batch evaluates the declarative contract over ITS OWN
+    rows (one aggregation pass, the exact expressions the batch operator
+    uses) and writes #expectations counter rows under a ``_batch_id``
+    partition (dynamic overwrite → replay-idempotent): per-batch cost is
+    O(batch), never O(history). :func:`read_expectations_report` folds
+    the counters — (#expectations × #batches) metadata-scale rows — into
+    the SAME report the batch operator computes over the accumulated
+    stream (parity-tested).
+
+    ``unique`` expectations are REJECTED here, loudly: per-batch
+    ``count - count_distinct`` misses every cross-batch duplicate, so a
+    streamed sum would silently under-count violations — the same
+    "batch-local statistic goes stale" hazard the extended-index
+    recount contract exists for. Check uniqueness batch-side over the
+    accumulated table (`expectations_report`) or stream it through the
+    stateful dedup operator instead.
+
+    The contract is FROZEN at first invocation (written to
+    ``<state_path>/contract``); a restart with the same contract is
+    idempotent, a different contract raises — mixed counter definitions
+    under ``batches/`` would make the folded report meaningless (the
+    `streaming_psi` re-baseline rule)."""
+    import json
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    bad = [e["name"] for e in expectations if e["kind"] == "unique"]
+    if bad:
+        raise ValueError(
+            f"streaming_expectations: 'unique' expectations {bad} are not "
+            "mergeable across micro-batches (per-batch distinct counts miss "
+            "cross-batch duplicates); run expectations_report batch-side "
+            "over the accumulated table instead."
+        )
+    contract_str = json.dumps(
+        [
+            {
+                k: list(v) if isinstance(v, (list, tuple)) else v
+                for k, v in e.items()
+            }
+            for e in sorted(expectations, key=lambda e: e["name"])
+        ],
+        sort_keys=True,
+    )
+    spark = rows_stream.sparkSession
+    try:
+        prev = (
+            spark.read.parquet(f"{state_path}/contract")
+            .select("_contract")
+            .first()
+        )
+    except AnalysisException as exc:
+        # only missing-path means "first invocation"; anything else
+        # (corrupt footer, permissions) must propagate — the
+        # streaming_psi guard rule
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        prev = None
+    if prev is not None:
+        if prev["_contract"] != contract_str:
+            raise ValueError(
+                f"streaming_expectations: {state_path}/contract already "
+                "holds a different contract; accumulated counters under "
+                f"{state_path}/batches would mix counter definitions. Use "
+                "a fresh state_path (and checkpoint) to change the contract."
+            )
+    else:
+        spark.createDataFrame(
+            [(contract_str,)], "_contract string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/contract")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            validation.expectations_report(batch_df, expectations)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    return index_layout.start_extender(
+        rows_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_expectations_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streamed per-batch contract counters into the current
+    report — identical schema (and values, parity-tested) to
+    `validation.expectations_report` run batch-side over the same
+    accumulated rows. One aggregate over (#expectations × #batches)
+    metadata-scale rows; no raw-data rescan."""
+    rows = spark.read.parquet(f"{state_path}/batches")
+    return (
+        rows.groupBy("expectation", "kind", "col_name")
+        .agg(
+            F.sum("n_violations").cast("bigint").alias("n_violations"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "expectation",
+            "kind",
+            "col_name",
+            "n_violations",
+            "n_rows",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )

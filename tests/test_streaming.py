@@ -639,3 +639,115 @@ def test_streaming_psi_rebaseline_guard(spark, sf_dir, tmp_path):
     # stored baseline untouched by the rejected invocation
     after = spark.read.parquet(f"{state}/baseline")
     assert after.select("_bounds").first()["_bounds"] == bounds_before
+
+
+def test_streaming_expectations_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed contract-counter fold must equal
+    validation.expectations_report run batch-side over the same
+    accumulated rows — including after a second batch arrives (counters
+    sum across _batch_id partitions) and after a crash-replay of the
+    same files through a fresh checkpoint (idempotent overwrite)."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    contract = [
+        {"name": "key_not_null", "kind": "not_null", "col": "o_custkey"},
+        {
+            "name": "price_range",
+            "kind": "in_range",
+            "col": "o_totalprice",
+            "lo": 0.0,
+            "hi": 1000.0,  # deliberately tight so violations exist
+        },
+        {
+            "name": "status_set",
+            "kind": "in_set",
+            "col": "o_orderstatus",
+            "values": ["O", "F"],  # 'P' rows violate
+        },
+    ]
+    orders = schemas.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = tmp_path / "exp_src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "exp_state"), str(tmp_path / "exp_ckpt")
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+
+    def run_stream(checkpoint):
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = ingest.streaming_expectations(raw, contract, state, checkpoint)
+        q.awaitTermination(120)
+
+    def report():
+        return {
+            r["expectation"]: (r["n_violations"], r["n_rows"], r["passed"])
+            for r in ingest.read_expectations_report(spark, state).collect()
+        }
+
+    def batch_expect(df):
+        return {
+            r["expectation"]: (r["n_violations"], r["n_rows"], r["passed"])
+            for r in validation.expectations_report(df, contract).collect()
+        }
+
+    b1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run_stream(ckpt)
+    first = report()
+    assert first == batch_expect(b1)
+
+    # crash replay: a fresh checkpoint re-delivers the same files under
+    # the same batch id — dynamic overwrite must leave the fold unchanged
+    run_stream(str(tmp_path / "exp_ckpt2"))
+    assert report() == first
+
+    b2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run_stream(ckpt)  # original checkpoint: only d2 is new -> batch 1
+    full = report()
+    assert full == batch_expect(orders)
+    assert full["price_range"][0] > 0  # the tight range really fires
+
+
+def test_streaming_expectations_guards(spark, sf_dir, tmp_path):
+    """unique kinds are rejected (per-batch distinct counts cannot see
+    cross-batch duplicates); a contract change over existing state
+    raises instead of silently mixing counter definitions."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    orders = schemas.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    orders.limit(10).coalesce(1).write.parquet(str(src / "d1"))
+    schema = "o_orderkey bigint, o_custkey bigint"
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    state = str(tmp_path / "state")
+
+    with _pytest.raises(ValueError, match="unique"):
+        ingest.streaming_expectations(
+            raw,
+            [{"name": "k_uq", "kind": "unique", "col": "o_orderkey"}],
+            state,
+            str(tmp_path / "ck0"),
+        )
+
+    c1 = [{"name": "k_nn", "kind": "not_null", "col": "o_orderkey"}]
+    q = ingest.streaming_expectations(raw, c1, state, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    c2 = [{"name": "k_nn", "kind": "not_null", "col": "o_custkey"}]
+    with _pytest.raises(ValueError, match="different contract"):
+        ingest.streaming_expectations(raw, c2, state, str(tmp_path / "ck2"))
+    # identical contract restarts are idempotent, not an error
+    q = ingest.streaming_expectations(raw, c1, state, str(tmp_path / "ck3"))
+    q.awaitTermination(120)
