@@ -76,8 +76,12 @@ def expectations_report(df: DataFrame, expectations: Sequence[Mapping]) -> DataF
     if len(set(names)) != len(names):
         raise ValueError("expectation names must be unique")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")]
+    # coalesce: over an EMPTY table the conditional sums are NULL — an
+    # empty input trivially satisfies a value contract (0 violations,
+    # passed), it doesn't produce an unreadable NULL verdict
     aggs += [
-        _violation_agg(e).cast("bigint").alias(e["name"]) for e in expectations
+        F.coalesce(_violation_agg(e), F.lit(0)).cast("bigint").alias(e["name"])
+        for e in expectations
     ]
     one = df.agg(*aggs)
     per_exp = F.array(

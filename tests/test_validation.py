@@ -119,3 +119,20 @@ def test_table_diff_composite_key_and_explicit_cols(spark):
         validation.table_diff(left, right, ["k1", "k2"], compare_cols=[]).count()
         == 0
     )
+
+
+def test_expectations_empty_table_trivially_passes(spark):
+    """ANSI edge probe (the verify-loop rule): an EMPTY table must yield
+    0 violations / passed=true per expectation, not NULL verdicts from
+    null conditional sums."""
+    empty = spark.createDataFrame([], "id bigint, name string")
+    rows = validation.expectations_report(
+        empty,
+        [
+            {"name": "id_nn", "kind": "not_null", "col": "id"},
+            {"name": "id_uq", "kind": "unique", "col": "id"},
+            {"name": "name_re", "kind": "matches", "col": "name", "pattern": "."},
+        ],
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["n_violations"] == 0 and r["passed"] and r["n_rows"] == 0 for r in rows)
