@@ -244,6 +244,8 @@ HEADLINE = [
     # data-contract validation / snapshot reconciliation (r7)
     "expectations_orders",
     "table_diff_orders_snapshots",
+    # DSIR importance weights (r7)
+    "dsir_weights_documents",
 ]
 
 

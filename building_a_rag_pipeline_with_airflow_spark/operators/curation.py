@@ -478,3 +478,83 @@ def line_dedup(
         )
     )
     return rebuilt.select(id_col, text_col, "n_lines", "n_kept")
+
+
+def dsir_importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hashed-n-gram importance weights for target-matched data selection
+    (DSIR, Xie et al. 2023 — public method): score every RAW document by
+    how much more likely its tokens are under the TARGET distribution
+    than under the raw distribution, ``log_weight = Σ_tokens
+    [ln p_target(b(tok)) − ln p_raw(b(tok))]`` over ``n_buckets`` hashed
+    unigram features with add-``alpha`` smoothing. Feed the output to
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.sampling.weighted_sample_logw`
+    to draw the target-matched subset (importance RESAMPLING, the paper's
+    second half) without materializing ``exp(log_weight)``.
+
+    Scale shape: the feature space is HASHED (md5-60-bit mod
+    ``n_buckets`` — the `hash_bucket` slice, so DuckDB reproduces it),
+    which bounds the model at ``n_buckets`` rows regardless of corpus
+    vocabulary: two explode→hash-agg passes (map-side combine), the
+    totals as an in-plan one-row broadcast, the log-ratio table
+    broadcast onto the exploded raw tokens, one per-doc agg. No window,
+    no driver-side state. Output: ``(id, n_toks, log_weight)``; blank
+    documents are excluded (no tokens → no evidence)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios hit ln(0))")
+
+    def _bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        ex = (
+            df.where(F.length(F.trim(F.col(text_col))) > 0)
+            .select(*cols, F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        )
+        b = (
+            F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(int(n_buckets))
+        ).alias("b")
+        return ex.select(*cols, b)
+
+    raw_tok = _bucketed(raw_df, keep_id=True)
+    tgt_tok = _bucketed(target_df, keep_id=False)
+    require_nonempty(tgt_tok.limit(1), "dsir target tokens")
+    cnt_r = raw_tok.groupBy("b").agg(F.count("*").cast("bigint").alias("n_raw"))
+    cnt_t = tgt_tok.groupBy("b").agg(F.count("*").cast("bigint").alias("n_tgt"))
+    totals = cnt_r.agg(F.sum("n_raw").cast("double").alias("_tr")).crossJoin(
+        cnt_t.agg(F.sum("n_tgt").cast("double").alias("_tt"))
+    )
+    a, bsz = float(alpha), float(n_buckets)
+    ratio = (
+        cnt_r.join(cnt_t, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("n_tgt") + F.lit(a)) / (F.col("_tt") + F.lit(a * bsz)))
+                - F.log((F.col("n_raw") + F.lit(a)) / (F.col("_tr") + F.lit(a * bsz)))
+            ).alias("llr"),
+        )
+    )
+    return (
+        raw_tok.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_toks"),
+            F.round(F.sum("llr"), 4).alias("log_weight"),
+        )
+    )

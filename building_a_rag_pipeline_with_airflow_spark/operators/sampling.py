@@ -304,3 +304,40 @@ def deterministic_shuffle(
         shuffled = shuffled.repartitionByRange(int(n_partitions), "_shuffle_key")
         return shuffled.sortWithinPartitions("_shuffle_key").drop("_shuffle_key")
     return shuffled.orderBy("_shuffle_key").drop("_shuffle_key")
+
+
+def weighted_sample_logw(
+    df: DataFrame,
+    key: str,
+    log_weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """:func:`weighted_sample_topk` for LOG-scale weights: rank by
+    ``ln(u)/w`` computed as ``-exp(ln(-ln u) − L)`` with ``L = ln w``, so
+    importance weights like DSIR's ``log_weight`` (whose ``exp`` over- or
+    underflows doubles long before the corpus runs out of dynamic range)
+    never materialize. Monotone in the A-ES priority ``u^(1/w)`` — the
+    top-k ARE the same weighted sample without replacement, with the same
+    content-hash determinism contract (relayout/re-run/engine-stable).
+
+    ``u ∈ (0, 1]`` from `hash_uniform`; ``u = 1`` makes ``ln(-ln u)``
+    −inf and the priority exactly 0 — the maximum, consistent with
+    ``u^(1/w) = 1``. Any finite ``log_weight`` is valid (negative means
+    down-weighted, not excluded)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    big_l = F.col(log_weight_col).cast("double")
+    u = hash_uniform(key, salt)
+    # u == 1 would make log(-log u) = log(0), which Spark returns as NULL
+    # (not -inf) — pin the limit value 0 explicitly so the row sorts
+    # first, as u^(1/w) = 1 demands, instead of NULL sorting last
+    pri = F.when(u == 1.0, F.lit(0.0)).otherwise(
+        -F.exp(F.log(-F.log(u)) - big_l)
+    )
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.desc(priority_col), F.asc(key))
+        .limit(k)
+    )

@@ -6710,6 +6710,69 @@ def table_diff_orders_snapshots(spark, sf_dir):
     return validation.table_diff(prev, curr, ["o_orderkey"]).orderBy("o_orderkey")
 
 
+@q(
+    "dsir_weights_documents",
+    """
+    WITH raw_tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tgt_tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+    ),
+    rb AS (
+      SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b,
+             CAST(count(*) AS BIGINT) AS n_raw
+      FROM raw_tok GROUP BY 1
+    ),
+    tb AS (
+      SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b,
+             CAST(count(*) AS BIGINT) AS n_tgt
+      FROM tgt_tok GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(n_raw) AS DOUBLE) FROM rb) AS tr,
+             (SELECT CAST(sum(n_tgt) AS DOUBLE) FROM tb) AS tt
+    ),
+    ratio AS (
+      SELECT coalesce(rb.b, tb.b) AS b,
+             ln((coalesce(n_tgt, 0) + 1.0) / (tt + 1.0 * 1024))
+           - ln((coalesce(n_raw, 0) + 1.0) / (tr + 1.0 * 1024)) AS llr
+      FROM rb FULL OUTER JOIN tb ON rb.b = tb.b CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+           round(sum(llr), 4) AS log_weight
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM raw_tok
+    ) d
+    JOIN ratio USING (b)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dsir_weights_documents(spark, sf_dir):
+    """DSIR hashed-unigram importance weights
+    (`operators.curation.dsir_importance_weights`, Xie et al. 2023):
+    every document scored by how target-like (here: the English slice)
+    its token distribution is — the data-SELECTION score ahead of
+    importance resampling via `sampling.weighted_sample_logw`. The
+    hashed 1024-bucket feature space bounds the model at metadata scale
+    regardless of corpus vocabulary, and the md5-60-bit bucket slice is
+    the repo's engine-reproducible hash, so the ENTIRE model — both
+    distributions, smoothing, and every per-doc sum — replays exactly in
+    the DuckDB oracle."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=1024, alpha=1.0
+    ).orderBy("doc_id")
+
+
 # r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
 # registry entries; this tuple IS that window for r7, enumerated
 # explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
@@ -6789,7 +6852,11 @@ _R7_WINDOW = (
 # immediately after _R7_WINDOW (ahead of every multi-green query), so the
 # r8 rotation picks them up first. Value-checked by
 # tests/test_oracle_parity.py every round meanwhile, like all oracles.
-_NEW_R7 = ("expectations_orders", "table_diff_orders_snapshots")
+_NEW_R7 = (
+    "expectations_orders",
+    "table_diff_orders_snapshots",
+    "dsir_weights_documents",
+)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

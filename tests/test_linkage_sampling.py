@@ -226,3 +226,57 @@ def test_trigram_topk_rejects_bad_k(spark):
 
     with _pytest.raises(ValueError):
         linkage.trigram_topk(q, df, k=0)
+
+
+def test_weighted_sample_logw_matches_linear_form(spark):
+    """Log-space A-ES must select the SAME sample as the linear form
+    wherever exp(log_weight) is representable — the two priorities are
+    monotone transforms of each other."""
+    import math
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    lin = sampling.weighted_sample_topk(df, "id", "w", k=40, salt="s1")
+    logd = df.withColumn("lw", F.log("w"))
+    logf = sampling.weighted_sample_logw(logd, "id", "lw", k=40, salt="s1")
+    assert {r.id for r in lin.collect()} == {r.id for r in logf.collect()}
+    # and it keeps working where the linear form CANNOT: weights exp(900)
+    huge = df.withColumn("lw", F.lit(900.0) + F.col("w"))
+    got = sampling.weighted_sample_logw(huge, "id", "lw", k=10).collect()
+    assert len(got) == 10
+    assert all(math.isfinite(r.priority) for r in got)
+
+
+def test_dsir_importance_weights_prefers_target_like_docs(spark):
+    """Documents drawn from the target's vocabulary must out-score
+    documents from a disjoint vocabulary, deterministically."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    a_words = "alpha beta gamma delta epsilon"
+    b_words = "zork quux blarg wibble frotz"
+    raw = spark.createDataFrame(
+        [(i, a_words if i < 10 else b_words) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, a_words) for i in range(5)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.log_weight
+        for r in curation.dsir_importance_weights(raw, target).collect()
+    }
+    assert len(got) == 20 and all(r is not None for r in got.values())
+    a_scores = [got[i] for i in range(10)]
+    b_scores = [got[i] for i in range(10, 20)]
+    assert min(a_scores) > max(b_scores)
+    # identical docs score identically (pure function of content)
+    assert len(set(a_scores)) == 1 and len(set(b_scores)) == 1
+
+    with pytest.raises(ValueError):
+        curation.dsir_importance_weights(raw, target, n_buckets=1)
+    with pytest.raises(ValueError):
+        curation.dsir_importance_weights(raw, target, alpha=0.0)
+    with pytest.raises(ValueError):
+        curation.dsir_importance_weights(
+            raw, target.where(F.col("doc_id") < 0)
+        ).collect()
