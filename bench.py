@@ -244,8 +244,9 @@ HEADLINE = [
     # data-contract validation / snapshot reconciliation (r7)
     "expectations_orders",
     "table_diff_orders_snapshots",
-    # DSIR importance weights (r7)
+    # DSIR importance weights + NB domain classifier (r7)
     "dsir_weights_documents",
+    "nb_lang_classify_documents",
 ]
 
 

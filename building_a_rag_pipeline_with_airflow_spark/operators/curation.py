@@ -26,7 +26,7 @@ from the papers are noted inline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.functions.text import (
@@ -556,5 +556,113 @@ def dsir_importance_weights(
         .agg(
             F.count("*").cast("int").alias("n_toks"),
             F.round(F.sum("llr"), 4).alias("log_weight"),
+        )
+    )
+
+
+def nb_domain_classify(
+    labeled_df: DataFrame,
+    score_df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial naive-Bayes document classifier over the same hashed
+    unigram feature space as :func:`dsir_importance_weights` — the
+    domain/language-classifier stage of a curation pipeline (the role
+    fastText-style classifiers play in public corpus recipes), trained
+    and applied entirely in-plan.
+
+    Train: per-class smoothed token log-probabilities
+    ``ln((n_{label,b} + alpha) / (n_label + alpha·n_buckets))`` + doc-count
+    log-priors, materialized as a (classes × observed-buckets) grid —
+    metadata-scale by construction, broadcast to the scorers. Score: one
+    explode over the unlabeled docs, broadcast join, per-(doc, class)
+    sum, then argmax over the #classes-bounded per-doc window (scores
+    rounded to 6dp BEFORE ranking with a label tiebreak, so the argmax
+    is engine-reproducible — the oracle-exactness discipline).
+
+    Returns ``(id, pred, score, margin)``: the winning class, its
+    rounded log-posterior, and the gap to the runner-up (0.0 when only
+    one class exists — the margin of an uncontested prediction).
+    Documents with no tokens are excluded (no evidence)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed probs hit ln(0))")
+
+    def _tok(df: DataFrame, src: str, out: str) -> DataFrame:
+        ex = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(src).alias(out),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+        b = (
+            F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(int(n_buckets))
+        ).alias("b")
+        return ex.select(out, b)
+
+    lab_tok = _tok(labeled_df, label_col, "_lbl")
+    require_nonempty(lab_tok.limit(1), "nb labeled tokens")
+    sc_tok = _tok(score_df, id_col, id_col)
+    a, bsz = float(alpha), float(n_buckets)
+
+    cls_tok = lab_tok.groupBy("_lbl", "b").agg(
+        F.count("*").cast("bigint").alias("n_lb")
+    )
+    cls_tot = lab_tok.groupBy("_lbl").agg(
+        F.count("*").cast("double").alias("n_l")
+    )
+    prior = (
+        labeled_df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    prior = prior.crossJoin(
+        F.broadcast(prior.agg(F.sum("n_docs").alias("_td")))
+    ).select("_lbl", F.log(F.col("n_docs") / F.col("_td")).alias("log_prior"))
+    # grid: every (class, bucket-a-scored-doc-contains) pair gets a
+    # smoothed log-prob, including buckets unseen in that class
+    buckets = sc_tok.select("b").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(cls_tot))
+        .join(cls_tok, ["b", "_lbl"], "left")
+        .select(
+            "b",
+            "_lbl",
+            F.log(
+                (F.coalesce("n_lb", F.lit(0)) + F.lit(a))
+                / (F.col("n_l") + F.lit(a * bsz))
+            ).alias("log_p"),
+        )
+    )
+    per_class = (
+        sc_tok.join(F.broadcast(grid), "b")
+        .groupBy(id_col, "_lbl")
+        .agg(F.sum("log_p").alias("_ll"))
+        .join(F.broadcast(prior), "_lbl")
+        .select(
+            id_col,
+            "_lbl",
+            F.round(F.col("_ll") + F.col("log_prior"), 6).alias("score"),
+        )
+    )
+    # per-doc window is bounded at #classes rows — never corpus-scale
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("_lbl"))
+    return (
+        per_class.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_next", F.lead("score").over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_lbl").alias("pred"),
+            "score",
+            F.round(
+                F.coalesce(F.col("score") - F.col("_next"), F.lit(0.0)), 6
+            ).alias("margin"),
         )
     )

@@ -6773,6 +6773,102 @@ def dsir_weights_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "nb_lang_classify_documents",
+    """
+    WITH lab AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
+    ),
+    sc AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 <> 0 AND length(trim(text)) > 0
+    ),
+    lab_tok0 AS (
+      SELECT lang AS lbl,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM lab
+    ),
+    lab_tok AS (
+      SELECT lbl,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM lab_tok0
+    ),
+    sc_tok0 AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM sc
+    ),
+    sc_tok AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM sc_tok0
+    ),
+    cls_tok AS (
+      SELECT lbl, b, CAST(count(*) AS BIGINT) AS n_lb
+      FROM lab_tok GROUP BY lbl, b
+    ),
+    cls_tot AS (
+      SELECT lbl, CAST(count(*) AS DOUBLE) AS n_l FROM lab_tok GROUP BY lbl
+    ),
+    prior AS (
+      SELECT lang AS lbl, CAST(count(*) AS DOUBLE) AS n_docs
+      FROM lab GROUP BY lang
+    ),
+    prior2 AS (
+      SELECT lbl, ln(n_docs / (SELECT sum(n_docs) FROM prior)) AS log_prior
+      FROM prior
+    ),
+    buckets AS (SELECT DISTINCT b FROM sc_tok),
+    grid AS (
+      SELECT buckets.b, cls_tot.lbl,
+             ln((coalesce(n_lb, 0) + 1.0) / (n_l + 1.0 * 1024)) AS log_p
+      FROM buckets CROSS JOIN cls_tot
+      LEFT JOIN cls_tok
+        ON cls_tok.b = buckets.b AND cls_tok.lbl = cls_tot.lbl
+    ),
+    per_class AS (
+      SELECT s.doc_id, g.lbl,
+             round(sum(g.log_p) + max(p.log_prior), 6) AS score
+      FROM sc_tok s
+      JOIN grid g ON s.b = g.b
+      JOIN prior2 p ON p.lbl = g.lbl
+      GROUP BY s.doc_id, g.lbl
+    ),
+    ranked AS (
+      SELECT doc_id, lbl, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lbl ASC) AS rk,
+             lead(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lbl ASC) AS nxt
+      FROM per_class
+    )
+    SELECT doc_id, lbl AS pred, score,
+           round(coalesce(score - nxt, 0.0), 6) AS margin
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def nb_lang_classify_documents(spark, sf_dir):
+    """Naive-Bayes language classification
+    (`operators.curation.nb_domain_classify`): a deterministic 20%
+    labeled slice (doc_id ≡ 0 mod 5) trains the per-class hashed-unigram
+    model; the other 80% is classified. The whole model — per-class
+    smoothed log-probs, doc-count priors, the (class × bucket) grid, and
+    the 6dp-rounded argmax with label tiebreak — replays exactly in the
+    DuckDB oracle. Per-doc window is bounded at #classes rows; the grid
+    is metadata-scale and broadcast."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.nb_domain_classify(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        n_buckets=1024,
+        alpha=1.0,
+    ).orderBy("doc_id")
+
+
 # r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
 # registry entries; this tuple IS that window for r7, enumerated
 # explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
@@ -6856,6 +6952,7 @@ _NEW_R7 = (
     "expectations_orders",
     "table_diff_orders_snapshots",
     "dsir_weights_documents",
+    "nb_lang_classify_documents",
 )
 
 

@@ -280,3 +280,54 @@ def test_dsir_importance_weights_prefers_target_like_docs(spark):
         curation.dsir_importance_weights(
             raw, target.where(F.col("doc_id") < 0)
         ).collect()
+
+
+def test_nb_domain_classify_learns_disjoint_vocabularies(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    voc = {
+        "en": "the quick brown fox jumps",
+        "de": "der schnelle braune fuchs springt",
+        "fr": "le rapide renard brun saute",
+    }
+    labeled = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(
+            [(l, t) for l, t in voc.items() for _ in range(4)]
+        )],
+        "doc_id bigint, lang string, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, voc["en"]), (101, voc["de"]), (102, voc["fr"]),
+         (103, "fox " + voc["en"])],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in curation.nb_domain_classify(labeled, score).collect()}
+    assert got[100].pred == "en" and got[101].pred == "de" and got[102].pred == "fr"
+    assert got[103].pred == "en"
+    assert all(r.margin > 0 for r in got.values())  # contested, decisive
+    # deterministic pure function of content
+    again = {r.doc_id: r for r in curation.nb_domain_classify(labeled, score).collect()}
+    assert {k: (v.pred, v.score) for k, v in got.items()} == {
+        k: (v.pred, v.score) for k, v in again.items()
+    }
+
+    with pytest.raises(ValueError):
+        curation.nb_domain_classify(labeled, score, n_buckets=1)
+    with pytest.raises(ValueError):
+        curation.nb_domain_classify(labeled, score, alpha=0.0)
+    with pytest.raises(ValueError):
+        curation.nb_domain_classify(
+            labeled.where(F.col("doc_id") < 0), score
+        ).collect()
+
+
+def test_nb_domain_classify_single_class_margin_zero(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+
+    labeled = spark.createDataFrame(
+        [(1, "en", "hello world")], "doc_id bigint, lang string, text string"
+    )
+    got = curation.nb_domain_classify(
+        labeled, spark.createDataFrame([(9, "hello again")], "doc_id bigint, text string")
+    ).collect()
+    assert len(got) == 1 and got[0].pred == "en" and got[0].margin == 0.0
