@@ -735,3 +735,54 @@ def test_r5_queries_cartesian_free(spark, sf_dir, name):
             # broadcast-small-by-contract shapes print Cross or carry a
             # BuildRight/BuildLeft of an aggregate/literal one-row frame
             assert "Cross" in line or "BuildRight" in line or "BuildLeft" in line
+
+
+def test_validation_and_classifier_plan_shapes(spark, sf_dir):
+    """Plan pins for the r7 operators: the shapes that make them
+    100 TB-safe must actually appear in the executed plan."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        curation,
+        validation,
+    )
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    docs = schemas.load_table(spark, sf_dir, "documents")
+
+    # table_diff: exactly one shuffle join on the key, zero windows
+    prev = orders.where(F.col("o_orderkey") % 7 != 0)
+    curr = orders.where(F.col("o_orderkey") % 5 != 0)
+    plan = (
+        validation.table_diff(prev, curr, ["o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowExec" not in plan
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins == 1, f"table_diff should be ONE key join, saw {n_joins}"
+
+    # dsir: the ratio model joins the exploded corpus as a BROADCAST
+    # (metadata-scale by construction), never a shuffle join; no window
+    dsir_plan = (
+        curation.dsir_importance_weights(docs, docs.where(F.col("lang") == "en"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in dsir_plan
+    assert "WindowExec" not in dsir_plan
+    assert "CartesianProduct" not in dsir_plan
+
+    # nb classifier: model grid broadcast; the only window is the
+    # per-doc argmax, bounded at #classes rows per partition key
+    nb_plan = (
+        curation.nb_domain_classify(
+            docs.where(F.col("doc_id") % 5 == 0),
+            docs.where(F.col("doc_id") % 5 != 0),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in nb_plan
+    assert "CartesianProduct" not in nb_plan
