@@ -247,6 +247,8 @@ HEADLINE = [
     # DSIR importance weights + NB domain classifier (r7)
     "dsir_weights_documents",
     "nb_lang_classify_documents",
+    # embedding drift (r7)
+    "embedding_drift_snapshots",
 ]
 
 

@@ -277,3 +277,80 @@ def js_divergence(
             / 1_000_000
         ).alias("jsd"),
     )
+
+
+def embedding_drift(
+    base_df: DataFrame,
+    cur_df: DataFrame,
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two snapshots — the VECTOR rung of
+    the drift ladder (PSI/KS cover scalars, chi² categoricals, JS token
+    distributions; a pipeline whose documents are embedded needs the
+    same "did this month's data move?" answer in embedding space, where
+    a shifted corpus silently degrades every ANN index and similarity
+    threshold downstream).
+
+    One row: ``(n_base, n_cur, centroid_cos, centroid_l2_dist,
+    mean_norm_base, mean_norm_cur)`` — the cosine between the two
+    snapshot centroids (1.0 = no directional drift), their L2 distance,
+    and each side's mean vector norm (catches scale drift cosine is
+    blind to; flat 1.0 on normalized corpora by construction).
+
+    Scale shape: per-side centroids via posexplode → ONE hash agg on
+    position (dim-bounded output), dim-sized join for the cosine; norms
+    are a map-side array fold + one avg. No window, no driver-side
+    vectors, nothing beyond metadata leaves the aggregation. Interpret
+    like PSI: alert on thresholds (e.g. cos < 0.99), then re-cluster /
+    re-baseline offline (`ivf_balance_report`'s maintenance contract).
+
+    Snapshots must share the embedding dimension — checked against one
+    row per side (metadata-scale) and raised loudly, because a
+    common-prefix cosine over mismatched dims would look plausible and
+    mean nothing."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import l2_norm
+
+    require_nonempty(base_df.limit(1), "embedding_drift base")
+    require_nonempty(cur_df.limit(1), "embedding_drift current")
+    dim_b = len(base_df.select(c_vec).first()[0])
+    dim_c = len(cur_df.select(c_vec).first()[0])
+    if dim_b != dim_c:
+        raise ValueError(
+            f"embedding_drift: snapshot dims differ ({dim_b} vs {dim_c}); "
+            "a common-prefix comparison would be meaningless"
+        )
+
+    def _cent(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(F.posexplode(c_vec).alias("_p", "_v"))
+        return ex.groupBy("_p").agg(
+            F.avg("_v").alias(f"c_{tag}"),
+            F.count("*").cast("bigint").alias(f"n_{tag}"),
+        )
+
+    j = _cent(base_df, "base").join(_cent(cur_df, "cur"), "_p")
+    cents = j.agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(F.col("c_base") * F.col("c_cur")).alias("_dot"),
+        F.sum(F.col("c_base") * F.col("c_base")).alias("_sb"),
+        F.sum(F.col("c_cur") * F.col("c_cur")).alias("_sc"),
+        F.sum(
+            (F.col("c_base") - F.col("c_cur"))
+            * (F.col("c_base") - F.col("c_cur"))
+        ).alias("_sd"),
+    )
+    norms = base_df.agg(
+        F.round(F.avg(l2_norm(c_vec)), 4).alias("mean_norm_base")
+    ).crossJoin(
+        cur_df.agg(F.round(F.avg(l2_norm(c_vec)), 4).alias("mean_norm_cur"))
+    )
+    return cents.crossJoin(F.broadcast(norms)).select(
+        "n_base",
+        "n_cur",
+        F.round(
+            F.col("_dot") / F.sqrt(F.col("_sb") * F.col("_sc")), 6
+        ).alias("centroid_cos"),
+        F.round(F.sqrt("_sd"), 6).alias("centroid_l2_dist"),
+        "mean_norm_base",
+        "mean_norm_cur",
+    )

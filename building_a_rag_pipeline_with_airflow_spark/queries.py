@@ -6869,6 +6869,57 @@ def nb_lang_classify_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "embedding_drift_snapshots",
+    """
+    WITH b AS (
+      SELECT pos, avg(val) AS cb, CAST(count(*) AS BIGINT) AS nb FROM (
+        SELECT unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE vec_id % 2 = 0
+      ) GROUP BY pos
+    ),
+    c AS (
+      SELECT pos, avg(val) AS cc, CAST(count(*) AS BIGINT) AS nc FROM (
+        SELECT unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE vec_id % 2 <> 0
+      ) GROUP BY pos
+    ),
+    j AS (
+      SELECT max(nb) AS n_base, max(nc) AS n_cur,
+             sum(cb * cc) AS dot, sum(cb * cb) AS sb, sum(cc * cc) AS sc,
+             sum((cb - cc) * (cb - cc)) AS sd
+      FROM b JOIN c USING (pos)
+    )
+    SELECT n_base, n_cur,
+           round(dot / sqrt(sb * sc), 6) AS centroid_cos,
+           round(sqrt(sd), 6) AS centroid_l2_dist,
+           (SELECT round(avg(sqrt(list_sum(list_transform(embedding,
+                   x -> x * x)))), 4)
+            FROM embeddings WHERE vec_id % 2 = 0) AS mean_norm_base,
+           (SELECT round(avg(sqrt(list_sum(list_transform(embedding,
+                   x -> x * x)))), 4)
+            FROM embeddings WHERE vec_id % 2 <> 0) AS mean_norm_cur
+    FROM j
+    """,
+)
+def embedding_drift_snapshots(spark, sf_dir):
+    """Embedding-space drift (`operators.drift.embedding_drift`) between
+    two deterministic snapshots of the embeddings table (even vs odd
+    vec_id): centroid cosine + L2 shift + per-side mean norms — the
+    vector rung of the drift ladder, whose alert feeds the IVF
+    re-cluster maintenance decision. Dim-bounded aggregation throughout;
+    the oracle replays centroids, cosine, and the per-row norm fold."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return drift.embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 != 0),
+    )
+
+
 # r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
 # registry entries; this tuple IS that window for r7, enumerated
 # explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
@@ -6953,6 +7004,7 @@ _NEW_R7 = (
     "table_diff_orders_snapshots",
     "dsir_weights_documents",
     "nb_lang_classify_documents",
+    "embedding_drift_snapshots",
 )
 
 

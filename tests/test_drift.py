@@ -206,3 +206,45 @@ def test_mad_outliers_global_path(spark):
     )
     r = analytics.mad_outliers(df, "v").first()  # no group keys: one row
     assert (r.median, r.mad, r.n, r.n_outliers) == (5.5, 2.5, 10, 0)
+
+
+def test_embedding_drift_identity_shift_and_guards(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # identical snapshots: no drift at all
+    r = drift.embedding_drift(base, base).first()
+    assert r["centroid_cos"] == 1.0 and r["centroid_l2_dist"] == 0.0
+    assert r["n_base"] == 20 and r["n_cur"] == 20
+    assert r["mean_norm_base"] == r["mean_norm_cur"] == 1.0
+
+    # orthogonally shifted corpus: full directional drift, norms equal
+    shifted = spark.createDataFrame(
+        [(i, [0.0, 1.0, 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    r2 = drift.embedding_drift(base, shifted).first()
+    assert r2["centroid_cos"] == 0.0
+    assert abs(r2["centroid_l2_dist"] - 2 ** 0.5) < 1e-6
+    # scale drift: same direction, doubled norms — cosine blind, norm not
+    scaled = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    r3 = drift.embedding_drift(base, scaled).first()
+    assert r3["centroid_cos"] == 1.0 and r3["mean_norm_cur"] == 2.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dims differ"):
+        drift.embedding_drift(
+            base,
+            spark.createDataFrame(
+                [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+            ),
+        )
+    with _pytest.raises(ValueError):
+        drift.embedding_drift(base, base.where(F.col("vec_id") < 0))
