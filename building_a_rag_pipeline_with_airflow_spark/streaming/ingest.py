@@ -779,3 +779,143 @@ def read_expectations_report(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("expectation")
     )
+
+
+def streaming_embedding_drift(
+    vec_stream: DataFrame,
+    baseline_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    c_vec: str = "embedding",
+    available_now: bool = True,
+):
+    """Continuous embedding-space drift against a frozen BASELINE — the
+    vector twin of :func:`streaming_psi`, for corpora that are embedded
+    as they arrive (the alert that schedules
+    ``similarity.recluster_ivf_index`` instead of anyone polling).
+
+    Setup (once): the baseline's per-position centroid and mean norm are
+    computed batch-side and written to ``<state_path>/baseline``
+    (dim-bounded rows — metadata). Each micro-batch then writes only its
+    own MERGEABLE partials — per-position value sums and counts, plus a
+    norm sum — under a ``_batch_id`` partition (dynamic overwrite →
+    replay-idempotent): per-batch cost is O(batch), never O(history).
+    :func:`read_embedding_drift` folds the partials into the SAME
+    one-row report ``drift.embedding_drift`` computes batch-side over
+    baseline vs the accumulated stream (parity-tested).
+
+    Re-invocation guard (the `streaming_psi` rule): a restart with a
+    baseline whose centroid matches the stored one keeps it; a different
+    baseline raises — accumulated partials compared against silently
+    swapped baseline centroids would make the folded report
+    meaningless. Use a fresh state_path (and checkpoint) to re-baseline.
+    The stream's vectors must share the baseline's dimension; the fold
+    join is positional, and the baseline row count pins it."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.vectors import l2_norm
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    require_nonempty(baseline_df.limit(1), "embedding drift baseline")
+    spark = baseline_df.sparkSession
+
+    def _partials(df: DataFrame) -> DataFrame:
+        ex = df.select(
+            F.posexplode(c_vec).alias("_p", "_v"), l2_norm(c_vec).alias("_nrm")
+        )
+        return ex.groupBy("_p").agg(
+            F.sum("_v").alias("sum_v"),
+            F.count("*").cast("bigint").alias("n"),
+            # the same row norm lands once per position; divide out later
+            F.sum("_nrm").alias("sum_norm"),
+        )
+
+    base = _partials(baseline_df)
+    try:
+        prev = spark.read.parquet(f"{state_path}/baseline")
+        stored = {r["_p"]: (r["sum_v"], r["n"]) for r in prev.collect()}
+        fresh = {r["_p"]: (r["sum_v"], r["n"]) for r in base.collect()}
+        same = set(stored) == set(fresh) and all(
+            abs(stored[p][0] - fresh[p][0]) < 1e-9 and stored[p][1] == fresh[p][1]
+            for p in stored
+        )
+        if not same:
+            raise ValueError(
+                f"streaming_embedding_drift: {state_path}/baseline holds a "
+                "different baseline centroid; accumulated batch partials "
+                "would be compared against swapped geometry. Use a fresh "
+                "state_path (and checkpoint) to re-baseline."
+            )
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        base.coalesce(1).write.mode("overwrite").parquet(f"{state_path}/baseline")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _partials(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    return index_layout.start_extender(
+        vec_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_embedding_drift(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streamed per-position partials against the frozen
+    baseline into the current one-row drift report — identical schema
+    (and values, parity-tested) to ``drift.embedding_drift(baseline,
+    accumulated_stream)``. One aggregate over (dim × batches)
+    metadata-scale rows; no raw-vector rescan."""
+    base = spark.read.parquet(f"{state_path}/baseline").select(
+        "_p",
+        (F.col("sum_v") / F.col("n")).alias("c_base"),
+        F.col("n").alias("n_base"),
+        (F.col("sum_norm") / F.col("n")).alias("norm_base"),
+    )
+    cur = (
+        spark.read.parquet(f"{state_path}/batches")
+        .groupBy("_p")
+        .agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_norm").alias("sum_norm"),
+        )
+        .select(
+            "_p",
+            (F.col("sum_v") / F.col("n")).alias("c_cur"),
+            F.col("n").alias("n_cur"),
+            (F.col("sum_norm") / F.col("n")).alias("norm_cur"),
+        )
+    )
+    j = base.join(cur, "_p")
+    return j.agg(
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(
+            F.sum(F.col("c_base") * F.col("c_cur"))
+            / F.sqrt(
+                F.sum(F.col("c_base") * F.col("c_base"))
+                * F.sum(F.col("c_cur") * F.col("c_cur"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("c_base") - F.col("c_cur"))
+                    * (F.col("c_base") - F.col("c_cur"))
+                )
+            ),
+            6,
+        ).alias("centroid_l2_dist"),
+        F.round(F.max("norm_base"), 4).alias("mean_norm_base"),
+        F.round(F.max("norm_cur"), 4).alias("mean_norm_cur"),
+    )

@@ -751,3 +751,56 @@ def test_streaming_expectations_guards(spark, sf_dir, tmp_path):
     # identical contract restarts are idempotent, not an error
     q = ingest.streaming_expectations(raw, c1, state, str(tmp_path / "ck3"))
     q.awaitTermination(120)
+
+
+def test_streaming_embedding_drift_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed per-position partial fold must equal
+    drift.embedding_drift(baseline, accumulated_stream) batch-side —
+    after each batch, after a fresh-checkpoint replay of the first batch
+    (idempotent), and after a second batch arrives."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    baseline = emb.where(F.col("vec_id") % 3 == 0)
+    stream_side = emb.where(F.col("vec_id") % 3 != 0)
+    src = tmp_path / "ed_src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "ed_state"), str(tmp_path / "ed_ckpt")
+
+    def run_stream(checkpoint):
+        raw = spark.readStream.schema(emb.schema).parquet(f"{src}/*")
+        q = ingest.streaming_embedding_drift(raw, baseline, state, checkpoint)
+        q.awaitTermination(120)
+
+    def fold():
+        return tuple(ingest.read_embedding_drift(spark, state).first())
+
+    def batch(df):
+        return tuple(drift.embedding_drift(baseline, df).first())
+
+    b1 = stream_side.where(F.col("vec_id") % 3 == 1)
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run_stream(ckpt)
+    assert fold() == batch(b1)
+
+    # fresh-checkpoint replay re-delivers d1 under batch 0: no change
+    run_stream(str(tmp_path / "ed_ckpt2"))
+    assert fold() == batch(b1)
+
+    b2 = stream_side.where(F.col("vec_id") % 3 == 2)
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run_stream(ckpt)  # original checkpoint: only d2 is new
+    assert fold() == batch(stream_side)
+
+    # re-baselining over existing state must raise, not silently swap
+    import pytest as _pytest
+
+    raw = spark.readStream.schema(emb.schema).parquet(f"{src}/*")
+    with _pytest.raises(ValueError, match="different baseline"):
+        ingest.streaming_embedding_drift(
+            raw, emb.where(F.col("vec_id") % 3 == 1), state,
+            str(tmp_path / "ed_ckpt3"),
+        )
