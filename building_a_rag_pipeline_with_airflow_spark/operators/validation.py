@@ -26,20 +26,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: expectation kinds understood by :func:`expectations_report`
-KINDS = ("not_null", "unique", "in_range", "in_set", "matches")
+KINDS = ("not_null", "unique", "in_range", "in_set", "matches", "min_rows")
 
 
 def _violation_agg(e: Mapping) -> "F.Column":
     """The per-expectation violation counter (one conditional aggregate).
 
     Null semantics, fixed so the DuckDB replay is exact: for every kind
-    except ``unique``, a row VIOLATES when the contract predicate is not
-    TRUE — so a NULL value violates ``in_range``/``in_set``/``matches``
-    (a contract about values is a contract the absent value fails), and
-    ``not_null`` is the explicit completeness check. ``unique`` counts
-    the surplus occurrences among non-null values
-    (``count(col) - count(distinct col)``)."""
-    kind, col = e["kind"], e["col"]
+    except ``unique``/``min_rows``, a row VIOLATES when the contract
+    predicate is not TRUE — so a NULL value violates
+    ``in_range``/``in_set``/``matches`` (a contract about values is a
+    contract the absent value fails), and ``not_null`` is the explicit
+    completeness check. ``unique`` counts the surplus occurrences among
+    non-null values (``count(col) - count(distinct col)``). ``min_rows``
+    is TABLE-level — 1 violation when the table holds fewer than ``n``
+    rows — the one kind an EMPTY table fails (value contracts are
+    trivially satisfied by no rows; a truncated or empty release is
+    exactly what this kind exists to catch)."""
+    kind, col = e["kind"], e.get("col", "*")
+    if kind == "min_rows":
+        return F.when(F.count(F.lit(1)) < F.lit(int(e["n"])), 1).otherwise(0)
     if kind == "not_null":
         return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
     if kind == "unique":
@@ -89,7 +95,7 @@ def expectations_report(df: DataFrame, expectations: Sequence[Mapping]) -> DataF
             F.struct(
                 F.lit(e["name"]).alias("expectation"),
                 F.lit(e["kind"]).alias("kind"),
-                F.lit(e["col"]).alias("col_name"),
+                F.lit(e.get("col", "*")).alias("col_name"),
                 F.col(e["name"]).alias("n_violations"),
             )
             for e in expectations

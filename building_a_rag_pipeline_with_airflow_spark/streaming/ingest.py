@@ -692,13 +692,15 @@ def streaming_expectations(
 
     from building_a_rag_pipeline_with_airflow_spark.operators import validation
 
-    bad = [e["name"] for e in expectations if e["kind"] == "unique"]
+    bad = [e["name"] for e in expectations if e["kind"] in ("unique", "min_rows")]
     if bad:
         raise ValueError(
-            f"streaming_expectations: 'unique' expectations {bad} are not "
-            "mergeable across micro-batches (per-batch distinct counts miss "
-            "cross-batch duplicates); run expectations_report batch-side "
-            "over the accumulated table instead."
+            f"streaming_expectations: expectations {bad} are not mergeable "
+            "across micro-batches ('unique': per-batch distinct counts miss "
+            "cross-batch duplicates; 'min_rows': a per-batch verdict summed "
+            "over batches is not the accumulated-table verdict); run "
+            "expectations_report batch-side over the accumulated table "
+            "instead."
         )
     contract_str = json.dumps(
         [

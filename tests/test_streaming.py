@@ -734,12 +734,19 @@ def test_streaming_expectations_guards(spark, sf_dir, tmp_path):
     raw = spark.readStream.schema(schema).parquet(f"{src}/*")
     state = str(tmp_path / "state")
 
-    with _pytest.raises(ValueError, match="unique"):
+    with _pytest.raises(ValueError, match="k_uq"):
         ingest.streaming_expectations(
             raw,
             [{"name": "k_uq", "kind": "unique", "col": "o_orderkey"}],
             state,
             str(tmp_path / "ck0"),
+        )
+    with _pytest.raises(ValueError, match="vol"):
+        ingest.streaming_expectations(
+            raw,
+            [{"name": "vol", "kind": "min_rows", "n": 10}],
+            state,
+            str(tmp_path / "ck0b"),
         )
 
     c1 = [{"name": "k_nn", "kind": "not_null", "col": "o_orderkey"}]

@@ -136,3 +136,17 @@ def test_expectations_empty_table_trivially_passes(spark):
     ).collect()
     assert len(rows) == 3
     assert all(r["n_violations"] == 0 and r["passed"] and r["n_rows"] == 0 for r in rows)
+
+
+def test_expectations_min_rows_kind(spark, people):
+    """min_rows is the table-level guard: the one kind an empty or
+    truncated table fails while every value contract trivially passes."""
+    ok = _report(people, [{"name": "vol", "kind": "min_rows", "n": 5}])
+    assert ok["vol"]["passed"] and ok["vol"]["col_name"] == "*"
+    short = _report(people, [{"name": "vol", "kind": "min_rows", "n": 6}])
+    assert not short["vol"]["passed"] and short["vol"]["n_violations"] == 1
+    empty = spark.createDataFrame([], "id bigint")
+    r = validation.expectations_report(
+        empty, [{"name": "vol", "kind": "min_rows", "n": 1}]
+    ).first()
+    assert not r["passed"] and r["n_rows"] == 0
