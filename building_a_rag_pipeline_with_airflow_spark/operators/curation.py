@@ -666,3 +666,72 @@ def nb_domain_classify(
             ).alias("margin"),
         )
     )
+
+
+def release_corpus(
+    df: DataFrame,
+    release_root: str,
+    manifest_path: str,
+    version_name: str,
+    benchmark: "DataFrame | None" = None,
+    mixture_weights: "dict[str, float] | None" = None,
+    expectations: "Sequence[Mapping] | None" = None,
+    prev_release_path: "str | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_kw,
+) -> "dict[str, DataFrame]":
+    """Publish a curated corpus RELEASE — the operational capstone tying
+    the curation, validation, reconciliation, and manifest families into
+    the one flow a dataset release actually runs:
+
+    1. :func:`curate_corpus` (gates → dedup → decontamination → mixture)
+       with its per-stage audit;
+    2. :func:`~.validation.expectations_report` over the RELEASED set —
+       the contract gate. A failed expectation RAISES before anything is
+       published (a release that ships and then alarms is a recall);
+    3. write the released docs under ``<release_root>/<version_name>``
+       and :func:`~building_a_rag_pipeline_with_airflow_spark.sources.index_layout.publish_index`
+       it into the manifest — consumers resolve through
+       ``current_index`` and never see a half-written release
+       (swap-then-expire, the index-family contract);
+    4. :func:`~.validation.table_diff` against ``prev_release_path``
+       when given — the doc-level changelog between releases.
+
+    Returns the report frames (``audit``, ``contract``, and ``diff``
+    when computed) for the release record. Default contract when
+    ``expectations`` is None: non-empty release with unique non-null
+    ids — the floor any release must clear."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    spark = df.sparkSession
+    kept, audit = curate_corpus(
+        df,
+        benchmark=benchmark,
+        mixture_weights=mixture_weights,
+        text_col=text_col,
+        id_col=id_col,
+        **curate_kw,
+    )
+    if expectations is None:
+        expectations = [
+            {"name": "release_nonempty", "kind": "min_rows", "n": 1},
+            {"name": "id_not_null", "kind": "not_null", "col": id_col},
+            {"name": "id_unique", "kind": "unique", "col": id_col},
+        ]
+    contract = validation.expectations_report(kept, expectations)
+    failed = [r["expectation"] for r in contract.collect() if not r["passed"]]
+    if failed:
+        raise ValueError(
+            f"release_corpus: contract failed ({failed}); nothing was "
+            "published. Fix the corpus or the contract and re-run."
+        )
+    out_path = f"{release_root}/{version_name}"
+    kept.write.mode("error").parquet(out_path)  # a version is immutable
+    reports = {"audit": audit, "contract": contract}
+    if prev_release_path is not None:
+        prev = spark.read.parquet(prev_release_path)
+        reports["diff"] = validation.table_diff(prev, kept, [id_col])
+    index_layout.publish_index(spark, manifest_path, out_path)
+    return reports

@@ -331,3 +331,53 @@ def test_nb_domain_classify_single_class_margin_zero(spark):
         labeled, spark.createDataFrame([(9, "hello again")], "doc_id bigint, text string")
     ).collect()
     assert len(got) == 1 and got[0].pred == "en" and got[0].margin == 0.0
+
+
+def test_release_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The release capstone: curate -> contract gate -> immutable write +
+    manifest publish -> doc-level diff vs the previous release; a failed
+    contract publishes NOTHING."""
+    import os
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "releases")
+    man = str(tmp_path / "manifest")
+
+    r1 = curation.release_corpus(
+        docs.where(F.col("doc_id") % 2 == 0), root, man, "v1"
+    )
+    assert set(r1) == {"audit", "contract"}
+    assert all(r["passed"] for r in r1["contract"].collect())
+    v1 = index_layout.current_index(spark, man)
+    assert v1.endswith("/v1") and os.path.exists(v1)
+    n1 = spark.read.parquet(v1).count()
+    assert n1 > 0
+
+    r2 = curation.release_corpus(
+        docs, root, man, "v2", prev_release_path=v1
+    )
+    v2 = index_layout.current_index(spark, man)
+    assert v2.endswith("/v2")
+    diff = r2["diff"]
+    stats = {r["status"]: r["cnt"] for r in
+             diff.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    assert stats.get("added", 0) > 0        # the odd ids arrived in v2
+    # a few "removed" rows are real: odd docs joining a near-dup cluster
+    # can switch the cluster's canonical doc — exactly the churn the
+    # release diff exists to surface
+    assert stats.get("removed", 0) < stats["added"]
+
+    # a contract the corpus cannot meet: nothing new is published
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contract failed"):
+        curation.release_corpus(
+            docs, root, man, "v3",
+            expectations=[{"name": "impossible", "kind": "min_rows",
+                           "n": 10_000_000}],
+        )
+    assert index_layout.current_index(spark, man) == v2
+    assert not os.path.exists(f"{root}/v3")
