@@ -732,6 +732,11 @@ def release_corpus(
     reports = {"audit": audit, "contract": contract}
     if prev_release_path is not None:
         prev = spark.read.parquet(prev_release_path)
-        reports["diff"] = validation.table_diff(prev, kept, [id_col])
+        # diff the PUBLISHED bytes, not the lazy curation plan: reading
+        # out_path back is cheaper than re-executing the composition and
+        # is guaranteed to describe the artifact consumers will resolve
+        reports["diff"] = validation.table_diff(
+            prev, spark.read.parquet(out_path), [id_col]
+        )
     index_layout.publish_index(spark, manifest_path, out_path)
     return reports

@@ -325,7 +325,10 @@ def weighted_sample_logw(
     ``u ∈ (0, 1]`` from `hash_uniform`; ``u = 1`` makes ``ln(-ln u)``
     −inf and the priority exactly 0 — the maximum, consistent with
     ``u^(1/w) = 1``. Any finite ``log_weight`` is valid (negative means
-    down-weighted, not excluded)."""
+    down-weighted, not excluded); a NULL log_weight is rejected loudly
+    (the `weighted_sample_topk` family contract) — a NULL priority would
+    sort last and silently exclude the row, e.g. docs that fell out of a
+    left join against `dsir_importance_weights` output."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     big_l = F.col(log_weight_col).cast("double")
@@ -333,8 +336,18 @@ def weighted_sample_logw(
     # u == 1 would make log(-log u) = log(0), which Spark returns as NULL
     # (not -inf) — pin the limit value 0 explicitly so the row sorts
     # first, as u^(1/w) = 1 demands, instead of NULL sorting last
-    pri = F.when(u == 1.0, F.lit(0.0)).otherwise(
-        -F.exp(F.log(-F.log(u)) - big_l)
+    pri = F.when(
+        big_l.isNull(),
+        F.raise_error(
+            F.lit(
+                "weighted_sample_logw: NULL log_weight — rows may not be "
+                "silently dropped; fill or filter weights before sampling"
+            )
+        ).cast("double"),
+    ).otherwise(
+        F.when(u == 1.0, F.lit(0.0)).otherwise(
+            -F.exp(F.log(-F.log(u)) - big_l)
+        )
     )
     return (
         df.withColumn(priority_col, pri)

@@ -151,6 +151,7 @@ def bloom_semi_prefilter(
     key: "str | Column",
     bitmap: DataFrame,
     max_fill: float = 0.5,
+    meta=None,
 ) -> DataFrame:
     """Keep big-side rows whose key MIGHT be in the bitmap — a strict
     superset of the exact left-semi join, computed entirely map-side:
@@ -164,8 +165,11 @@ def bloom_semi_prefilter(
     EVERYTHING and no longer pays for itself. A probe key whose resolved
     type differs from the recorded build ``key_type`` also raises —
     xxhash64 is byte-sensitive, so the mismatch would silently drop
-    matching rows (false negatives, the one forbidden failure mode)."""
-    meta = bitmap.first()
+    matching rows (false negatives, the one forbidden failure mode).
+    ``meta`` lets a caller that already fetched the one-row bitmap pass
+    it in, so the small-side aggregation runs exactly once."""
+    if meta is None:
+        meta = bitmap.first()
     if meta is None or meta["bf"] is None or len(meta["bf"]) == 0:
         raise ValueError(
             "bloom bitmap is empty — build it over a non-empty small side"
@@ -228,7 +232,10 @@ def bloom_prefilter_join(
     bitmap = bloom_bitmap(
         small, F.col(sk).cast(ct), m_bits=m_bits, k_hashes=k_hashes
     )
-    if int(bitmap.first()["n_set_bits"]) == 0:
+    # fetch the one-row bitmap ONCE: the empty check and the probe
+    # expressions share it (the docstring's one-small-side-pass promise)
+    meta = bitmap.first()
+    if int(meta["n_set_bits"]) == 0:
         # Empty (or all-null-keyed) small side: the exact inner join is
         # empty by definition — return it with the join's schema instead
         # of probing an empty bitmap (which bloom_semi_prefilter refuses,
@@ -238,7 +245,9 @@ def bloom_prefilter_join(
         if sk == big_key:
             return big.limit(0).join(small, on=big_key, how="inner")
         return big.limit(0).join(small, big[big_key] == small[sk], how="inner")
-    survivors = bloom_semi_prefilter(big, F.col(big_key).cast(ct), bitmap)
+    survivors = bloom_semi_prefilter(
+        big, F.col(big_key).cast(ct), bitmap, meta=meta
+    )
     if sk == big_key:
         return survivors.join(small, on=big_key, how="inner")
     return survivors.join(small, survivors[big_key] == small[sk], how="inner")

@@ -35,11 +35,24 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
 #: the base build's batch id — streaming extensions use the stream's own
 #: (non-negative) batch ids, so -1 can never collide with one
 BASE_BATCH_ID = -1
+
+_INTEGRAL_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
+
+
+def _integral_narrowing(src, dst) -> bool:
+    """True when casting ``src`` to ``dst`` can WRAP integer values
+    (long→int etc., including array element types) — the lossy class
+    :func:`_conform_to_existing` refuses instead of applying."""
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _integral_narrowing(src.elementType, dst.elementType)
+    rs, rd = _INTEGRAL_RANK.get(type(src)), _INTEGRAL_RANK.get(type(dst))
+    return rs is not None and rd is not None and rs > rd
 
 
 def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
@@ -52,10 +65,15 @@ def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
     ``int`` id into a ``bigint`` base — writes parquet files the unified
     multi-batch scan cannot read (PARQUET_COLUMN_DATA_TYPE_MISMATCH).
     Normalizing at the layout boundary (the bloom key-type rule) fixes
-    this once for all four indexes. A missing path means a fresh base
-    write — nothing to conform to; any OTHER read failure propagates
-    (the streaming_psi guard rule: swallowing it would mask a corrupt
-    layout)."""
+    this once for all four indexes. INTEGRAL NARROWING is refused, not
+    applied: a bigint id cast into an int-id base wraps or nulls
+    silently (the bloom rule again — non-widenable mixes raise), and a
+    wrapped id corrupts every dedup/upsert-by-id downstream. Float
+    narrowing (double → float) stays allowed — bounded precision loss
+    is the vector case this conformance exists for. A missing path means
+    a fresh base write — nothing to conform to; any OTHER read failure
+    propagates (the streaming_psi guard rule: swallowing it would mask a
+    corrupt layout)."""
     spark = rows.sparkSession
     try:
         stored = {
@@ -66,6 +84,23 @@ def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
         if "PATH_NOT_FOUND" not in err:
             raise
         return rows
+    incoming = {f.name: f.dataType for f in rows.schema.fields}
+    narrowed = [
+        c
+        for c in rows.columns
+        if c in stored and _integral_narrowing(incoming[c], stored[c])
+    ]
+    if narrowed:
+        detail = ", ".join(
+            f"{c}: {incoming[c].simpleString()} -> {stored[c].simpleString()}"
+            for c in narrowed
+        )
+        raise ValueError(
+            f"index extension batch would NARROW integral column(s) "
+            f"{narrowed} to the stored layout's type ({detail}); "
+            "out-of-range values would wrap silently. Rebuild the index "
+            "with the wider type instead."
+        )
     return rows.select(
         *(
             F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)

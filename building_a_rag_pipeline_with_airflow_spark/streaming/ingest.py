@@ -818,6 +818,7 @@ def streaming_embedding_drift(
 
     require_nonempty(baseline_df.limit(1), "embedding drift baseline")
     spark = baseline_df.sparkSession
+    dim_base = len(baseline_df.select(c_vec).first()[0])
 
     def _partials(df: DataFrame) -> DataFrame:
         ex = df.select(
@@ -835,8 +836,14 @@ def streaming_embedding_drift(
         prev = spark.read.parquet(f"{state_path}/baseline")
         stored = {r["_p"]: (r["sum_v"], r["n"]) for r in prev.collect()}
         fresh = {r["_p"]: (r["sum_v"], r["n"]) for r in base.collect()}
+        # RELATIVE tolerance: double sums are order-nondeterministic
+        # across partitionings, so an absolute epsilon spuriously rejects
+        # legitimate restarts at large n (and accepts real changes at
+        # tiny magnitudes)
         same = set(stored) == set(fresh) and all(
-            abs(stored[p][0] - fresh[p][0]) < 1e-9 and stored[p][1] == fresh[p][1]
+            abs(stored[p][0] - fresh[p][0])
+            <= 1e-9 * max(1.0, abs(stored[p][0]), abs(fresh[p][0]))
+            and stored[p][1] == fresh[p][1]
             for p in stored
         )
         if not same:
@@ -855,6 +862,17 @@ def streaming_embedding_drift(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # the batch-twin's dim guard, enforced per batch (one metadata
+        # probe): a model change mid-stream must fail the query loudly,
+        # not let the positional fold report a common-prefix cosine
+        dim_batch = len(batch_df.select(c_vec).first()[0])
+        if dim_batch != dim_base:
+            raise ValueError(
+                f"streaming_embedding_drift: batch {batch_id} carries "
+                f"{dim_batch}-dim vectors but the frozen baseline is "
+                f"{dim_base}-dim; a common-prefix comparison would be "
+                "meaningless. Re-baseline at a fresh state_path."
+            )
         (
             _partials(batch_df)
             .withColumn("_batch_id", F.lit(batch_id))
@@ -897,6 +915,16 @@ def read_embedding_drift(spark: SparkSession, state_path: str) -> DataFrame:
             (F.col("sum_norm") / F.col("n")).alias("norm_cur"),
         )
     )
+    # fold-side backstop for the same dim contract the writer enforces:
+    # a positional inner join over mismatched dims would silently keep
+    # the common prefix (both frames are dim-bounded; counts are cheap)
+    n_base_pos, n_cur_pos = base.count(), cur.count()
+    if n_base_pos != n_cur_pos:
+        raise ValueError(
+            f"read_embedding_drift: baseline holds {n_base_pos} positions "
+            f"but the accumulated stream holds {n_cur_pos}; the state at "
+            f"{state_path} mixes embedding dimensions."
+        )
     j = base.join(cur, "_p")
     return j.agg(
         F.max("n_base").alias("n_base"),

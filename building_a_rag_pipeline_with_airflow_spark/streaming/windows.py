@@ -289,7 +289,20 @@ def bloom_gated_enrich(
     d_t = dim.select(F.col(dk).alias("_k")).schema[0].dataType.simpleString()
     ct = _common_key_type(s_t, d_t)
     bitmap = bloom_bitmap(dim, F.col(dk).cast(ct), m_bits=m_bits, k_hashes=k_hashes)
-    gated = bloom_semi_prefilter(stream, F.col(stream_key).cast(ct), bitmap)
+    meta = bitmap.first()  # fetched once; shared with the probe
+    if int(meta["n_set_bits"]) == 0:
+        # Empty (or all-null-keyed) dim: the inner enrichment is empty by
+        # definition — a normal state for a selective CDC dimension, so
+        # gate everything out instead of raising (the batch sibling
+        # bloom_prefilter_join's empty-small-side rule; limit(0) is not
+        # stream-safe, a FALSE filter is)
+        empty = stream.where(F.lit(False))
+        if dk == stream_key:
+            return empty.join(dim, on=stream_key, how="inner")
+        return empty.join(dim, empty[stream_key] == dim[dk], how="inner")
+    gated = bloom_semi_prefilter(
+        stream, F.col(stream_key).cast(ct), bitmap, meta=meta
+    )
     if dk == stream_key:
         return gated.join(dim, on=stream_key, how="inner")
     return gated.join(dim, gated[stream_key] == dim[dk], how="inner")

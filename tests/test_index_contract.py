@@ -387,3 +387,20 @@ def test_expire_skips_directories_still_published(spark, tmp_path):
         int(r["version"])
         for r in spark.read.parquet(manifest).select("version").collect()
     ] == [2]
+
+
+def test_extension_refuses_integral_narrowing(spark, tmp_path):
+    """A bigint id batch into an int-id base would WRAP out-of-range ids
+    under the conformance cast — the layout must refuse, not apply."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame([(1, 0)], "id int, bucket int")
+    index_layout.write_index_rows(base, path, partition_cols=("bucket",))
+    wide = spark.createDataFrame(
+        [(2**40, 0)], "id bigint, bucket int"
+    )
+    with pytest.raises(ValueError, match="NARROW"):
+        index_layout.write_index_rows(
+            wide, path, partition_cols=("bucket",), batch_id=0, extend=True
+        )

@@ -381,3 +381,11 @@ def test_release_corpus_end_to_end(spark, sf_dir, tmp_path):
         )
     assert index_layout.current_index(spark, man) == v2
     assert not os.path.exists(f"{root}/v3")
+
+
+def test_weighted_sample_logw_rejects_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None)], "id bigint, lw double"
+    )
+    with pytest.raises(Exception, match="NULL log_weight"):
+        sampling.weighted_sample_logw(df, "id", "lw", k=2).collect()

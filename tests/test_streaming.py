@@ -811,3 +811,62 @@ def test_streaming_embedding_drift_matches_batch_operator(spark, sf_dir, tmp_pat
             raw, emb.where(F.col("vec_id") % 3 == 1), state,
             str(tmp_path / "ed_ckpt3"),
         )
+
+
+def test_bloom_gated_enrich_empty_dim_yields_empty(spark, events_batch, events_dir):
+    """An empty dim slice is a normal CDC state: the gated enrichment
+    must yield the empty inner join (batch sibling rule), not raise at
+    query setup and kill the pipeline."""
+    empty_dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .where(F.lit(False))
+        .withColumn("segment", F.lit("seg"))
+    )
+    raw = W.read_events_stream(spark, events_dir)
+    out = W.bloom_gated_enrich(
+        raw.select("event_id", "user_id", "event_type"), empty_dim, "user_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_gate_empty_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("bloom_gate_empty_mem").count() == 0
+    # batch form of the same composition agrees
+    assert (
+        W.bloom_gated_enrich(
+            events_batch.select("event_id", "user_id", "event_type"),
+            empty_dim,
+            "user_id",
+        ).count()
+        == 0
+    )
+
+
+def test_streaming_embedding_drift_rejects_dim_change(spark, sf_dir, tmp_path):
+    """A mid-stream embedding-model change (different vector dim) must
+    fail the query loudly — the positional fold would otherwise report a
+    plausible common-prefix cosine."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    baseline = emb.where(F.col("vec_id") % 3 == 0)
+    short = spark.createDataFrame(
+        [(900000, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    short.coalesce(1).write.parquet(str(src / "d1"))
+    raw = spark.readStream.schema(short.schema).parquet(f"{src}/*")
+    q = ingest.streaming_embedding_drift(
+        raw, baseline, str(tmp_path / "st"), str(tmp_path / "ck")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dim|meaningless"):
+        q.awaitTermination(120)
