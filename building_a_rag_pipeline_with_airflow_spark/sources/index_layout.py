@@ -55,7 +55,9 @@ def _integral_narrowing(src, dst) -> bool:
     return rs is not None and rd is not None and rs > rd
 
 
-def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
+def _conform_to_existing(
+    rows: DataFrame, path: str, skip: Sequence[str] = ()
+) -> DataFrame:
     """Cast every column that already exists in the layout at ``path`` to
     its STORED type before appending.
 
@@ -73,7 +75,13 @@ def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
     is the vector case this conformance exists for. A missing path means
     a fresh base write — nothing to conform to; any OTHER read failure
     propagates (the streaming_psi guard rule: swallowing it would mask a
-    corrupt layout)."""
+    corrupt layout). PARTITION columns (``skip``) are exempt from both
+    the cast and the refusal: they have no physical parquet type (the
+    value lives in the directory name, whose string form is
+    width-independent), and the stored reader type is directory-name
+    INFERENCE — e.g. a bigint cell id written by the base build reads
+    back as int, which the refusal would flag as narrowing when no byte
+    of storage is at stake."""
     spark = rows.sparkSession
     try:
         stored = {
@@ -85,10 +93,13 @@ def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
             raise
         return rows
     incoming = {f.name: f.dataType for f in rows.schema.fields}
+    exempt = set(skip) | {"_batch_id"}
     narrowed = [
         c
         for c in rows.columns
-        if c in stored and _integral_narrowing(incoming[c], stored[c])
+        if c in stored
+        and c not in exempt
+        and _integral_narrowing(incoming[c], stored[c])
     ]
     if narrowed:
         detail = ", ".join(
@@ -103,7 +114,9 @@ def _conform_to_existing(rows: DataFrame, path: str) -> DataFrame:
         )
     return rows.select(
         *(
-            F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+            F.col(c).cast(stored[c]).alias(c)
+            if c in stored and c not in exempt
+            else F.col(c)
             for c in rows.columns
         )
     )
@@ -133,7 +146,7 @@ def write_index_rows(
     batch's column types to the stored layout's
     (:func:`_conform_to_existing`)."""
     if extend:
-        rows = _conform_to_existing(rows, path)
+        rows = _conform_to_existing(rows, path, skip=partition_cols)
     out = rows.withColumn("_batch_id", F.lit(int(batch_id)))
     if n_files and partition_cols:
         out = out.repartition(int(n_files), partition_cols[0])
