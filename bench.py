@@ -106,6 +106,15 @@ MEASURED on the same 5x data (scripts/scale_curve_mitigations.py):
   budget; planes=12 at 5x cuts the row 15.5x. Recorded as the production
   tuning rule (like IVF re-clustering as the corpus grows), not a code
   change — recall at a fixed threshold is a banding-parameter budget.
+
+r7 headline-roster note: SIX new rows joined the list this round
+(bloom_prefilter_supplier_revenue ~1.4 s, expectations_orders ~0.8 s,
+table_diff_orders_snapshots ~1.1 s, dsir_weights_documents ~1.8 s,
+nb_lang_classify_documents ~2.1 s, embedding_drift_snapshots <1 s) —
+about +7 s of genuinely new work. Compare the headline TOTAL across
+rounds net of these, or per-query; a total moving from ~136 s (r6
+roster) to ~137-143 s (r7 roster) is the roster change, not a
+regression.
 """
 
 from __future__ import annotations
