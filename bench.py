@@ -107,6 +107,21 @@ MEASURED on the same 5x data (scripts/scale_curve_mitigations.py):
   tuning rule (like IVF re-clustering as the corpus grows), not a code
   change — recall at a fixed threshold is a banding-parameter budget.
 
+r7-family scale spot check (scripts/scale_curve_r7.py, same organic
+5x replication rules as the r6 curve; best-of-2 after per-scale warmup,
+one session):
+
+  query                         sf0.1      5x   ratio
+  expectations_orders            0.67    0.67    1.00
+  table_diff_orders_snapshots    1.03    1.75    1.69
+  dsir_weights_documents         1.54    1.69    1.10
+  nb_lang_classify_documents     1.79    2.18    1.22
+  embedding_drift_snapshots      0.67    0.67    1.01
+
+All five at or under 1.7x on 5x data — the single-agg / broadcast-model
+/ one-key-join shapes hold (session overhead still dominates); no
+hidden all-pairs or corpus-scale window in the r7 family.
+
 r7 headline-roster note: SIX new rows joined the list this round
 (bloom_prefilter_supplier_revenue ~1.4 s, expectations_orders ~0.8 s,
 table_diff_orders_snapshots ~1.1 s, dsir_weights_documents ~1.8 s,
