@@ -273,6 +273,7 @@ HEADLINE = [
     "nb_lang_classify_documents",
     # embedding drift (r7)
     "embedding_drift_snapshots",
+    "expectations_by_lang_documents",
 ]
 
 

@@ -173,3 +173,58 @@ def table_diff(
         )
         .where(F.col("status").isNotNull())
     )
+
+
+def expectations_report_by(
+    df: DataFrame, group_col: str, expectations: Sequence[Mapping]
+) -> DataFrame:
+    """Per-group :func:`expectations_report` — one contract evaluated
+    independently for every value of ``group_col`` (per-source /
+    per-language quality floors, the grouped form a corpus release
+    gates on: a global report can pass while one source is entirely
+    broken).
+
+    Same kinds, same null semantics, same single-pass shape — the
+    ``df.agg`` becomes a ``groupBy(group_col).agg`` (hash aggregation
+    with map-side partials; output is #groups × #expectations rows,
+    metadata-scale when groups are domains/languages). ``min_rows``
+    applies per group: a group missing entirely produces NO row (no
+    evidence), so pair it with an explicit expected-group list when
+    absence itself must fail the gate."""
+    names = [e["name"] for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError("expectation names must be unique")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")]
+    aggs += [
+        F.coalesce(_violation_agg(e), F.lit(0)).cast("bigint").alias(e["name"])
+        for e in expectations
+    ]
+    one = df.groupBy(group_col).agg(*aggs)
+    per_exp = F.array(
+        *(
+            F.struct(
+                F.lit(e["name"]).alias("expectation"),
+                F.lit(e["kind"]).alias("kind"),
+                F.lit(e.get("col", "*")).alias("col_name"),
+                F.col(e["name"]).alias("n_violations"),
+            )
+            for e in expectations
+        )
+    )
+    return (
+        one.select(
+            group_col,
+            F.col("_n_rows").alias("n_rows"),
+            F.explode(per_exp).alias("e"),
+        )
+        .select(
+            group_col,
+            "e.expectation",
+            "e.kind",
+            "e.col_name",
+            "e.n_violations",
+            "n_rows",
+            (F.col("e.n_violations") == 0).alias("passed"),
+        )
+        .orderBy(group_col, "expectation")
+    )

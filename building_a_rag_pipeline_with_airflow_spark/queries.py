@@ -6920,6 +6920,64 @@ def embedding_drift_snapshots(spark, sf_dir):
     )
 
 
+@q(
+    "expectations_by_lang_documents",
+    """
+    WITH m AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_nn,
+             CAST(sum(CASE WHEN n_chars >= 1 AND n_chars <= 300
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_rg,
+             CAST(sum(CASE WHEN regexp_matches(text, '\\S')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_re
+      FROM documents GROUP BY lang
+    )
+    SELECT * FROM (
+      SELECT lang, 'id_not_null' AS expectation, 'not_null' AS kind,
+             'doc_id' AS col_name, v_nn AS n_violations, n_rows,
+             v_nn = 0 AS passed FROM m
+      UNION ALL SELECT lang, 'len_in_band', 'in_range', 'n_chars',
+             v_rg, n_rows, v_rg = 0 FROM m
+      UNION ALL SELECT lang, 'text_nonblank', 'matches', 'text',
+             v_re, n_rows, v_re = 0 FROM m
+    ) ORDER BY lang, expectation
+    """,
+)
+def expectations_by_lang_documents(spark, sf_dir):
+    """Per-language data contract over documents
+    (`operators.validation.expectations_report_by`): the grouped form of
+    the release gate — a global report can pass while one language slice
+    is entirely broken. One hash aggregation keyed on the group (same
+    conditional counters, map-side partials), #langs × #expectations
+    output rows; the deliberately tight length band makes both outcomes
+    occur so the oracle pins pass AND fail paths per group."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    docs = _t(spark, sf_dir, "documents")
+    return validation.expectations_report_by(
+        docs,
+        "lang",
+        [
+            {"name": "id_not_null", "kind": "not_null", "col": "doc_id"},
+            {
+                "name": "len_in_band",
+                "kind": "in_range",
+                "col": "n_chars",
+                "lo": 1,
+                "hi": 300,
+            },
+            {
+                "name": "text_nonblank",
+                "kind": "matches",
+                "col": "text",
+                "pattern": "\\S",
+            },
+        ],
+    )
+
+
 # r7 rotation (r6 judge directive #3): the driver checks the FIRST 50
 # registry entries; this tuple IS that window for r7, enumerated
 # explicitly. Selection is data-driven from CORRECTNESS_r01..r06 green
@@ -7005,6 +7063,7 @@ _NEW_R7 = (
     "dsir_weights_documents",
     "nb_lang_classify_documents",
     "embedding_drift_snapshots",
+    "expectations_by_lang_documents",
 )
 
 

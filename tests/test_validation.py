@@ -150,3 +150,23 @@ def test_expectations_min_rows_kind(spark, people):
         empty, [{"name": "vol", "kind": "min_rows", "n": 1}]
     ).first()
     assert not r["passed"] and r["n_rows"] == 0
+
+
+def test_expectations_report_by_groups_independently(spark, people):
+    got = validation.expectations_report_by(
+        people,
+        "country",
+        [
+            {"name": "id_nn", "kind": "not_null", "col": "id"},
+            {"name": "age_band", "kind": "in_range", "col": "age", "lo": 0, "hi": 120},
+        ],
+    ).collect()
+    by = {(r["country"], r["expectation"]): r for r in got}
+    # FR's only row has age 200 -> its band fails while US/DE pass
+    assert not by[("FR", "age_band")]["passed"]
+    assert by[("DE", "age_band")]["passed"]
+    # the null-id row groups under XX and fails not_null there only
+    assert by[("XX", "id_nn")]["n_violations"] == 1
+    assert by[("US", "id_nn")]["passed"]
+    # per-group n_rows, not global
+    assert by[("US", "id_nn")]["n_rows"] == 2
