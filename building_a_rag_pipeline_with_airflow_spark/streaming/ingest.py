@@ -949,3 +949,164 @@ def read_embedding_drift(spark: SparkSession, state_path: str) -> DataFrame:
         F.round(F.max("norm_base"), 4).alias("mean_norm_base"),
         F.round(F.max("norm_cur"), 4).alias("mean_norm_cur"),
     )
+
+
+def streaming_nb_update(
+    labeled_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    available_now: bool = True,
+):
+    """Continuously retrain the naive-Bayes domain classifier
+    (`operators.curation.nb_domain_classify`) from a stream of LABELED
+    documents — the classifier twin of the PSI/expectations/embedding
+    gates, and the one whose statistics are EXACTLY mergeable: the model
+    is built from (class, bucket) token counts and per-class doc counts,
+    and counts sum across batches with no approximation at all (unlike
+    `unique`, which the expectations gate must reject).
+
+    Each micro-batch tokenizes its own documents once and writes only
+    its (class, bucket, n) token partials plus one (class, n_docs) prior
+    row under a replay-idempotent ``_batch_id`` partition — O(batch) per
+    batch, never O(history). :func:`classify_with_streamed_nb` folds the
+    partials into the live model and classifies any frame with results
+    IDENTICAL to `nb_domain_classify` trained batch-side on the
+    accumulated labeled stream (parity-tested). ``n_buckets`` is frozen
+    in the partials' bucket values themselves; use a fresh state_path to
+    change it."""
+    from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nonblank = batch_df.where(F.length(F.trim(F.col(text_col))) > 0)
+        tok = nonblank.select(
+            F.col(label_col).alias("_lbl"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+        ).select(
+            "_lbl",
+            (
+                F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("bigint")
+                % F.lit(int(n_buckets))
+            ).alias("b"),
+        )
+        (
+            tok.groupBy("_lbl", "b")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/token_counts")
+        )
+        (
+            nonblank.groupBy(F.col(label_col).alias("_lbl"))
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/doc_counts")
+        )
+
+    return index_layout.start_extender(
+        labeled_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def classify_with_streamed_nb(
+    spark: SparkSession,
+    state_path: str,
+    score_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Classify ``score_df`` with the model accumulated by
+    :func:`streaming_nb_update` — identical output (parity-tested) to
+    `nb_domain_classify` trained batch-side on the same accumulated
+    labeled rows. The fold is one aggregate over (classes × buckets ×
+    batches) metadata-scale partial rows; scoring reuses the exact
+    expressions of the batch operator (grid broadcast, 6dp-rounded
+    argmax with label tiebreak), so the streamed and batch models are
+    interchangeable mid-pipeline. ``n_buckets``/``alpha`` must match the
+    values the partials were written with."""
+    from pyspark.sql import Window as _W
+
+    from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+
+    cls_tok = (
+        spark.read.parquet(f"{state_path}/token_counts")
+        .groupBy("_lbl", "b")
+        .agg(F.sum("n").cast("bigint").alias("n_lb"))
+    )
+    cls_tot = cls_tok.groupBy("_lbl").agg(
+        F.sum("n_lb").cast("double").alias("n_l")
+    )
+    prior = (
+        spark.read.parquet(f"{state_path}/doc_counts")
+        .groupBy("_lbl")
+        .agg(F.sum("n_docs").cast("double").alias("n_docs"))
+    )
+    prior = prior.crossJoin(
+        F.broadcast(prior.agg(F.sum("n_docs").alias("_td")))
+    ).select("_lbl", F.log(F.col("n_docs") / F.col("_td")).alias("log_prior"))
+
+    sc_tok = score_df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(int(n_buckets))
+        ).alias("b"),
+    )
+    require_nonempty(sc_tok.limit(1), "nb scoring tokens")
+    a, bsz = float(alpha), float(n_buckets)
+    buckets = sc_tok.select("b").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(cls_tot))
+        .join(cls_tok, ["b", "_lbl"], "left")
+        .select(
+            "b",
+            "_lbl",
+            F.log(
+                (F.coalesce("n_lb", F.lit(0)) + F.lit(a))
+                / (F.col("n_l") + F.lit(a * bsz))
+            ).alias("log_p"),
+        )
+    )
+    per_class = (
+        sc_tok.join(F.broadcast(grid), "b")
+        .groupBy(id_col, "_lbl")
+        .agg(F.sum("log_p").alias("_ll"))
+        .join(F.broadcast(prior), "_lbl")
+        .select(
+            id_col,
+            "_lbl",
+            F.round(F.col("_ll") + F.col("log_prior"), 6).alias("score"),
+        )
+    )
+    w = _W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("_lbl"))
+    return (
+        per_class.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_next", F.lead("score").over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_lbl").alias("pred"),
+            "score",
+            F.round(
+                F.coalesce(F.col("score") - F.col("_next"), F.lit(0.0)), 6
+            ).alias("margin"),
+        )
+    )

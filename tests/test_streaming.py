@@ -870,3 +870,60 @@ def test_streaming_embedding_drift_rejects_dim_change(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="dim|meaningless"):
         q.awaitTermination(120)
+
+
+def test_streaming_nb_update_matches_batch_classifier(spark, sf_dir, tmp_path):
+    """The continuously-retrained NB model must classify IDENTICALLY to
+    nb_domain_classify trained batch-side on the accumulated labeled
+    stream — after one batch, after a fresh-checkpoint replay, and after
+    a second labeled batch updates the model."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    labeled = docs.where(F.col("doc_id") % 5 == 0)
+    score = docs.where(F.col("doc_id") % 5 != 0).drop("lang").limit(60)
+
+    src = tmp_path / "nb_src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "nb_state"), str(tmp_path / "nb_ckpt")
+    schema = "doc_id bigint, lang string, text string"
+
+    def run_stream(checkpoint):
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = ingest.streaming_nb_update(raw, state, checkpoint)
+        q.awaitTermination(120)
+
+    def streamed():
+        return sorted(
+            map(
+                tuple,
+                ingest.classify_with_streamed_nb(spark, state, score).collect(),
+            )
+        )
+
+    def batch(lab):
+        return sorted(
+            map(tuple, curation.nb_domain_classify(lab, score).collect())
+        )
+
+    b1 = labeled.where(F.col("doc_id") % 2 == 0)
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run_stream(ckpt)
+    first = streamed()
+    assert first == batch(b1)
+
+    # crash replay under a fresh checkpoint: same batch id, no change
+    run_stream(str(tmp_path / "nb_ckpt2"))
+    assert streamed() == first
+
+    # second labeled batch RETRAINS the model incrementally
+    labeled.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "d2")
+    )
+    run_stream(ckpt)
+    assert streamed() == batch(labeled)
