@@ -304,10 +304,15 @@ def embedding_drift(
     like PSI: alert on thresholds (e.g. cos < 0.99), then re-cluster /
     re-baseline offline (`ivf_balance_report`'s maintenance contract).
 
-    Snapshots must share the embedding dimension — checked against one
+    Snapshots must share the embedding dimension — checked against ONE
     row per side (metadata-scale) and raised loudly, because a
     common-prefix cosine over mismatched dims would look plausible and
-    mean nothing."""
+    mean nothing. (The single-row probe assumes a snapshot is internally
+    dim-consistent — the write path's contract; a ragged snapshot fails
+    later in the posexplode join, not at this guard.) A snapshot whose
+    CENTROID is the zero vector has no direction to compare:
+    ``centroid_cos`` is then the explicit sentinel ``NaN`` (never a
+    silent NULL, and distinct from every valid cosine in [-1, 1])."""
     from building_a_rag_pipeline_with_airflow_spark.functions.vectors import l2_norm
 
     require_nonempty(base_df.limit(1), "embedding_drift base")
@@ -347,8 +352,10 @@ def embedding_drift(
     return cents.crossJoin(F.broadcast(norms)).select(
         "n_base",
         "n_cur",
-        F.round(
-            F.col("_dot") / F.sqrt(F.col("_sb") * F.col("_sc")), 6
+        F.when(
+            (F.col("_sb") * F.col("_sc")) == 0, F.lit(float("nan"))
+        ).otherwise(
+            F.round(F.col("_dot") / F.sqrt(F.col("_sb") * F.col("_sc")), 6)
         ).alias("centroid_cos"),
         F.round(F.sqrt("_sd"), 6).alias("centroid_l2_dist"),
         "mean_norm_base",

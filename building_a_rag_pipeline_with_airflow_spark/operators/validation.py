@@ -1,7 +1,7 @@
 """Data-contract validation and snapshot reconciliation.
 
 Generalizes the reference's single date-validation rule
-(``Airflow_Dags/dashboard_dag.py`` report-date sanity window — F8 in
+(``Backend/api.py:11-19`` report-date sanity window — F8 in
 SURVEY.md §2, engine twin ``operators.tabular.valid_report_date``) into
 the two table-level checks a training-data pipeline runs before
 promoting a corpus release:
@@ -132,7 +132,10 @@ def table_diff(
     and per-column null-safe comparisons are map-side expressions. The
     key set is the snapshot's primary key by contract — skew-free by
     construction; compare columns default to the columns the two schemas
-    share beyond the keys."""
+    share beyond the keys. The join is NULL-SAFE on the keys (``<=>``,
+    still a hash-join key for Catalyst): a row whose key value is NULL in
+    both snapshots matches itself (reported unchanged/changed) instead of
+    splitting into a phantom removed+added pair."""
     keys = list(keys)
     if compare_cols is None:
         compare_cols = [
@@ -141,11 +144,21 @@ def table_diff(
     compare_cols = list(compare_cols)
     l = left.select(*keys, *compare_cols, F.lit(True).alias("_pl"))
     r = right.select(
-        *keys,
+        *(F.col(k).alias(f"_rk_{k}") for k in keys),
         *(F.col(c).alias(f"_r_{c}") for c in compare_cols),
         F.lit(True).alias("_pr"),
     )
-    j = l.join(r, on=keys, how="full_outer")
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"_rk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = l.join(r, on=cond, how="full_outer").select(
+        *(F.coalesce(F.col(k), F.col(f"_rk_{k}")).alias(k) for k in keys),
+        *compare_cols,
+        *(f"_r_{c}" for c in compare_cols),
+        "_pl",
+        "_pr",
+    )
     diff_names = F.filter(
         F.array(
             *(

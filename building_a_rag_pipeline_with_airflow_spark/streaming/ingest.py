@@ -139,19 +139,17 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
         centroids = spark.read.parquet(f"{index_path}/centroids")
         stored = spark.read.parquet(f"{index_path}/vectors").schema
         # Conform incoming columns to the stored layout's types BEFORE
-        # writing (bloom key-type rule: normalize at the boundary): an
-        # array<double> batch appended to an array<float> base writes
-        # parquet files the unified multi-batch scan cannot read at all
-        # (PARQUET_COLUMN_DATA_TYPE_MISMATCH), and a widened id type
-        # would silently fork the dedup-by-id semantics downstream.
-        stored_types = {f.name: f.dataType for f in stored.fields}
-        batch_df = batch_df.select(
-            *(
-                F.col(c).cast(stored_types[c]).alias(c)
-                if c in stored_types
-                else F.col(c)
-                for c in batch_df.columns
-            )
+        # the assignment (bloom key-type rule: normalize at the
+        # boundary): an array<double> batch appended to an array<float>
+        # base writes parquet files the unified multi-batch scan cannot
+        # read at all (PARQUET_COLUMN_DATA_TYPE_MISMATCH). Done through
+        # the family's _conform_to_existing — NOT an inline cast — so an
+        # integral-NARROWING id (bigint batch into an int-id base)
+        # RAISES here exactly like every other durable-index extension
+        # path, instead of wrapping silently before write_index_rows'
+        # own conformance could catch it.
+        batch_df = index_layout._conform_to_existing(
+            batch_df, f"{index_path}/vectors", skip=("cell_id",)
         )
         assigned = ivf_assign(batch_df, centroids, c_id, c_vec)
         # match the existing layout: a quantized base index (int8 codes +
@@ -929,14 +927,27 @@ def read_embedding_drift(spark: SparkSession, state_path: str) -> DataFrame:
     return j.agg(
         F.max("n_base").alias("n_base"),
         F.max("n_cur").alias("n_cur"),
-        F.round(
-            F.sum(F.col("c_base") * F.col("c_cur"))
-            / F.sqrt(
+        # zero-centroid sentinel: NaN, never a silent NULL (the batch
+        # operator's embedding_drift contract — keep the fold identical)
+        F.when(
+            (
                 F.sum(F.col("c_base") * F.col("c_base"))
                 * F.sum(F.col("c_cur") * F.col("c_cur"))
-            ),
-            6,
-        ).alias("centroid_cos"),
+            )
+            == 0,
+            F.lit(float("nan")),
+        )
+        .otherwise(
+            F.round(
+                F.sum(F.col("c_base") * F.col("c_cur"))
+                / F.sqrt(
+                    F.sum(F.col("c_base") * F.col("c_base"))
+                    * F.sum(F.col("c_cur") * F.col("c_cur"))
+                ),
+                6,
+            )
+        )
+        .alias("centroid_cos"),
         F.round(
             F.sqrt(
                 F.sum(
@@ -957,8 +968,8 @@ def streaming_nb_update(
     checkpoint_path: str,
     label_col: str = "lang",
     text_col: str = "text",
-    id_col: str = "doc_id",
     n_buckets: int = 1024,
+    alpha: float = 1.0,
     available_now: bool = True,
 ):
     """Continuously retrain the naive-Bayes domain classifier
@@ -976,9 +987,40 @@ def streaming_nb_update(
     partials into the live model and classifies any frame with results
     IDENTICAL to `nb_domain_classify` trained batch-side on the
     accumulated labeled stream (parity-tested). ``n_buckets`` is frozen
-    in the partials' bucket values themselves; use a fresh state_path to
-    change it."""
+    in the partials' bucket values themselves, so it is ALSO frozen
+    explicitly: the first invocation writes ``(n_buckets, alpha)`` to
+    ``<state_path>/meta`` (``alpha`` is the recommended fold-time
+    smoothing default, not a frozen statistic), and a restart with a
+    different ``n_buckets`` RAISES — the streaming_expectations
+    frozen-contract rule; use a fresh state_path (and checkpoint) to
+    change the bucketing."""
     from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
+
+    spark = labeled_stream.sparkSession
+    try:
+        prev = spark.read.parquet(f"{state_path}/meta").first()
+    except AnalysisException as exc:
+        # only missing-path means "first invocation"; anything else
+        # (corrupt footer, permissions) must propagate — the
+        # streaming_psi guard rule
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        prev = None
+    if prev is not None:
+        if int(prev["n_buckets"]) != int(n_buckets):
+            raise ValueError(
+                f"streaming_nb_update: partials at {state_path} were "
+                f"written with n_buckets={int(prev['n_buckets'])} but this "
+                f"invocation asks for {int(n_buckets)}; stored bucket "
+                "values were computed mod the original modulus, so mixing "
+                "would corrupt the model silently. Use a fresh state_path "
+                "(and checkpoint) to change the bucketing."
+            )
+    else:
+        spark.createDataFrame(
+            [(int(n_buckets), float(alpha))], "n_buckets int, alpha double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/meta")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1026,8 +1068,8 @@ def classify_with_streamed_nb(
     score_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 1024,
-    alpha: float = 1.0,
+    n_buckets: "int | None" = None,
+    alpha: "float | None" = None,
 ) -> DataFrame:
     """Classify ``score_df`` with the model accumulated by
     :func:`streaming_nb_update` — identical output (parity-tested) to
@@ -1036,13 +1078,43 @@ def classify_with_streamed_nb(
     batches) metadata-scale partial rows; scoring reuses the exact
     expressions of the batch operator (grid broadcast, 6dp-rounded
     argmax with label tiebreak), so the streamed and batch models are
-    interchangeable mid-pipeline. ``n_buckets``/``alpha`` must match the
-    values the partials were written with."""
+    interchangeable mid-pipeline.
+
+    ``n_buckets`` defaults to the value FROZEN in ``<state_path>/meta``
+    by the first :func:`streaming_nb_update` invocation; passing a
+    different value RAISES (the stored bucket values were computed mod
+    the frozen modulus — a mismatched fold would score silently wrong).
+    ``alpha`` defaults to the meta row's recommended smoothing but is a
+    legitimate fold-time knob (it is not baked into the partials), so an
+    explicit value simply wins."""
     from pyspark.sql import Window as _W
 
     from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
 
+    try:
+        meta = spark.read.parquet(f"{state_path}/meta").first()
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        meta = None  # pre-meta state dir: caller-supplied values only
+    if meta is not None:
+        frozen = int(meta["n_buckets"])
+        if n_buckets is not None and int(n_buckets) != frozen:
+            raise ValueError(
+                f"classify_with_streamed_nb: partials at {state_path} "
+                f"were written with n_buckets={frozen} but the fold asks "
+                f"for {int(n_buckets)}; stored bucket values are mod the "
+                "frozen modulus, so this fold would be silently wrong."
+            )
+        n_buckets = frozen
+        if alpha is None:
+            alpha = float(meta["alpha"])
+    if n_buckets is None:
+        n_buckets = 1024
+    if alpha is None:
+        alpha = 1.0
     cls_tok = (
         spark.read.parquet(f"{state_path}/token_counts")
         .groupBy("_lbl", "b")

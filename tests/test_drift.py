@@ -248,3 +248,25 @@ def test_embedding_drift_identity_shift_and_guards(spark):
         )
     with _pytest.raises(ValueError):
         drift.embedding_drift(base, base.where(F.col("vec_id") < 0))
+
+
+def test_embedding_drift_zero_centroid_nan_sentinel(spark):
+    """A snapshot whose centroid is the zero vector has no direction:
+    centroid_cos must be the explicit NaN sentinel, never a silent NULL
+    (the loud-verdict discipline of the drift family)."""
+    import math
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import drift
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    cancelling = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [-1.0, -1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = drift.embedding_drift(base, cancelling).first()
+    assert r["centroid_cos"] is not None and math.isnan(r["centroid_cos"])
+    # the other metrics stay readable: centroid [1,0] vs [0,0]
+    assert r["centroid_l2_dist"] == 1.0
+    assert r["n_base"] == 1 and r["n_cur"] == 2

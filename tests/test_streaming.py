@@ -927,3 +927,74 @@ def test_streaming_nb_update_matches_batch_classifier(spark, sf_dir, tmp_path):
     )
     run_stream(ckpt)
     assert streamed() == batch(labeled)
+
+
+def test_streaming_nb_frozen_meta_guard(spark, sf_dir, tmp_path):
+    """n_buckets is frozen in <state_path>/meta at first invocation (the
+    streaming_expectations frozen-contract rule): a restart OR a fold
+    with a different modulus raises instead of silently mis-scoring,
+    and the fold resolves the frozen value by default."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    labeled = docs.where(F.col("doc_id") % 7 == 0).limit(40)
+    score = docs.where(F.col("doc_id") % 7 == 1).drop("lang").limit(20)
+    src = tmp_path / "nbg_src"
+    src.mkdir()
+    labeled.coalesce(1).write.parquet(str(src / "d1"))
+    schema = "doc_id bigint, lang string, text string"
+    state = str(tmp_path / "nbg_state")
+
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = ingest.streaming_nb_update(raw, state, str(tmp_path / "nbg_ck"), n_buckets=256)
+    q.awaitTermination(120)
+
+    # restart with a different modulus: refused before the stream starts
+    raw2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="n_buckets=256"):
+        ingest.streaming_nb_update(
+            raw2, state, str(tmp_path / "nbg_ck2"), n_buckets=512
+        )
+    # fold with a mismatched modulus: refused
+    with pytest.raises(ValueError, match="n_buckets=256"):
+        ingest.classify_with_streamed_nb(spark, state, score, n_buckets=512)
+    # default fold resolves the frozen value; explicit match is identical
+    frozen = sorted(
+        map(tuple, ingest.classify_with_streamed_nb(spark, state, score).collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            ingest.classify_with_streamed_nb(
+                spark, state, score, n_buckets=256
+            ).collect(),
+        )
+    )
+    assert frozen == explicit and len(frozen) > 0
+
+
+def test_streaming_ivf_extender_refuses_narrowing_id(spark, tmp_path):
+    """A bigint-id batch appended to an int-id IVF base must RAISE (the
+    _conform_to_existing narrowing refusal), not wrap the id silently —
+    the one durable-index extension path that used to inline-cast."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity as sim
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 9)],
+        "vec_id int, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf_narrow")
+    sim.build_ivf_index(base, idx, method="stride", stride=4)
+    wide = spark.createDataFrame(
+        [(2**40, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    landing = tmp_path / "nvecs"
+    landing.mkdir()
+    wide.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema(wide.schema).parquet(f"{landing}/*")
+    q = ingest.streaming_extend_ivf_index(stream, idx, str(tmp_path / "nckpt"))
+    with pytest.raises(Exception, match="NARROW"):
+        q.awaitTermination(120)

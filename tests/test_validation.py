@@ -121,6 +121,27 @@ def test_table_diff_composite_key_and_explicit_cols(spark):
     )
 
 
+def test_table_diff_null_keys_match_null_safely(spark):
+    """A NULL primary-key value present in BOTH snapshots is ONE matched
+    row (unchanged/changed), never a phantom removed+added pair — the
+    join is null-safe (`<=>`) on the keys."""
+    left = spark.createDataFrame(
+        [(None, "a", 1.0), (1, "b", 2.0)], "k bigint, s string, v double"
+    )
+    right = spark.createDataFrame(
+        [(None, "a", 9.0), (1, "b", 2.0)], "k bigint, s string, v double"
+    )
+    rows = validation.table_diff(left, right, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None
+    assert rows[0]["status"] == "changed" and rows[0]["changed_cols"] == "v"
+    # a NULL-keyed row on one side only still reports added/removed
+    only_left = validation.table_diff(
+        left, right.where(F.col("k").isNotNull()), ["k"]
+    ).collect()
+    assert {(r["k"], r["status"]) for r in only_left} == {(None, "removed")}
+
+
 def test_expectations_empty_table_trivially_passes(spark):
     """ANSI edge probe (the verify-loop rule): an EMPTY table must yield
     0 violations / passed=true per expectation, not NULL verdicts from
