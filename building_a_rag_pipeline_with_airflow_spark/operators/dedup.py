@@ -523,6 +523,8 @@ def embedding_near_dups(
     dim: int = 64,
     seed: int = 42,
     max_bucket: "int | None" = None,
+    n_est: "int | None" = None,
+    enforce_plane_budget: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing + exact
     verification (id_a < id_b, cosine >= threshold).
@@ -535,6 +537,11 @@ def embedding_near_dups(
     (measured, r7 scale-curve: 5× corpus at planes=8/bands=2 ran 72×
     slower; re-tuned planes=12 ran 15.5× faster) is planes/bands ~
     2·log2(n) — re-tune as the corpus grows, like IVF re-clustering.
+    That rule is now ENFORCED: `similarity.check_plane_budget` runs
+    against ``n_est`` (pass the known corpus size, or leave ``None`` for
+    one ``count()``) and raises when the banding is under-provisioned
+    for the corpus; ``enforce_plane_budget=False`` downgrades to a
+    warning (the explicit scale-curve-repro override).
     ``max_bucket`` is the in-plan backstop, the `phash_near_dups` /
     `linkage.max_block` / `baskets.max_items` contract: band buckets
     larger than the cap are DROPPED (an oversized bucket is either a
@@ -548,9 +555,16 @@ def embedding_near_dups(
     )
     from building_a_rag_pipeline_with_airflow_spark.operators.similarity import (
         _hyperplanes,
+        check_plane_budget,
         lsh_signature,
     )
 
+    check_plane_budget(
+        df.count() if n_est is None else n_est,
+        n_planes,
+        n_bands,
+        enforce=enforce_plane_budget,
+    )
     planes = _hyperplanes(dim, n_planes, seed)
     band_size = n_planes // n_bands
     sig = df.withColumn("_sig", lsh_signature(F.col(vec_col), planes)).withColumn(

@@ -119,6 +119,57 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
     return rng.standard_normal((n_planes, dim)).astype(float)
 
 
+#: chance-collision budget constant of :func:`check_plane_budget` — per
+#: band, random pairs collide at 2^-(planes/bands), so EXPECTED chance
+#: candidates are ~C(n,2)·2^-(planes/bands) per band; requiring
+#: planes/bands >= log2(n / _PLANE_BUDGET) caps them at ~n·_PLANE_BUDGET/2
+#: per band (linear in corpus size). 256 is calibrated to the measured r7
+#: scale curve (bench.py): planes=8 at n=2000 passes (measured fine,
+#: 4.95 s), planes=8 at n=10000 raises (measured 72× melt), planes=12 at
+#: n=10000 passes (measured re-tuned fix, 3.2× growth).
+_PLANE_BUDGET = 256
+
+
+def check_plane_budget(
+    n: int, n_planes: int, n_bands: int, enforce: bool = True
+) -> None:
+    """The LSH planes-vs-corpus-size scaling rule, ENFORCED in code (the
+    `max_block`/`max_bucket`/`max_items` convention) instead of living as
+    bench-docstring prose: sign-LSH banding whose per-band bit width
+    ``planes/bands`` is below ``log2(n / 256)`` lets chance collisions
+    grow quadratically in corpus size (the asymptotic form of the
+    measured planes ≈ 2·log₂(n) tuning rule — re-tune as the corpus
+    grows, like IVF re-clustering).
+
+    Raises ``ValueError`` naming the minimum compliant ``n_planes``;
+    ``enforce=False`` (the explicit caller override, e.g. a scale-curve
+    repro of the under-provisioned configuration) downgrades to a
+    ``UserWarning``."""
+    import math
+    import warnings
+
+    n = int(n)
+    if n <= _PLANE_BUDGET:
+        return
+    min_bits = math.log2(n / float(_PLANE_BUDGET))
+    if n_planes / n_bands >= min_bits:
+        return
+    need = math.ceil(min_bits * n_bands)
+    msg = (
+        f"sign-LSH banding with n_planes={n_planes}, n_bands={n_bands} is "
+        f"under-provisioned for a corpus of n={n}: planes/bands = "
+        f"{n_planes / n_bands:g} bits/band < log2(n/{_PLANE_BUDGET}) = "
+        f"{min_bits:.1f}, so CHANCE collisions exceed the linear candidate "
+        f"budget and candidate generation goes quadratic (measured: 72× "
+        f"wall-time at 5× data, bench.py r7 scale curve). Use n_planes >= "
+        f"{need} (the planes ≈ 2·log₂(n) rule), or pass "
+        f"enforce_plane_budget=False to run under-provisioned anyway."
+    )
+    if enforce:
+        raise ValueError(msg)
+    warnings.warn(msg, UserWarning, stacklevel=3)
+
+
 def lsh_signature(vec_col, planes) -> "F.Column":
     """Sign-LSH bit signature as a string key: 1 bit per hyperplane."""
     bits = [
@@ -307,11 +358,26 @@ def lsh_knn_join(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    n_est: "int | None" = None,
+    enforce_plane_budget: bool = True,
 ) -> DataFrame:
     """Approximate k-NN join for large×large inputs: both sides get sign-LSH
     signatures split into bands; candidate pairs share at least one band
     bucket (equi-join per band — a co-partitioned shuffle join, never a cross
-    join); exact cosine re-ranks candidates."""
+    join); exact cosine re-ranks candidates.
+
+    Banding parameters must keep pace with corpus size or chance
+    collisions go quadratic: :func:`check_plane_budget` (the coded
+    planes ≈ 2·log₂(n) rule) runs against ``n_est`` (pass the known
+    corpus size, or leave ``None`` for one ``count()`` on the corpus
+    side) and RAISES when under-provisioned;
+    ``enforce_plane_budget=False`` downgrades to a warning."""
+    check_plane_budget(
+        corpus.count() if n_est is None else n_est,
+        n_planes,
+        n_bands,
+        enforce=enforce_plane_budget,
+    )
     planes = _hyperplanes(dim, n_planes, seed)
     band_size = n_planes // n_bands
 

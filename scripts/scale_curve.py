@@ -205,6 +205,9 @@ def main() -> None:
         pairs = dedup.embedding_near_dups(
             emb, vec_col="embedding", id_col="vec_id",
             threshold=0.4, n_planes=8, n_bands=2, dim=64, seed=42,
+            # the r8 plane-budget guard correctly flags 8 planes at 5x
+            # corpus mass — this row IS the deliberate repro of that melt
+            enforce_plane_budget=False,
         )
         return dedup.connected_components(pairs, "id_a", "id_b", max_iter=64)
 

@@ -404,3 +404,56 @@ def test_recluster_preserves_quantized_layout(spark, emb, tmp_path):
     similarity.recluster_ivf_index(spark, idx, idx2, n_cells=8)
     cols = spark.read.parquet(f"{idx2}/vectors").columns
     assert "_codes" in cols and "_scale" in cols and "embedding" not in cols
+
+
+def test_plane_budget_guard(spark):
+    """The measured LSH scaling rule, enforced (r7 VERDICT directive):
+    under-provisioned banding on a large corpus RAISES with the minimum
+    compliant planes; the explicit override downgrades to a warning; the
+    measured-good configurations pass; n_est skips the count()."""
+    import warnings
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    # pure-rule checks against the r7 scale-curve measurements
+    similarity.check_plane_budget(2000, 8, 2)            # measured fine
+    similarity.check_plane_budget(10_000, 12, 2)         # measured re-tuned fix
+    with pytest.raises(ValueError, match="n_planes >= "):
+        similarity.check_plane_budget(10_000, 8, 2)      # measured 72x melt
+    # tiny corpora are exempt (nothing to melt)
+    similarity.check_plane_budget(200, 2, 2)
+    # override: warns instead of raising
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.check_plane_budget(10_000, 8, 2, enforce=False)
+    assert any("under-provisioned" in str(x.message) for x in w)
+
+    # operator wiring: small planes on a large-n frame raises...
+    big = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id") * 1.0, F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="under-provisioned"):
+        dedup.embedding_near_dups(big, n_planes=2, n_bands=2, dim=2)
+    with pytest.raises(ValueError, match="under-provisioned"):
+        similarity.lsh_knn_join(
+            big.selectExpr("vec_id as q_id", "embedding as q_vec").limit(3),
+            big,
+            n_planes=2,
+            n_bands=2,
+            dim=2,
+        )
+    # ...the override path runs to completion anyway
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        got = dedup.embedding_near_dups(
+            big, n_planes=2, n_bands=2, dim=2, threshold=0.999,
+            enforce_plane_budget=False,
+        )
+        assert got.count() >= 0
+    # n_est replaces the in-operator count() (and is what 100 TB callers
+    # pass: the corpus size is metadata they already have)
+    with pytest.raises(ValueError, match="under-provisioned"):
+        dedup.embedding_near_dups(
+            big.limit(1), n_planes=2, n_bands=2, dim=2, n_est=1_000_000
+        )
