@@ -2859,6 +2859,152 @@ def corpus_release_report(spark, sf_dir):
 
 
 @q(
+    "release_cycle_report",
+    # Two-version release cycle (r7 judge directive #4): the oracle is
+    # the COMPOSITION of the already-green expectations_report and
+    # table_diff replays over the released set. One _CURATE_CTES chain
+    # suffices for both versions because v2's input differs ONLY in a
+    # column the curation composition never reads (`lang`), so the
+    # released id set is kept4 for both versions by construction — the
+    # engine-side releases still run the full curate → contract-gate →
+    # immutable-write → manifest-publish → changelog-diff flow twice.
+    _CURATE_CTES
+    + """
+    rel AS MATERIALIZED (
+      SELECT d.doc_id, d.n_chars, d.lang
+      FROM documents d JOIN kept4 USING (doc_id)
+    ),
+    contract AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+                                OR n_chars > 10000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS chars_range,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS id_not_null,
+             CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+               AS id_unique,
+             CAST(CASE WHEN count(*) < 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS release_nonempty
+      FROM rel
+    ),
+    contract_items AS (
+      SELECT 'chars_range' AS item, chars_range AS n FROM contract
+      UNION ALL SELECT 'id_not_null', id_not_null FROM contract
+      UNION ALL SELECT 'id_unique', id_unique FROM contract
+      UNION ALL SELECT 'release_nonempty', release_nonempty FROM contract
+    ),
+    contract_rows AS (
+      SELECT 'contract' AS section, v.version, c.item, c.n,
+             (SELECT n_rows FROM contract) AS n_rows,
+             c.n = 0 AS passed
+      FROM contract_items c
+      CROSS JOIN (SELECT unnest(['v1', 'v2']) AS version) v
+    ),
+    diff_rows AS (
+      -- no NULLs anywhere in the record (value-hash safety): diff rows
+      -- carry the released row count and passed=true — informational
+      -- changelog lines, never a gate
+      SELECT 'diff' AS section, 'v2' AS version, s.item,
+             CASE WHEN s.item = 'changed'
+                  THEN (SELECT CAST(count(*) AS BIGINT) FROM rel
+                        WHERE doc_id % 13 = 3 AND lang IS NOT NULL)
+                  ELSE CAST(0 AS BIGINT) END AS n,
+             (SELECT n_rows FROM contract) AS n_rows,
+             TRUE AS passed
+      FROM (SELECT unnest(['added', 'changed', 'removed']) AS item) s
+    )
+    SELECT section, version, item, n, n_rows, passed FROM contract_rows
+    UNION ALL
+    SELECT section, version, item, n, n_rows, passed FROM diff_rows
+    ORDER BY section, version, item
+    """,
+)
+def release_cycle_report(spark, sf_dir):
+    """END-TO-END two-version release cycle through
+    `curation.release_corpus` — the driver-visible capstone row: v1
+    curates `documents` (the `curate_corpus_audit` constants) and
+    publishes into a fresh versioned manifest; v2 re-releases the corpus
+    with `lang` remapped on ``doc_id % 13 == 3`` (a curation-invariant
+    column, so the released id set provably stays kept4), resolving its
+    predecessor through `index_layout.current_index` — the consumer
+    path — and diffing against the PUBLISHED v1 parquet. Returns the
+    release record: both versions' contract reports plus the changelog
+    status summary, one frame. A fresh temp root per call keeps the
+    immutable-version write (`mode("error")`) honest."""
+    import tempfile
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    root = tempfile.mkdtemp(prefix="release_cycle_")
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(
+        benchmark=docs.where(F.col("doc_id") % 97 == 0),
+        mixture_weights={f"src{i}": 2.0 for i in range(5)},
+        near_dup_threshold=0.3,
+        expectations=[
+            {"name": "chars_range", "kind": "in_range", "col": "n_chars",
+             "lo": 1, "hi": 10_000_000},
+            {"name": "id_not_null", "kind": "not_null", "col": "doc_id"},
+            {"name": "id_unique", "kind": "unique", "col": "doc_id"},
+            {"name": "release_nonempty", "kind": "min_rows", "n": 1},
+        ],
+    )
+    r1 = curation.release_corpus(
+        docs, f"{root}/releases", f"{root}/manifest", "v1", **kw
+    )
+    prev = index_layout.current_index(spark, f"{root}/manifest")
+    docs2 = docs.withColumn(
+        "lang",
+        F.when(
+            (F.col("doc_id") % 13 == 3) & F.col("lang").isNotNull(),
+            F.concat(F.col("lang"), F.lit("-x")),
+        ).otherwise(F.col("lang")),
+    )
+    r2 = curation.release_corpus(
+        docs2, f"{root}/releases", f"{root}/manifest", "v2",
+        prev_release_path=prev, **kw,
+    )
+
+    def tag(contract, version):
+        return contract.select(
+            F.lit("contract").alias("section"),
+            F.lit(version).alias("version"),
+            F.col("expectation").alias("item"),
+            F.col("n_violations").alias("n"),
+            "n_rows",
+            "passed",
+        )
+
+    statuses = spark.createDataFrame(
+        [("added",), ("changed",), ("removed",)], "item string"
+    )
+    dcnt = r2["diff"].groupBy("status").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    released_n = r2["contract"].select("n_rows").limit(1)
+    # no NULLs in the record (value-hash safety): diff rows carry the
+    # released row count and passed=true — informational, never a gate
+    diff_rows = (
+        statuses.join(dcnt, statuses.item == dcnt.status, "left")
+        .crossJoin(F.broadcast(released_n))
+        .select(
+            F.lit("diff").alias("section"),
+            F.lit("v2").alias("version"),
+            "item",
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n"),
+            "n_rows",
+            F.lit(True).alias("passed"),
+        )
+    )
+    return (
+        tag(r1["contract"], "v1")
+        .unionByName(tag(r2["contract"], "v2"))
+        .unionByName(diff_rows)
+        .orderBy("section", "version", "item")
+    )
+
+
+@q(
     "pivot_priority_by_status",
     """
     SELECT o_orderpriority,
