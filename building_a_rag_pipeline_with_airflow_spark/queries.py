@@ -7141,76 +7141,84 @@ def expectations_by_lang_documents(spark, sf_dir):
 #     tests/test_oracle_parity.py regardless of window position. (r6's
 #     window is preserved in git history at this spot; its 50/50 green
 #     rows are CORRECTNESS_r06.json.)
-_R7_WINDOW = (
+# r8 rotation (r7 judge directive #1): the driver window refreshes with
+# (a) the 7 never-driver-checked oracles — the six r7 additions that
+# landed after the r7 window froze (all parity-green in the judge's own
+# 146-query run) plus the new release_cycle_report capstone — then
+# (b) the 40 stalest anchors (every oracle whose last driver-green row
+# is r5), then (c) the first three single-green r6 anchors in sort
+# order (attribution_last_touch_events, bm25_batch_topk_documents,
+# bpe_encode_fixed_documents — all eight r6 single-green candidates tie
+# on evidence, so the pick is deterministic-alphabetical). Everything
+# rotating OUT carries a green r6 or r7 driver row; all oracles remain
+# value-checked every round by tests/test_oracle_parity.py regardless of
+# window position. (The r7 window below it is preserved in git history;
+# its 50/50 green rows are CORRECTNESS_r07.json.)
+_R8_WINDOW = (
     # (a) never driver-checked, first in line
-    "binary_quant_topk",
-    "bloom_prefilter_supplier_revenue",
-    # (b) stalest anchors: last driver-green r4, double-green
-    "asof_join_events_orders",
-    "cube_priority_segment",
-    "decontaminate_documents",
-    "dedup_clusters_documents",
-    "gopher_quality_flags",
-    "hash_sample_orders",
-    "intersect_nation_segments",
-    "interval_join_purchase_follow",
-    "lsh_knn_join",
-    "mixture_reweight_documents",
-    "ntile_customer_value",
-    "pack_training_sequences",
-    "percentiles_by_returnflag",
-    "pivot_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "rag_retrieve_context",
-    "repetition_stats_documents",
-    "rolling_revenue_7d",
-    "stratified_sample_customers",
-    # (b) last driver-green r4, triple-green
-    "events_sessionize",
-    "histogram_quantity",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q6_revenue_forecast",
-    # (b) last driver-green r4, quadruple-green
-    "chunk_stats",
-    "filter_pushdown_orders",
-    "media_image_meta",
-    "minhash_lsh_pairs",
-    "q5_region_revenue",
-    "quarter_classification",
-    "sql_top_customers_per_nation",
-    # (b) r5 single-green cohort, first ten in sort order
-    "benford_price_profile",
-    "bigram_lm_ppl_documents",
-    "bm25_topk_documents",
-    "cohort_retention_weekly",
-    "cooccur_recommend_parts",
-    "corr_lineitem_metrics",
-    "cumulative_new_users_daily",
-    "cv_folds_orders",
-    "decayed_user_value",
-    "embedding_dup_clusters",
-)
-
-# Oracle queries ADDED in r7 after the window above was fixed: they sort
-# immediately after _R7_WINDOW (ahead of every multi-green query), so the
-# r8 rotation picks them up first. Value-checked by
-# tests/test_oracle_parity.py every round meanwhile, like all oracles.
-_NEW_R7 = (
+    "release_cycle_report",
     "expectations_orders",
     "table_diff_orders_snapshots",
     "dsir_weights_documents",
     "nb_lang_classify_documents",
     "embedding_drift_snapshots",
     "expectations_by_lang_documents",
+    # (b) stalest anchors: last driver-green r5 (the full cohort of 40)
+    "anomaly_zscore_events_daily",
+    "chunk_semantic_refconst",
+    "curate_corpus_audit",
+    "embedding_dup_clusters_lsh",
+    "entropy_profile_orders",
+    "event_transition_matrix",
+    "frequent_part_pairs",
+    "funnel_view_click_purchase",
+    "fuzzy_match_parts",
+    "grouping_sets_priority_segment",
+    "heavy_hitter_tokens",
+    "jaccard_index_pairs",
+    "label_centroids_embeddings",
+    "line_dedup_documents",
+    "media_frame_counts",
+    "ohlc_events_daily",
+    "pagerank_supplier_cosupply",
+    "percent_rank_nation_balance",
+    "q10_returned_revenue",
+    "q11_important_nation_share",
+    "q12_late_shipment_priority",
+    "q16_supplier_variety",
+    "q20_volume_part_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "quantile_segment_customer_value",
+    "resample_interpolate_purchases",
+    "rrf_fusion_topk",
+    "scd2_customer_segments",
+    "scrub_pii_documents",
+    "simhash_documents",
+    "tfidf_top_terms_documents",
+    "top_event_paths",
+    "trend_by_event_type",
+    "triangle_count_part_graph",
+    "vocab_coverage_documents",
+    "weighted_sample_documents",
+    "winsorized_price_stats",
+    "zipf_profile_documents",
+    # (c) single-green r6 anchors, deterministic-alphabetical pick
+    "attribution_last_touch_events",
+    "bm25_batch_topk_documents",
+    "bpe_encode_fixed_documents",
 )
+
+# Oracle queries ADDED in r8 after the window above was fixed: they sort
+# immediately after _R8_WINDOW (ahead of every multi-green query), so
+# the r9 rotation picks them up first — the same mechanism _NEW_R7 used
+# to queue the r7 additions this window now drains.
+_NEW_R8 = ()
+
+# (The r7 window and _NEW_R7 queue that sat here are preserved in git
+# history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7
+# name now leads _R8_WINDOW above.)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
@@ -7370,10 +7378,10 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R7_WINDOW sorts first (this round's driver
-    window — the 2 never-driver-checked oracles plus the 48 stalest
-    rotation anchors), then _NEW_R7 (oracles added after the window
-    froze — first in line for r8), then the multi-green rotation
+    entries): the enumerated _R8_WINDOW sorts first (this round's driver
+    window — the 7 never-driver-checked oracles plus the 43 stalest
+    rotation anchors), then _NEW_R8 (oracles added after the window
+    froze — first in line for r9), then the multi-green rotation
     pool (_DEPRIORITIZED last among oracles), then rows-only queries.
     All oracles are value-checked every round by
     tests/test_oracle_parity.py regardless of window position."""
@@ -7381,8 +7389,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R7_WINDOW,   # the enumerated r7 window first
-            kv[0] not in _NEW_R7,      # new-in-r7 oracles next (r8 queue)
+            kv[0] not in _R8_WINDOW,   # the enumerated r8 window first
+            kv[0] not in _NEW_R8,      # new-in-r8 oracles next (r9 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
