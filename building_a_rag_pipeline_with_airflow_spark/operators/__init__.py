@@ -47,7 +47,14 @@ def release_checkpoint(df: DataFrame) -> None:
     The frame becomes UNRECOMPUTABLE afterwards (its lineage was
     truncated at checkpoint time) — call only on frames with no
     remaining readers. No-op for frames that are not direct
-    localCheckpoint results."""
+    localCheckpoint results. ``checkpoint_nostats`` wrappers are
+    released through the checkpoint frame they carry."""
+    # a checkpoint_nostats wrapper's own LogicalRDD wraps a PROJECTION
+    # over the checkpointed RDD (never itself persisted) — release the
+    # underlying checkpoint frame it carries instead.
+    inner = getattr(df, "_graft_ckpt", None)
+    if inner is not None:
+        df = inner
     try:
         plan = df._jdf.queryExecution().analyzed()
         # a localCheckpoint result's analyzed plan is a LogicalRDD
@@ -56,6 +63,49 @@ def release_checkpoint(df: DataFrame) -> None:
     except Exception:
         # best-effort memory hygiene — never fail the job over it
         pass
+
+
+def checkpoint_nostats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that does NOT carry the source
+    plan's statistics forward — the fix for exponential planner-stat
+    blowup in iterative SELF-joining operators.
+
+    ``Dataset.localCheckpoint`` preserves the checkpointed plan's
+    ``Statistics`` on the resulting ``LogicalRDD`` (``originStats``), so
+    an iterative operator whose round joins the running frame WITH
+    ITSELF (connected_components' pointer-jumping step) squares
+    ``sizeInBytes`` every round: the estimate's bit-length DOUBLES per
+    iteration (measured: 20 → 9721 bits in 10 rounds). Planning cost
+    then grows with the BigInt width until ~27 rounds in Catalyst dies
+    with ``ArithmeticException: BigInteger would overflow supported
+    range`` — observed on the r8 25× scale run, where long chance-edge
+    chains pushed CC past 25 rounds (multi-minute planning stalls, then
+    the overflow). Operators whose rounds grow stats GEOMETRICALLY
+    (pagerank, k-core: one join per round) add constant bits per round
+    and never approach the limit.
+
+    Mechanics: checkpoint as usual, then rewrap the materialized
+    internal RDD in a FRESH ``LogicalRDD`` with no origin stats (falls
+    back to ``defaultSizeInBytes`` — constant per round). Pure JVM-side
+    (``internalCreateDataFrame``): no Python round-trip, no recompute,
+    no extra copy; downstream reads pay one no-op unsafe projection.
+    The wrapper carries the real checkpoint frame as ``_graft_ckpt`` so
+    ``release_checkpoint`` still frees the blocks. If the private
+    rewrap API is unavailable (Spark Connect / future versions), the
+    plain checkpoint frame is returned — correctness unchanged, only
+    the stats cap is lost."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(njdf, spark)
+        out._graft_ckpt = ck
+        return out
+    except Exception:
+        return ck
 
 
 def require_nonempty(df: DataFrame, what: str = "input") -> DataFrame:

@@ -30,6 +30,7 @@ from building_a_rag_pipeline_with_airflow_spark.functions.text import (
     word_ngrams,
 )
 from building_a_rag_pipeline_with_airflow_spark.operators import (
+    checkpoint_nostats,
     ensure_min_partitions,
     release_checkpoint,
 )
@@ -648,11 +649,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # edges are re-joined every round
     )
-    labels = (
+    # checkpoint_nostats, not plain localCheckpoint: each round SELF-joins
+    # the labels frame (the pointer-jumping step), and localCheckpoint
+    # preserves the source plan's Statistics — so sizeInBytes SQUARES per
+    # round (bit-length doubles; measured 20 → 9721 bits in 10 rounds) and
+    # Catalyst dies at ~27 rounds with "BigInteger would overflow
+    # supported range" (hit on the r8 25x scale run, where chance-edge
+    # chains pushed CC past 25 rounds). Stripping origin stats caps the
+    # estimate at defaultSizeInBytes — constant per round.
+    labels = checkpoint_nostats(
         und.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -681,7 +689,7 @@ def connected_components(
         # node-keyed join INSIDE the same checkpoint job, not an extra
         # action. Measured on sf0.1 embedding near-dup chains (diameter
         # ~12): 12.8 s → ~6 s, same fixpoint, oracle unchanged.
-        new_labels = (
+        new_labels = checkpoint_nostats(
             cand.join(
                 cand.select(
                     F.col("node").alias("component"),
@@ -697,7 +705,6 @@ def connected_components(
                     F.coalesce("_cc", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         converged = (
             new_labels.alias("n")

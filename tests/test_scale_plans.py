@@ -678,6 +678,58 @@ def test_benford_total_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_checkpoint_nostats_caps_selfjoin_stats(spark):
+    """localCheckpoint preserves the source plan's Statistics, so an
+    iterative operator whose round SELF-joins the running frame squares
+    sizeInBytes every round — the estimate's bit-length doubles until
+    Catalyst dies at ~27 rounds with "BigInteger would overflow supported
+    range" (hit by connected_components on the r8 25x scale run).
+    checkpoint_nostats rewraps the checkpointed RDD without origin stats:
+    the estimate must stay CONSTANT across self-join rounds, and
+    release_checkpoint must still free the underlying blocks through the
+    wrapper."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        checkpoint_nostats,
+        release_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def bits(df):
+        # py4j hands small BigInts back as Python int, large ones as
+        # JavaObject — str() normalizes both
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(s)).bit_length()
+
+    def self_join_round(cur):
+        return cur.join(
+            cur.select("k", F.col("v").alias("v2")), "k"
+        ).select("k", F.least("v", "v2").alias("v"))
+
+    src = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+
+    # the pathology: plain checkpoints compound the estimate per round
+    plain = src.localCheckpoint(eager=True)
+    plain2 = self_join_round(plain).localCheckpoint(eager=True)
+    assert bits(self_join_round(plain2)) > bits(self_join_round(plain))
+    release_checkpoint(plain)
+    release_checkpoint(plain2)
+
+    # the fix: stripped checkpoints hold the estimate constant
+    cur = checkpoint_nostats(src)
+    b0 = bits(cur)
+    for _ in range(3):
+        nxt = checkpoint_nostats(self_join_round(cur))
+        release_checkpoint(cur)
+        cur = nxt
+        assert bits(cur) == b0
+
+    assert cur.count() == 100  # wrapper still reads the materialized rows
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    release_checkpoint(cur)  # releases through the carried _graft_ckpt
+    assert sc._jsc.sc().getPersistentRDDs().size() < before
+
+
 def test_iterative_ops_release_superseded_checkpoints(spark):
     """connected_components and pagerank checkpoint per round; every
     superseded round's blocks must actually be released (plain
