@@ -2,8 +2,9 @@
 linear interpolation → rolling z-score anomaly flags.
 
 The reference has no time-series surface (its closest shape is the
-Frontend's per-quarter date bucketing, ``Frontend/utils.py`` quarter
-mapping) — but any analytics engine fed by event streams needs the
+quarter-finder flow — ``Frontend/app.py:449-465`` posting a date to the
+``Backend/api.py:22-26`` quarter mapping) — but any analytics engine
+fed by event streams needs the
 "make the series regular, then reason about it" ladder, and every rung
 here is shaped for 100 TB:
 
