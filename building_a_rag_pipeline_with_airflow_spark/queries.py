@@ -7229,6 +7229,7 @@ _R8_WINDOW = (
     "nb_lang_classify_documents",
     "embedding_drift_snapshots",
     "expectations_by_lang_documents",
+    "sketch_quantiles_events",
     # (b) stalest anchors: last driver-green r5 (the full cohort of 40)
     "anomaly_zscore_events_daily",
     "chunk_semantic_refconst",
@@ -7273,14 +7274,17 @@ _R8_WINDOW = (
     # (c) single-green r6 anchors, deterministic-alphabetical pick
     "attribution_last_touch_events",
     "bm25_batch_topk_documents",
-    "bpe_encode_fixed_documents",
 )
 
-# Oracle queries ADDED in r8 after the window above was fixed: they sort
+# Oracle queries ADDED in r8 after the window above froze: they sort
 # immediately after _R8_WINDOW (ahead of every multi-green query), so
 # the r9 rotation picks them up first — the same mechanism _NEW_R7 used
 # to queue the r7 additions this window now drains.
-_NEW_R8 = ("sketch_quantiles_events",)
+# (sketch_quantiles_events, added mid-r8, was promoted INTO the window
+# under the never-driver-checked-first rule, displacing the last
+# single-green r6 anchor, bpe_encode_fixed_documents — its sibling
+# bpe_encode_documents keeps the BPE family's rotation slot in r9.)
+_NEW_R8 = ()
 
 # (The r7 window and _NEW_R7 queue that sat here are preserved in git
 # history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7
