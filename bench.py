@@ -111,6 +111,48 @@ MEASURED on the same 5x data (scripts/scale_curve_mitigations.py):
   budget; planes=12 at 5x cuts the row 15.5x. Recorded as the production
   tuning rule (like IVF re-clustering as the corpus grows), not a code
   change — recall at a fixed threshold is a banding-parameter budget.
+  (Since enforced in code: similarity.check_plane_budget, the r8 guard.)
+
+25x pass (r7 judge directive #6; scripts/scale_curve_25x.py — one more
+decade on the two mitigated cliffs, where chance-collision effects
+compound; single timed run after session warmup, n_emb=50k,
+n_media=125k):
+
+  row                              sec
+  phash c=2 @25x (as first run)  45.01   <- diagnosed below; 9.09 fixed
+  lsh planes=16 @25x (guard-ok) 263.75
+  lsh planes=12 @25x (rejected) 271.73
+
+Both rows were DIAGNOSED with a stage-split instrumentation run rather
+than recorded at face value — each found something real:
+
+* phash c=2: the banding itself holds one decade up — on pre-hashed
+  input the whole matcher (candidates + hamming verify + 737,764 output
+  pairs: the token-suffix replicas form genuine 25-clique near-dup
+  families) runs in 10 s, and hashing 125k payloads is 4.7 s of linear
+  Arrow-batched work. The 45 s was the REGISTRY QUERY re-running the
+  DCT hash stage per input reference of phash_near_dups (bucket-size
+  agg + both self-join sides = 3 runs): fixed with a narrow (id, hash)
+  lazy checkpoint between the stages (pinned blocks are 8 bytes/row,
+  the CC returned-labels precedent). Re-measured with the fix,
+  best-of-2, collect() protocol: sf0.1 3.23 s / 5x 3.78 s / 25x 9.09 s
+  — 2.8x wall for 25x data, most of it collecting the 737k true pairs.
+* lsh: the plane-budget guard bounds exactly what it claims — the
+  CANDIDATE mass (measured 12.2M compliant vs 43.0M rejected, the
+  rejected config ~86% chance collisions; candidate stage 13.0 s vs
+  47.2 s) — but at THIS corpus's threshold the wall-times equalize
+  because verified-edge work dominates both: the md5-uniform fresh mass
+  passes cos>=0.4 on ~3e-3 of random candidates (the synthetic vectors
+  are far noisier at that threshold than real embeddings at ~0.9), so
+  38k-88k chance-VERIFIED edges feed the exact-cosine shuffle (174 s /
+  190 s incl. candidate regen) and percolate CC (91 s at 3,098
+  components vs 188 s at 196 — the rejected config's graph collapses
+  toward giant components). Banding can only buy back the chance
+  CANDIDATE term; pair density at the threshold is the corpus's own.
+  The guard's scope note (similarity.check_plane_budget docstring)
+  records this. Two side effects of this pass landed as fixes: the
+  Catalyst sizeInBytes overflow past ~27 CC rounds (stats-capped
+  checkpoints, see connected_components) and the phash checkpoint above.
 
 r7-family scale spot check (scripts/scale_curve_r7.py, same organic
 5x replication rules as the r6 curve; best-of-2 after per-scale warmup,

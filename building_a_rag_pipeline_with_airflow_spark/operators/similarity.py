@@ -141,6 +141,17 @@ def check_plane_budget(
     measured planes ≈ 2·log₂(n) tuning rule — re-tune as the corpus
     grows, like IVF re-clustering).
 
+    Scope (the r8 25× measurement, bench.py): the budget bounds the
+    CANDIDATE superset — at 25× the compliant config carried 3.5× fewer
+    candidates than the rejected one (12.2M vs 43.0M, the rejected mass
+    ~86% chance collisions). It cannot bound the VERIFIED-edge mass:
+    every pair genuinely at/above the cosine threshold is downstream
+    work (verify shuffle + component depth) whatever the banding, so a
+    corpus whose intrinsic pair density at the threshold is high — e.g.
+    a loose threshold over noisy vectors — keeps its cost even at a
+    compliant plane count. Banding parameters buy back only the chance
+    term; the threshold buys the rest.
+
     Raises ``ValueError`` naming the minimum compliant ``n_planes``;
     ``enforce=False`` (the explicit caller override, e.g. a scale-curve
     repro of the under-provisioned configuration) downgrades to a

@@ -2410,7 +2410,17 @@ def media_phash_near_dups_q(spark, sf_dir):
         )
     )
     corpus = media.unionByName(copies).unionByName(edited)
-    hashed = multimodal.perceptual_hash(corpus)
+    # Narrow (id, hash) lazy checkpoint between the hash stage and the
+    # banded matcher: phash_near_dups references its input three times
+    # (bucket-size agg + both self-join sides), and without the cut each
+    # reference re-runs the Arrow-batched DCT over every payload — the
+    # 25x scale pass measured the recompute at 3x the whole matching
+    # stage (45 s -> 15 s with the cut). The pinned blocks are
+    # output-small (one 8-byte hash per media row, the CC
+    # returned-labels precedent), not payload-sized.
+    hashed = multimodal.perceptual_hash(corpus).select(
+        "media_id", "phash"
+    ).localCheckpoint(eager=False)
     # min_shared_bands=2: the corpus-scale banding (band-PAIR keyed
     # candidates — ~73x fewer chance collisions; r7 scale-curve measured
     # the single-band form going ~6x slower on 5x data, the combo form

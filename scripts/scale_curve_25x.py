@@ -105,32 +105,14 @@ def main() -> None:
     sfx = build_scaled_25x(spark)
 
     def phash_c2(spark_, sf_dir_):
-        # mirrors the registry query's corpus construction exactly
-        docs = schemas.load_table(spark_, sf_dir_, "documents")
-        base = docs.where((F.col("doc_id") < 20) & (F.length("text") > 20))
-        media = multimodal.media_from_documents(docs)
-        copies = multimodal.media_from_documents(
-            base.select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                "text", "lang", "source", "n_chars",
-            )
-        )
-        edited = multimodal.media_from_documents(
-            base.select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                F.concat(
-                    F.substring("text", 1, 10),
-                    F.lit("#"),
-                    F.expr("substring(text, 12)"),
-                ).alias("text"),
-                "lang", "source", "n_chars",
-            )
-        )
-        corpus = media.unionByName(copies).unionByName(edited)
-        hashed = multimodal.perceptual_hash(corpus)
-        return multimodal.phash_near_dups(
-            hashed, max_hamming=6, min_shared_bands=2
-        ).orderBy("id_a", "id_b")
+        # the registry query itself (corpus construction, c=2 banding,
+        # and the narrow hash checkpoint that keeps the DCT single-run
+        # across the matcher's three input references) — mirror by
+        # construction, not by copy
+        from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+        fn, _ = REGISTRY["media_phash_near_dups"]
+        return fn(spark_, sf_dir_)
 
     def lsh_form(n_planes):
         def fn(spark_, sf_dir_):
