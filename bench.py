@@ -262,6 +262,7 @@ HEADLINE = [
     "ivf_topk_cosine_kmeans",
     "brp_topk",
     "binary_quant_topk",
+    "mmr_rerank_embeddings",
     "lsh_recall_at_k",
     # multimodal plumbing
     "media_image_meta",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.functions.embed import embed_text
+from building_a_rag_pipeline_with_airflow_spark.functions.vectors import cosine_similarity
 from building_a_rag_pipeline_with_airflow_spark.operators.similarity import TOP_K, topk_cosine
 
 
@@ -37,6 +38,99 @@ def retrieve_chunks(
     )
 
 
+def mmr_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    fetch_k: int = 4 * TOP_K,
+    lambda_mult: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection core: fetch ``fetch_k``
+    candidates by cosine, then greedily select ``k`` balancing query
+    relevance against redundancy with what's already selected
+    (``lambda * rel - (1 - lambda) * max_sim_to_selected`` — the standard
+    MMR objective, the diversity knob the reference's plain top-k lacks).
+    Returns ``(id, rel, mmr_score, rank)``.
+
+    Scale shape: the distributed part is the candidate scan (identical to
+    :func:`retrieve_chunks`'s top-k — TakeOrderedAndProject, corpus never
+    shuffles) plus the candidate×candidate cosine matrix (a fetch_k-row
+    crossJoin — metadata-scale by construction, like the IVF probe's
+    centroid collect, NOT a data-path collect). The greedy selection is
+    inherently sequential in k, so it runs driver-side over the collected
+    fetch_k rel values and fetch_k² pair sims. Payload columns stay
+    distributed: the chosen ids join back against the index.
+
+    Oracle determinism: ``rel`` and the pair sims are rounded to 6dp
+    IN-PLAN (``F.round`` — the engine family every other oracle proves
+    out). The greedy objective is then computed in FIXED POINT: 6dp
+    inputs scaled by single-decimal weights live exactly on the 1e-7
+    decimal grid, so ``m_e7 = round((lam·rel − (1−lam)·maxsim)·1e7)``
+    is an exact integer on any engine, the argmax compares integers
+    (tiebreak smaller id), and the reported ``mmr_score = m_e7/1e7`` is
+    the bit-identical double on both sides. A straight ``round(m, 6)``
+    is NOT oracle-safe here — the objective lands on decimal rounding
+    half-boundaries structurally (measured at sf0.001: 0.19435550
+    exactly), where correctly-rounded rounding (Spark/Python) and
+    scale-then-``std::round`` (DuckDB) disagree on the last digit."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = topk_cosine(
+        index, query_vec, k=fetch_k, vec_col=vec_col, id_col=id_col
+    ).join(index.select(id_col, vec_col), id_col)
+    rel_rows = cands.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("rel"),
+    ).collect()
+    spark = index.sparkSession
+    id_type = index.schema[id_col].dataType.simpleString()
+    if not rel_rows:
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, rel double, mmr_score double, rank int"
+        )
+    a = cands.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = cands.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    # fetch_k × fetch_k pair cosines: both crossJoin sides are bounded by
+    # the candidate cut above — metadata-scale, never corpus-scale.
+    sim_rows = (
+        a.crossJoin(b)
+        .where(F.col("_ia") < F.col("_ib"))
+        .select(
+            "_ia",
+            "_ib",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("s"),
+        )
+        .collect()
+    )
+    rel = {r[id_col]: float(r["rel"]) for r in rel_rows}
+    sim: dict = {}
+    for r in sim_rows:
+        sim[(r["_ia"], r["_ib"])] = float(r["s"])
+        sim[(r["_ib"], r["_ia"])] = float(r["s"])
+    lam = float(lambda_mult)
+    remaining = sorted(rel)  # id order = the argmax tiebreak order
+    selected: list[tuple] = []  # (id, rel, mmr_score)
+    while remaining and len(selected) < k:
+        if not selected:
+            def _m_e7(i):
+                return round(lam * rel[i] * 1e7)
+        else:
+            def _m_e7(i):
+                return round(
+                    (lam * rel[i]
+                     - (1.0 - lam) * max(sim[(i, s[0])] for s in selected))
+                    * 1e7
+                )
+        best = max(remaining, key=_m_e7)  # max is stable: first (smallest id) wins ties
+        selected.append((best, rel[best], _m_e7(best) / 1e7))
+        remaining.remove(best)
+    return spark.createDataFrame(
+        [(i, r, m, rank + 1) for rank, (i, r, m) in enumerate(selected)],
+        f"{id_col} {id_type}, rel double, mmr_score double, rank int",
+    )
+
+
 def mmr_rerank(
     index: DataFrame,
     query_text: str,
@@ -47,54 +141,18 @@ def mmr_rerank(
     vec_col: str = "embedding",
     id_col: str = "chunk_id",
 ) -> DataFrame:
-    """Maximal-marginal-relevance retrieval: fetch ``fetch_k`` candidates
-    by cosine, then greedily select ``k`` balancing query relevance against
-    redundancy with what's already selected
-    (``lambda * rel - (1 - lambda) * max_sim_to_selected`` — the standard
-    MMR objective, the diversity knob the reference's plain top-k lacks).
-
-    Scale shape: the distributed part is the candidate scan (identical to
-    :func:`retrieve_chunks`'s top-k — TakeOrderedAndProject, corpus never
-    shuffles). The greedy selection is inherently sequential in k, so it
-    runs driver-side with numpy over the ``fetch_k`` collected candidate
-    vectors — fetch_k·dim floats, the same metadata class as the IVF
-    probe's centroid collect, NOT a data-path collect. Payload columns
-    stay distributed: only (id, score, vector) rows come down, and the
-    chosen ids join back against the index for the full rows."""
-    import numpy as np
-
+    """MMR retrieval over a chunk index: embed the query (driver-side, same
+    embedder as the index), select via :func:`mmr_topk`, join the chosen
+    ids back for the full rows."""
     qvec = embed_text(query_text, dim)
-    cands = topk_cosine(
-        index, qvec, k=fetch_k, vec_col=vec_col, id_col=id_col
-    ).join(index.select(id_col, vec_col), id_col)
-    rows = cands.collect()  # fetch_k rows of (id, score, vector) — metadata-scale
-    if not rows:
-        return retrieve_chunks(index, query_text, k=0, dim=dim, vec_col=vec_col)
-    ids = [r[id_col] for r in rows]
-    rel = np.array([float(r["score"]) for r in rows])
-    V = np.array([list(map(float, r[vec_col])) for r in rows])
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0] = 1.0
-    Vn = V / norms[:, None]
-    sim = Vn @ Vn.T  # candidate-candidate cosine, fetch_k², driver-side
-    lam = float(lambda_mult)
-    selected: list[int] = []
-    remaining = list(range(len(ids)))
-    while remaining and len(selected) < k:
-        if not selected:
-            best = max(remaining, key=lambda i: rel[i])
-        else:
-            best = max(
-                remaining,
-                key=lambda i: lam * rel[i]
-                - (1.0 - lam) * max(sim[i][j] for j in selected),
-            )
-        selected.append(best)
-        remaining.remove(best)
-    spark = index.sparkSession
-    order = spark.createDataFrame(
-        [(ids[i], rank + 1) for rank, i in enumerate(selected)],
-        f"{id_col} string, rank int",
+    order = mmr_topk(
+        index,
+        qvec,
+        k=k,
+        fetch_k=fetch_k,
+        lambda_mult=lambda_mult,
+        vec_col=vec_col,
+        id_col=id_col,
     )
     return index.drop(vec_col).join(F.broadcast(order), id_col).orderBy("rank")
 

@@ -31,6 +31,7 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     graph,
     lexical,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     sketch,
@@ -1316,6 +1317,79 @@ def knn_join_q(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 3)
     return similarity.knn_join(queries, corpus, k=3).orderBy("q_id", "rank")
+
+
+# Unrolled greedy MMR replay: step t picks the candidate maximizing the
+# FIXED-POINT objective round((0.7·rel − (1−0.7)·max_sim_to_selected) ·
+# 1e7) / 1e7 (tiebreak smaller
+# vec_id) over the top-20-by-cosine candidate cut. The diversity weight
+# is written (1.0::DOUBLE - 0.7::DOUBLE), not 0.3 and not (1.0-0.7):
+# DuckDB evaluates bare decimal literals in EXACT DECIMAL arithmetic
+# (1.0-0.7 = decimal 0.3 = double 0.2999...), while the Python side's
+# 1.0-0.7 is the IEEE double 0.30000000000000004. The ·1e7 fixed point
+# is load-bearing too: 6dp-rounded inputs scaled by single-decimal
+# weights land EXACTLY on 1e-7 decimal half-boundaries of a 6dp round
+# (measured at sf0.001: 0.19435550), where correctly-rounded rounding
+# (Spark/Python) and DuckDB's scale-then-std::round disagree — the
+# nearest-integer-at-1e7 value is exact on both engines and the
+# divided-back double is bit-identical. sel{t} accumulates
+# the selected set; r{t} scores the remainder against it.
+_MMR_STEP = """
+r{t} AS (SELECT c.vec_id, c.ev, c.rel,
+                round((0.7::DOUBLE*c.rel - (1.0::DOUBLE-0.7::DOUBLE)*(
+                  SELECT max(round(list_cosine_similarity(c.ev, s.ev), 6))
+                  FROM sel{p} s)) * 10000000) / 10000000.0 AS m
+         FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})),
+p{t} AS (SELECT vec_id, ev, rel, m, {t} AS rank FROM r{t}
+         ORDER BY m DESC, vec_id LIMIT 1),
+sel{t} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM p{t})"""
+
+_MMR_SQL = (
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, ev, rel FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS rel,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS s4
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) ORDER BY s4 DESC, vec_id LIMIT 20
+    ),
+    p1 AS (SELECT vec_id, ev, rel,
+                  round(0.7::DOUBLE*rel * 10000000) / 10000000.0 AS m,
+                  1 AS rank
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT * FROM p1),"""
+    + ",".join(_MMR_STEP.format(t=t, p=t - 1) for t in range(2, 6))
+    + """
+    SELECT vec_id, rel, m AS mmr_score, CAST(rank AS INT) AS rank
+    FROM sel5 ORDER BY rank
+    """
+)
+
+
+@q("mmr_rerank_embeddings", _MMR_SQL)
+def mmr_rerank_embeddings_q(spark, sf_dir):
+    """Maximal-marginal-relevance re-ranking (`retrieval.mmr_topk`), the
+    diversity knob the reference's plain top-k retrieval
+    (chromadb_rag.py:127-140) lacks: top-20 cosine candidates for the
+    vec_id-0 query, then greedy selection of 5 maximizing
+    0.7·rel − 0.3·max-sim-to-selected. Candidate scan is the usual
+    TakeOrderedAndProject (corpus never shuffles); the pair-sim matrix is
+    a 20-row crossJoin; selection is driver-side over 6dp-pre-rounded
+    scores with smaller-id tiebreaks — replayed exactly by the unrolled
+    greedy CTE chain above."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return retrieval.mmr_topk(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        k=5,
+        fetch_k=20,
+        lambda_mult=0.7,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
 
 
 @q(
@@ -7294,7 +7368,7 @@ _R8_WINDOW = (
 # under the never-driver-checked-first rule, displacing the last
 # single-green r6 anchor, bpe_encode_fixed_documents — its sibling
 # bpe_encode_documents keeps the BPE family's rotation slot in r9.)
-_NEW_R8 = ()
+_NEW_R8 = ("mmr_rerank_embeddings",)
 
 # (The r7 window and _NEW_R7 queue that sat here are preserved in git
 # history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7

@@ -457,3 +457,61 @@ def test_plane_budget_guard(spark):
         dedup.embedding_near_dups(
             big.limit(1), n_planes=2, n_bands=2, dim=2, n_est=1_000_000
         )
+
+
+def test_mmr_topk_hand_computed(spark):
+    """Greedy MMR on a 4-vector corpus where the selection order is
+    derivable by hand: the most relevant is picked first; its near-clone
+    (second-highest rel) is DEFERRED behind the orthogonal candidate by
+    the diversity term at lambda=0.5; lambda=1 restores pure-relevance
+    order."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),   # rel ~0.995
+        (2, [1.0, 0.11, 0.0, 0.0]),  # near-clone of 1, rel ~0.994
+        (3, [0.3, 1.0, 0.0, 0.0]),   # distinct direction, rel ~0.287
+        (4, [0.0, 0.0, 1.0, 0.0]),   # orthogonal, rel 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = retrieval.mmr_topk(
+        df, q, k=3, fetch_k=4, lambda_mult=0.5, id_col="vec_id"
+    ).collect()
+    # step 2: clone (m = .5*.994 - .5*.99995 < 0) loses to the orthogonal
+    # vector (m = 0); step 3 the clone beats candidate 3's larger penalty
+    assert [r.vec_id for r in got] == [1, 4, 2]
+    assert [r.rank for r in got] == [1, 2, 3]
+    # lambda=1: pure relevance — the clone comes straight back at rank 2
+    lam1 = retrieval.mmr_topk(
+        df, q, k=3, fetch_k=4, lambda_mult=1.0, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in lam1] == [1, 2, 3]
+    # scores are on the exact 1e-7 grid (the oracle's fixed-point contract)
+    for r in got:
+        assert abs(r.mmr_score * 1e7 - round(r.mmr_score * 1e7)) < 1e-6
+
+
+def test_mmr_topk_tiebreaks_on_smaller_id(spark):
+    """Exactly duplicated vectors give identical 6dp rel and identical MMR
+    objectives at every step — the argmax must take the smaller id."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    q = [1.0, 0.0]
+    rows = [(7, [1.0, 0.2]), (3, [1.0, 0.2]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = retrieval.mmr_topk(
+        df, q, k=3, fetch_k=3, lambda_mult=0.5, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in got][0] == 3  # duplicate tie -> smaller id first
+    # its twin's penalty (.5*1.0) still beats the orthogonal vector's
+    # zero relevance (.5*0 - .5*0.196): [3, 7, 5]
+    assert [r.vec_id for r in got] == [3, 7, 5]
+
+
+def test_mmr_topk_empty_candidates(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    df = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    got = retrieval.mmr_topk(df, [1.0, 0.0], k=3, id_col="vec_id").collect()
+    assert got == []
