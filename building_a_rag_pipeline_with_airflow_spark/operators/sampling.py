@@ -87,6 +87,57 @@ def train_eval_split(
     return df.where(b >= cut), df.where(b < cut)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    eval_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/eval assignment: split by DEDUP CLUSTER, not by
+    document. A per-document split puts near-duplicates of one document on
+    BOTH sides — the in-corpus form of the train/benchmark contamination
+    that :func:`curation.decontaminate` hunts between corpora, and it
+    silently inflates eval scores (the model has seen an almost-identical
+    eval row in training). Hashing the cluster's canonical label instead
+    puts every member of a near-dup family on the same side by
+    construction: one md5 bucket of one shared key.
+
+    ``components`` is the ``(id, component)`` frame from
+    :func:`dedup.connected_components` / ``dedup_clusters`` — it contains
+    only documents that appear in some near-dup edge; documents absent
+    from it are singletons and split by their own id (``coalesce``).
+    Returns ``df`` plus ``split_key`` (the hashed label, stringified) and
+    ``split`` ('train'/'eval'), exhaustive and disjoint by construction.
+
+    Scale shape: one left equi-join on the id (the components side is
+    pair-bearing docs only — broadcast-sized on healthy corpora, plain
+    shuffle join otherwise) plus the map-side md5 predicate of
+    :func:`hash_bucket`; no window, no collect, stable under
+    repartitioning — the split travels with the data."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(
+            f"eval_fraction must be in [0, 1], got {eval_fraction}"
+        )
+    comp = components.select(
+        F.col(id_col).alias("_csid"), F.col(comp_col).alias("_comp")
+    )
+    cut = int(round(eval_fraction * BUCKETS))
+    joined = df.join(comp, F.col(id_col) == F.col("_csid"), "left")
+    key = F.coalesce(F.col("_comp"), F.col(id_col)).cast("string")
+    return (
+        joined.withColumn("split_key", key)
+        .withColumn(
+            "split",
+            F.when(
+                hash_bucket(F.col("split_key"), salt) < cut, F.lit("eval")
+            ).otherwise(F.lit("train")),
+        )
+        .drop("_csid", "_comp")
+    )
+
+
 def mixture_reweight(
     df: DataFrame,
     strata_col: str,

@@ -987,10 +987,11 @@ def dedup_exact_documents(spark, sf_dir):
     return dedup.exact_duplicates(docs).orderBy("fingerprint")
 
 
-@q(
-    "dedup_clusters_documents",
-    """
-    WITH RECURSIVE toks AS (
+# Jaccard(>=0.3) near-dup pairs -> recursive-CTE transitive closure: the
+# shared oracle chain for every query that consumes dedup CLUSTERS
+# (mirrors dedup.dedup_clusters: 3-gram shingles, 4dp-rounded Jaccard,
+# min-label components).
+_JACCARD_CC_CTES = """toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0
     ),
@@ -1026,7 +1027,13 @@ def dedup_exact_documents(spark, sf_dir):
       SELECT src, dst FROM edges
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
+    )"""
+
+
+@q(
+    "dedup_clusters_documents",
+    f"""
+    WITH RECURSIVE {_JACCARD_CC_CTES}
     SELECT n.src AS doc_id,
            least(n.src, min(r.dst)) AS component,
            least(n.src, min(r.dst)) = n.src AS is_canonical
@@ -1042,6 +1049,47 @@ def dedup_clusters_documents(spark, sf_dir):
     closure, exact because labels converge to the min member id."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs, threshold=0.3).orderBy("doc_id")
+
+
+@q(
+    "cluster_safe_split_documents",
+    f"""
+    WITH RECURSIVE {_JACCARD_CC_CTES},
+    comp AS (
+      SELECT n.src AS doc_id, least(n.src, min(r.dst)) AS component
+      FROM (SELECT DISTINCT src FROM edges) n
+      LEFT JOIN reach r ON r.src = n.src
+      GROUP BY n.src
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS split_key,
+           CASE WHEN CAST('0x' || substr(md5(
+                  CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || 'split'
+                ), 1, 15) AS BIGINT) % {sampling.BUCKETS} < 2000
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def cluster_safe_split_documents(spark, sf_dir):
+    """Leakage-safe train/eval split (`sampling.cluster_safe_split`):
+    assignment is hashed from the near-dup CLUSTER label (Jaccard>=0.3
+    components, singletons by their own id), so every member of a
+    near-dup family lands on the same side — a per-document split puts
+    near-copies of one document in BOTH train and eval, the in-corpus
+    form of the contamination `decontaminate` hunts between corpora.
+    One left join + map-side md5; the oracle composes the shared
+    Jaccard-CC closure with the hash_sample bucket rule."""
+    docs = _t(spark, sf_dir, "documents")
+    comps = dedup.dedup_clusters(docs, threshold=0.3).select(
+        "doc_id", "component"
+    )
+    return (
+        sampling.cluster_safe_split(docs, comps, eval_fraction=0.2)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
 
 
 # DuckDB 3-gram shingles mirroring functions.text.word_ngrams: token slice
@@ -7368,7 +7416,7 @@ _R8_WINDOW = (
 # under the never-driver-checked-first rule, displacing the last
 # single-green r6 anchor, bpe_encode_fixed_documents — its sibling
 # bpe_encode_documents keeps the BPE family's rotation slot in r9.)
-_NEW_R8 = ("mmr_rerank_embeddings",)
+_NEW_R8 = ("mmr_rerank_embeddings", "cluster_safe_split_documents")
 
 # (The r7 window and _NEW_R7 queue that sat here are preserved in git
 # history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7

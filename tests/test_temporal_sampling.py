@@ -366,3 +366,43 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark, sf_dir):
     rp = sampling.deterministic_shuffle(
         orders, "o_orderkey", seed="epoch0", n_partitions=8)
     assert sorted(r.o_orderkey for r in rp.collect()) == sorted(s1)
+
+
+def test_cluster_safe_split_cluster_atomicity(spark):
+    """Every member of a component gets the SAME split (the whole point);
+    docs absent from the components frame split by their own id, exactly
+    like hash_sample's entity rule."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # two multi-doc clusters + 194 singletons
+    comps = spark.createDataFrame(
+        [(1, 1), (50, 1), (99, 1), (2, 2), (150, 2), (199, 2)],
+        "doc_id bigint, component bigint",
+    )
+    out = sampling.cluster_safe_split(docs, comps, eval_fraction=0.3)
+    rows = {r.doc_id: (r.split_key, r.split) for r in out.collect()}
+    assert len(rows) == 200  # exhaustive, no row duplication from the join
+    assert len({rows[i] for i in (1, 50, 99)}) == 1   # cluster 1 atomic
+    assert len({rows[i] for i in (2, 150, 199)}) == 1  # cluster 2 atomic
+    assert rows[1][0] == "1" and rows[2][0] == "2"
+    # singleton: split by own id — identical to the hash_bucket rule
+    cut = int(round(0.3 * sampling.BUCKETS))
+    b = spark.createDataFrame([(7,)], "k bigint").select(
+        sampling.hash_bucket(F.col("k").cast("string"), "split").alias("b")
+    ).first().b
+    assert rows[7][1] == ("eval" if b < cut else "train")
+    # both sides non-empty at this fraction and n
+    splits = {v[1] for v in rows.values()}
+    assert splits == {"train", "eval"}
+
+
+def test_cluster_safe_split_fraction_guard(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+    comps = spark.createDataFrame([], "doc_id bigint, component bigint")
+    with pytest.raises(ValueError, match="eval_fraction"):
+        sampling.cluster_safe_split(docs, comps, eval_fraction=1.5)
