@@ -838,3 +838,40 @@ def test_validation_and_classifier_plan_shapes(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in nb_plan
     assert "CartesianProduct" not in nb_plan
+
+
+def test_mmr_candidate_scan_is_take_ordered(spark, sf_dir):
+    """MMR's distributed stage is the fetch_k candidate cut: it must
+    compile to per-partition heaps (TakeOrderedAndProject), and the only
+    join wider than the candidate set is the bounded fetch_k x fetch_k
+    pair-sim crossJoin — never a corpus-sized cartesian."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        retrieval,
+        similarity,
+    )
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cands = similarity.topk_cosine(emb, qvec, k=20, id_col="vec_id")
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # end-to-end selection still runs off this shape
+    got = retrieval.mmr_topk(emb, qvec, k=5, fetch_k=20, id_col="vec_id")
+    assert got.count() == 5
+
+
+def test_cluster_safe_split_is_one_join_no_window(spark, sf_dir):
+    """The split is a single left equi-join plus a map-side md5 predicate:
+    no window, no cartesian, no extra shuffle beyond the join itself."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id bigint, component bigint"
+    )
+    out = sampling.cluster_safe_split(docs, comps, eval_fraction=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") <= 2  # the one equi-join (plus AQE echo)
