@@ -157,6 +157,62 @@ def mmr_rerank(
     return index.drop(vec_col).join(F.broadcast(order), id_col).orderBy("rank")
 
 
+def expand_retrieved_window(
+    retrieved: DataFrame,
+    chunks: DataFrame,
+    window: int = 1,
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Sentence-window expansion: for each retrieved hit, pull the
+    neighboring chunks of the SAME document (``chunk_index`` within
+    ``±window``) and merge them in document order — retrieval matches on
+    the small focused chunk, the LLM context gets the surrounding
+    passage (the standard small-to-big / sentence-window trick; the
+    reference's top-k returns the bare hit chunk only). Window edges
+    clip naturally at document start/end, so ``n_window_chunks`` ranges
+    1..2·window+1. Overlapping chunkers (fixed 400/50) repeat their
+    overlap at the seams — this expands, it does not re-segment.
+
+    Scale shape: ``retrieved`` is k rows — broadcast it against the
+    chunk table's doc_id (one equi-join, chunk side never shuffles, the
+    range condition is a post-join filter on the broadcast row), then a
+    k-group hash aggregate rebuilds each window in chunk order
+    (``array_sort(collect_list(struct))``, the assemble_context
+    pattern — no window function)."""
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    hits = retrieved.select(
+        F.col(id_col).alias("_hit_id"),
+        F.col("doc_id").alias("_hit_doc"),
+        F.col("chunk_index").alias("_hit_idx"),
+        "rank",
+    )
+    j = chunks.join(
+        F.broadcast(hits),
+        (F.col("doc_id") == F.col("_hit_doc"))
+        & (F.col("chunk_index") >= F.col("_hit_idx") - window)
+        & (F.col("chunk_index") <= F.col("_hit_idx") + window),
+    )
+    return (
+        j.groupBy("_hit_id", "rank")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_index", "text"))
+                ).getField("text"),
+                " ",
+            ).alias("window_text"),
+            F.count("*").cast("int").alias("n_window_chunks"),
+        )
+        .select(
+            F.col("_hit_id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "window_text",
+            "n_window_chunks",
+        )
+    )
+
+
 def assemble_context(retrieved: DataFrame, source_col: str = "doc_id") -> DataFrame:
     """Collapse ranked chunks into one prompt-context row (reference T14
     format, chromadb_rag.py:148-166): 'Source [i] (src): text' + '\\n\\n'."""

@@ -1698,10 +1698,12 @@ def lsh_knn_join_q(spark, sf_dir):
 _RAG_QUERY_TEXT = "spark join merge table scan"
 
 
-def _rag_context_oracle() -> str:
-    """Full E1 (T14/V4) oracle: fixed chunking closed form → md5 hashed-BoW
-    embedder with float32 storage (CAST AS REAL) → cosine top-5 → ranked
-    'Source [i] (doc): text' pieces joined by blank lines.
+def _rag_ranked_ctes() -> str:
+    """The shared E1 oracle chain through the ranked top-5: fixed chunking
+    closed form → md5 hashed-BoW embedder with float32 storage (CAST AS
+    REAL) → cosine top-5 with 4dp pre-rounding and chunk_id tiebreak.
+    Consumed by _rag_context_oracle (T14/V4 context assembly) and the
+    sentence-window expansion oracle.
 
     The query vector is computed *by the same* :func:`embed_text` the Spark
     path uses and inlined as literals, with the L2 norm folded in the exact
@@ -1724,7 +1726,7 @@ def _rag_context_oracle() -> str:
     ),
     chunks AS (
       SELECT CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(i AS VARCHAR) AS chunk_id,
-             doc_id,
+             doc_id, CAST(i AS INT) AS chunk_index,
              substring(doc_text, CAST(i AS INT) * 350 + 1, 400) AS text
       FROM starts
     ),
@@ -1757,7 +1759,7 @@ def _rag_context_oracle() -> str:
       FROM vec32 v JOIN qvec q USING (bucket) GROUP BY v.chunk_id
     ),
     scored AS (
-      SELECT c.chunk_id, c.doc_id, c.text,
+      SELECT c.chunk_id, c.doc_id, c.chunk_index, c.text,
              round(coalesce(coalesce(d.dot, 0.0)
                             / nullif(n32.nrm * {qnorm!r}, 0), 0.0), 4) AS score
       FROM chunks c
@@ -1765,10 +1767,17 @@ def _rag_context_oracle() -> str:
       LEFT JOIN dots d USING (chunk_id)
     ),
     ranked AS (
-      SELECT chunk_id, doc_id, text, score,
+      SELECT chunk_id, doc_id, chunk_index, text, score,
              row_number() OVER (ORDER BY score DESC, chunk_id ASC) AS rnk
       FROM scored QUALIFY rnk <= 5
     ),
+    """
+
+
+def _rag_context_oracle() -> str:
+    """T14/V4 tail over the shared ranked chain: 'Source [i] (doc): text'
+    pieces joined by blank lines."""
+    return _rag_ranked_ctes() + """
     pieces AS (
       SELECT printf('Source [%d] (%s): %s', rnk, CAST(doc_id AS VARCHAR), text) AS piece,
              rnk
@@ -1777,6 +1786,25 @@ def _rag_context_oracle() -> str:
     SELECT string_agg(piece, chr(10) || chr(10) ORDER BY rnk) AS context,
            CAST(count(*) AS INT) AS n_sources
     FROM pieces
+    """
+
+
+def _rag_window_oracle() -> str:
+    """Sentence-window tail over the shared ranked chain: each hit joins
+    its own document's chunks at chunk_index ±1 and merges them in
+    document order — the exact replay of
+    `retrieval.expand_retrieved_window(window=1)`."""
+    return _rag_ranked_ctes() + """
+    expanded AS (
+      SELECT r.rnk, r.chunk_id, c2.chunk_index, c2.text
+      FROM ranked r JOIN chunks c2
+        ON c2.doc_id = r.doc_id
+       AND c2.chunk_index BETWEEN r.chunk_index - 1 AND r.chunk_index + 1
+    )
+    SELECT chunk_id, CAST(rnk AS INT) AS rank,
+           string_agg(text, ' ' ORDER BY chunk_index) AS window_text,
+           CAST(count(*) AS INT) AS n_window_chunks
+    FROM expanded GROUP BY rnk, chunk_id ORDER BY rank
     """
 
 
@@ -1790,6 +1818,25 @@ def rag_retrieve_context(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     index = build_index(docs, strategy="fixed")
     return rag_query(index, _RAG_QUERY_TEXT, k=5)
+
+
+@q("rag_sentence_window_context", _rag_window_oracle())
+def rag_sentence_window_context(spark, sf_dir):
+    """Sentence-window retrieval (`retrieval.expand_retrieved_window`):
+    the top-5 hits of the flagship RAG path, each expanded with its
+    document neighbors at chunk_index ±1 merged in document order —
+    retrieval matches on the focused chunk, the answer context gets the
+    surrounding passage (the small-to-big trick the reference's bare
+    top-k lacks). k hits broadcast against the chunk table; one
+    equi-join + k-group hash agg, no window function."""
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_index(docs, strategy="fixed")
+    hits = retrieval.retrieve_chunks(index, _RAG_QUERY_TEXT, k=5)
+    return retrieval.expand_retrieved_window(
+        hits, index.drop("embedding"), window=1
+    ).orderBy("rank")
 
 
 @q(
@@ -7416,7 +7463,11 @@ _R8_WINDOW = (
 # under the never-driver-checked-first rule, displacing the last
 # single-green r6 anchor, bpe_encode_fixed_documents — its sibling
 # bpe_encode_documents keeps the BPE family's rotation slot in r9.)
-_NEW_R8 = ("mmr_rerank_embeddings", "cluster_safe_split_documents")
+_NEW_R8 = (
+    "mmr_rerank_embeddings",
+    "cluster_safe_split_documents",
+    "rag_sentence_window_context",
+)
 
 # (The r7 window and _NEW_R7 queue that sat here are preserved in git
 # history; their green rows are CORRECTNESS_r07.json, and every _NEW_R7

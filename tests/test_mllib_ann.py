@@ -515,3 +515,33 @@ def test_mmr_topk_empty_candidates(spark):
     df = spark.createDataFrame([], "vec_id int, embedding array<double>")
     got = retrieval.mmr_topk(df, [1.0, 0.0], k=3, id_col="vec_id").collect()
     assert got == []
+
+
+def test_expand_retrieved_window_clips_and_orders(spark):
+    """Window edges clip at document boundaries; merged text is in
+    chunk_index order; window=0 degenerates to the hit chunk itself."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    chunks = spark.createDataFrame(
+        [("1_chunk_0", 1, 0, "a0"), ("1_chunk_1", 1, 1, "a1"),
+         ("1_chunk_2", 1, 2, "a2"), ("2_chunk_0", 2, 0, "b0")],
+        "chunk_id string, doc_id bigint, chunk_index int, text string",
+    )
+    hits = spark.createDataFrame(
+        [("1_chunk_0", 1, 0, 1), ("1_chunk_1", 1, 1, 2), ("2_chunk_0", 2, 0, 3)],
+        "chunk_id string, doc_id bigint, chunk_index int, rank int",
+    )
+    got = {r.chunk_id: r for r in retrieval.expand_retrieved_window(
+        hits, chunks, window=1).collect()}
+    assert got["1_chunk_0"].window_text == "a0 a1"        # clipped at doc start
+    assert got["1_chunk_0"].n_window_chunks == 2
+    assert got["1_chunk_1"].window_text == "a0 a1 a2"     # full window, ordered
+    assert got["1_chunk_1"].n_window_chunks == 3
+    assert got["2_chunk_0"].window_text == "b0"           # neighbor-less doc
+    assert got["2_chunk_0"].rank == 3
+    w0 = {r.chunk_id: r.window_text for r in retrieval.expand_retrieved_window(
+        hits, chunks, window=0).collect()}
+    assert w0 == {"1_chunk_0": "a0", "1_chunk_1": "a1", "2_chunk_0": "b0"}
+    import pytest
+    with pytest.raises(ValueError, match="window"):
+        retrieval.expand_retrieved_window(hits, chunks, window=-1)

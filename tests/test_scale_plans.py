@@ -875,3 +875,18 @@ def test_cluster_safe_split_is_one_join_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") <= 2  # the one equi-join (plus AQE echo)
+
+
+def test_sentence_window_broadcasts_hits(spark, sf_dir):
+    """The k retrieved hits must broadcast against the chunk table — the
+    chunk side never shuffles for the join, and the window rebuild is a
+    hash aggregate, not a window function."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY["rag_sentence_window_context"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only Window in the plan is retrieve_chunks' k-row rank join,
+    # never one over the chunk corpus: no corpus-side Window before agg
+    assert plan.count("Window") <= 1
