@@ -76,9 +76,16 @@ def mmr_topk(
     exactly), where correctly-rounded rounding (Spark/Python) and
     scale-then-``std::round`` (DuckDB) disagree on the last digit."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cands = topk_cosine(
-        index, query_vec, k=fetch_k, vec_col=vec_col, id_col=id_col
-    ).join(index.select(id_col, vec_col), id_col)
+    # Narrow lazy checkpoint after the candidate cut: three downstream
+    # references (the rel collect + both crossJoin sides) would each
+    # re-run the corpus-scale TakeOrdered scan otherwise — the
+    # phash_near_dups recompute-per-reference trap; the pinned blocks
+    # are fetch_k (id, vector) rows.
+    cands = (
+        topk_cosine(index, query_vec, k=fetch_k, vec_col=vec_col, id_col=id_col)
+        .join(index.select(id_col, vec_col), id_col)
+        .localCheckpoint(eager=False)
+    )
     rel_rows = cands.select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("rel"),
@@ -113,8 +120,13 @@ def mmr_topk(
     selected: list[tuple] = []  # (id, rel, mmr_score)
     while remaining and len(selected) < k:
         if not selected:
-            def _m_e7(i):
-                return round(lam * rel[i] * 1e7)
+            # first pick is PURE relevance (the MMR definition, and the
+            # oracle's ORDER BY rel) — keying on lam*rel would collapse
+            # to the id tiebreak at lambda=0, which is a ranking
+            # regression, not a rounding concern; rel is already 6dp so
+            # the comparison is exact
+            best = max(remaining, key=lambda i: rel[i])
+            score_e7 = round(lam * rel[best] * 1e7)
         else:
             def _m_e7(i):
                 return round(
@@ -122,8 +134,9 @@ def mmr_topk(
                      - (1.0 - lam) * max(sim[(i, s[0])] for s in selected))
                     * 1e7
                 )
-        best = max(remaining, key=_m_e7)  # max is stable: first (smallest id) wins ties
-        selected.append((best, rel[best], _m_e7(best) / 1e7))
+            best = max(remaining, key=_m_e7)  # stable: smallest id wins ties
+            score_e7 = _m_e7(best)
+        selected.append((best, rel[best], score_e7 / 1e7))
         remaining.remove(best)
     return spark.createDataFrame(
         [(i, r, m, rank + 1) for rank, (i, r, m) in enumerate(selected)],

@@ -120,6 +120,7 @@ def table_diff(
     right: DataFrame,
     keys: Sequence[str],
     compare_cols: "Sequence[str] | None" = None,
+    assume_unique_keys: bool = False,
 ) -> DataFrame:
     """Key-level diff of two snapshots: which rows were ``added`` (key
     only in ``right``), ``removed`` (key only in ``left``), or
@@ -135,8 +136,38 @@ def table_diff(
     share beyond the keys. The join is NULL-SAFE on the keys (``<=>``,
     still a hash-join key for Catalyst): a row whose key value is NULL in
     both snapshots matches itself (reported unchanged/changed) instead of
-    splitting into a phantom removed+added pair."""
+    splitting into a phantom removed+added pair.
+
+    The primary-key contract is ENFORCED, not assumed: a duplicated key
+    tuple on either side — including duplicated NULLs, which the
+    null-safe join would match many-to-many — fans the full-outer join
+    out and silently mis-counts the delta, so each side is checked with
+    a key-only aggregate (column-pruned; NULL groups exactly match the
+    ``<=>`` equivalence classes) and a violation raises naming the key.
+    ``assume_unique_keys=True`` skips the two check passes when
+    uniqueness is guaranteed upstream (e.g. freshly gated by an
+    `expectations_report` ``unique`` rule)."""
     keys = list(keys)
+    if not assume_unique_keys:
+        for side, df in (("left", left), ("right", right)):
+            dup = (
+                df.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                kv = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"table_diff: {side} snapshot violates the primary-key "
+                    f"contract — key {kv} appears {dup[0]['count']} times. "
+                    "A duplicated key (including duplicated NULLs) fans the "
+                    "null-safe full-outer join out many-to-many and the "
+                    "changelog under-reports. Deduplicate or widen the key "
+                    "set; pass assume_unique_keys=True only when uniqueness "
+                    "is guaranteed upstream."
+                )
     if compare_cols is None:
         compare_cols = [
             c for c in left.columns if c not in keys and c in right.columns

@@ -14,6 +14,7 @@ Output discipline (so oracle value-hash comparison is stable):
 from __future__ import annotations
 
 import datetime as dt
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3176,12 +3177,21 @@ def release_cycle_report(spark, sf_dir):
             F.lit(True).alias("passed"),
         )
     )
-    return (
+    report = (
         tag(r1["contract"], "v1")
         .unionByName(tag(r2["contract"], "v2"))
         .unionByName(diff_rows)
         .orderBy("section", "version", "item")
     )
+    # Materialize the ~11 report rows and DELETE the temp root before
+    # returning: the lazy frame depends on the released parquet, and a
+    # two-full-corpus-release tree leaked per invocation (driver row ×
+    # sweep × parity, every round) otherwise. The returned local
+    # relation keeps the registry's lazy-DataFrame contract for the
+    # caller; the schema is preserved exactly.
+    rows, schema = report.collect(), report.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _sketch_quantiles_oracle(k: int = 512, probs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> str:
@@ -7387,14 +7397,17 @@ def expectations_by_lang_documents(spark, sf_dir):
 #     window is preserved in git history at this spot; its 50/50 green
 #     rows are CORRECTNESS_r06.json.)
 # r8 rotation (r7 judge directive #1): the driver window refreshes with
-# (a) the 7 never-driver-checked oracles — the six r7 additions that
+# (a) the 8 never-driver-checked oracles — the six r7 additions that
 # landed after the r7 window froze (all parity-green in the judge's own
-# 146-query run) plus the new release_cycle_report capstone — then
-# (b) the 40 stalest anchors (every oracle whose last driver-green row
-# is r5), then (c) the first three single-green r6 anchors in sort
-# order (attribution_last_touch_events, bm25_batch_topk_documents,
-# bpe_encode_fixed_documents — all eight r6 single-green candidates tie
-# on evidence, so the pick is deterministic-alphabetical). Everything
+# 146-query run), the new release_cycle_report capstone, and
+# sketch_quantiles_events (added mid-r8, promoted into the window under
+# the never-checked-first rule) — then (b) the 40 stalest anchors (every
+# oracle whose last driver-green row is r5), then (c) the first TWO
+# single-green r6 anchors in sort order (attribution_last_touch_events,
+# bm25_batch_topk_documents; the third alphabetical pick,
+# bpe_encode_fixed_documents, was displaced by the sketch promotion —
+# all eight r6 single-green candidates tie on evidence, so the pick is
+# deterministic-alphabetical). Everything
 # rotating OUT carries a green r6 or r7 driver row; all oracles remain
 # value-checked every round by tests/test_oracle_parity.py regardless of
 # window position. (The r7 window below it is preserved in git history;
@@ -7632,8 +7645,9 @@ _DEPRIORITIZED = (
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
     entries): the enumerated _R8_WINDOW sorts first (this round's driver
-    window — the 7 never-driver-checked oracles plus the 43 stalest
-    rotation anchors), then _NEW_R8 (oracles added after the window
+    window — the 8 never-driver-checked oracles, the 40 stalest
+    rotation anchors, and 2 single-green r6 picks), then _NEW_R8
+    (oracles added after the window
     froze — first in line for r9), then the multi-green rotation
     pool (_DEPRIORITIZED last among oracles), then rows-only queries.
     All oracles are value-checked every round by

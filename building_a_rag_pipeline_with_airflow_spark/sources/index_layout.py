@@ -56,7 +56,10 @@ def _integral_narrowing(src, dst) -> bool:
 
 
 def _conform_to_existing(
-    rows: DataFrame, path: str, skip: Sequence[str] = ()
+    rows: DataFrame,
+    path: str,
+    skip: Sequence[str] = (),
+    stored_schema=None,
 ) -> DataFrame:
     """Cast every column that already exists in the layout at ``path`` to
     its STORED type before appending.
@@ -81,17 +84,23 @@ def _conform_to_existing(
     width-independent), and the stored reader type is directory-name
     INFERENCE — e.g. a bigint cell id written by the base build reads
     back as int, which the refusal would flag as narrowing when no byte
-    of storage is at stake."""
+    of storage is at stake. ``stored_schema`` lets a caller that has
+    already read the layout's schema (the IVF extender reads it for the
+    _codes probe) skip the duplicate parquet footer listing."""
     spark = rows.sparkSession
-    try:
-        stored = {
-            f.name: f.dataType for f in spark.read.parquet(path).schema.fields
-        }
-    except AnalysisException as exc:
-        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
-        if "PATH_NOT_FOUND" not in err:
-            raise
-        return rows
+    if stored_schema is not None:
+        stored = {f.name: f.dataType for f in stored_schema.fields}
+    else:
+        try:
+            stored = {
+                f.name: f.dataType
+                for f in spark.read.parquet(path).schema.fields
+            }
+        except AnalysisException as exc:
+            err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            if "PATH_NOT_FOUND" not in err:
+                raise
+            return rows
     incoming = {f.name: f.dataType for f in rows.schema.fields}
     exempt = set(skip) | {"_batch_id"}
     narrowed = [
@@ -168,6 +177,21 @@ def write_meta(meta_df: DataFrame, path: str) -> None:
 def read_meta(spark: SparkSession, path: str):
     """The index meta row (driver-side — metadata-scale by contract)."""
     return spark.read.parquet(f"{path}/meta").first()
+
+
+def read_meta_or_none(spark: SparkSession, path: str):
+    """:func:`read_meta`, returning ``None`` when the meta does not exist
+    yet (a gate's first invocation). Only PATH_NOT_FOUND means "fresh
+    state"; any other read failure (corrupt footer, permissions)
+    propagates — the streaming_psi guard rule, shared by every
+    frozen-contract gate instead of hand-rolled per gate."""
+    try:
+        return read_meta(spark, path)
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        return None
 
 
 def publish_index(spark: SparkSession, manifest_path: str, index_path: str) -> int:

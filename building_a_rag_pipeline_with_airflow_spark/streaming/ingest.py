@@ -149,7 +149,10 @@ similarity.build_ivf_index` layout fresh: assign each micro-batch of new
         # path, instead of wrapping silently before write_index_rows'
         # own conformance could catch it.
         batch_df = index_layout._conform_to_existing(
-            batch_df, f"{index_path}/vectors", skip=("cell_id",)
+            batch_df,
+            f"{index_path}/vectors",
+            skip=("cell_id",),
+            stored_schema=stored,  # already read for the _codes probe
         )
         assigned = ivf_assign(batch_df, centroids, c_id, c_vec)
         # match the existing layout: a quantized base index (int8 codes +
@@ -997,16 +1000,7 @@ def streaming_nb_update(
     from building_a_rag_pipeline_with_airflow_spark.functions.text import tokens
 
     spark = labeled_stream.sparkSession
-    try:
-        prev = spark.read.parquet(f"{state_path}/meta").first()
-    except AnalysisException as exc:
-        # only missing-path means "first invocation"; anything else
-        # (corrupt footer, permissions) must propagate — the
-        # streaming_psi guard rule
-        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
-        if "PATH_NOT_FOUND" not in err:
-            raise
-        prev = None
+    prev = index_layout.read_meta_or_none(spark, state_path)
     if prev is not None:
         if int(prev["n_buckets"]) != int(n_buckets):
             raise ValueError(
@@ -1018,9 +1012,13 @@ def streaming_nb_update(
                 "(and checkpoint) to change the bucketing."
             )
     else:
-        spark.createDataFrame(
-            [(int(n_buckets), float(alpha))], "n_buckets int, alpha double"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/meta")
+        index_layout.write_meta(
+            spark.createDataFrame(
+                [(int(n_buckets), float(alpha))],
+                "n_buckets int, alpha double",
+            ),
+            state_path,
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1222,13 +1220,7 @@ def streaming_quantile_sketch(
 
     spark = baseline_df.sparkSession
     base_sample = sketch.bottomk_sample(baseline_df, value_col, id_col, k)
-    try:
-        prev_meta = spark.read.parquet(f"{state_path}/meta").first()
-    except AnalysisException as exc:
-        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
-        if "PATH_NOT_FOUND" not in err:
-            raise
-        prev_meta = None
+    prev_meta = index_layout.read_meta_or_none(spark, state_path)
     if prev_meta is not None:
         if (
             int(prev_meta["k"]) != int(k)
@@ -1257,10 +1249,13 @@ def streaming_quantile_sketch(
                 "state_path (and checkpoint) to re-baseline."
             )
     else:
-        spark.createDataFrame(
-            [(int(k), value_col, id_col)],
-            "k int, value_col string, id_col string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{state_path}/meta")
+        index_layout.write_meta(
+            spark.createDataFrame(
+                [(int(k), value_col, id_col)],
+                "k int, value_col string, id_col string",
+            ),
+            state_path,
+        )
         base_sample.coalesce(1).write.mode("overwrite").parquet(
             f"{state_path}/baseline"
         )

@@ -545,3 +545,19 @@ def test_expand_retrieved_window_clips_and_orders(spark):
     import pytest
     with pytest.raises(ValueError, match="window"):
         retrieval.expand_retrieved_window(hits, chunks, window=-1)
+
+
+def test_mmr_topk_lambda_zero_picks_most_relevant_first(spark):
+    """lambda=0 (pure diversity) must still seed with the MOST RELEVANT
+    candidate — a lam-scaled first-pick key collapses every candidate to
+    0 and falls through to the id tiebreak (regression pin)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    q = [1.0, 0.0]
+    rows = [(1, [0.0, 1.0]), (9, [1.0, 0.05])]  # id 9 is far more relevant
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = retrieval.mmr_topk(
+        df, q, k=1, fetch_k=2, lambda_mult=0.0, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in got] == [9]
+    assert got[0].mmr_score == 0.0  # lam*rel at lam=0

@@ -191,3 +191,32 @@ def test_expectations_report_by_groups_independently(spark, people):
     assert by[("US", "id_nn")]["passed"]
     # per-group n_rows, not global
     assert by[("US", "id_nn")]["n_rows"] == 2
+
+
+def test_table_diff_rejects_duplicate_keys(spark):
+    """Duplicated key tuples — including duplicated NULL keys, which the
+    null-safe join would match many-to-many — violate the primary-key
+    contract and must raise, not silently mis-count the delta."""
+    import pytest
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    )
+    dup_null = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "a")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="primary-key"):
+        validation.table_diff(dup_null, base, keys=["k"])
+    with pytest.raises(ValueError, match="right"):
+        validation.table_diff(base, dup_null, keys=["k"])
+    # a SINGLE null-keyed row per side still matches itself (the r8
+    # eqNullSafe fix), and the escape hatch skips the check passes
+    one_null_l = spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string")
+    one_null_r = spark.createDataFrame([(None, "y"), (1, "a")], "k int, v string")
+    out = {r.k: r.status for r in validation.table_diff(
+        one_null_l, one_null_r, keys=["k"]).collect()}
+    assert out == {None: "changed"}
+    assert validation.table_diff(
+        dup_null, dup_null, keys=["k"], assume_unique_keys=True
+    ).count() >= 0  # hatch: no raise
