@@ -69,6 +69,20 @@ a diff — its cost is the curate_corpus_e2e tail line ×2 plus small
 constant, already tracked; the driver's sf0.01 correctness row (~16 s)
 is its per-round evidence.
 
+r8 real cost changes (own them; everything else in the r8 closing run
+moved with the session-noise pattern of the r3 calibration — spread
+across untouched JVM-only plans, 2-round early-stop medians):
+
+* table_diff_orders_snapshots 1.2 -> ~2.4 s: the operator now ENFORCES
+  its primary-key contract by default (two key-only column-pruned
+  aggregates per call — a duplicated key, including duplicated NULLs,
+  fans the null-safe full-outer join out many-to-many and silently
+  mis-counts the delta). assume_unique_keys=True skips the checks when
+  uniqueness is gated upstream; the registry row keeps the default
+  because the default IS the operator's honest cost.
+* mmr_rerank_embeddings ~1.0 s: new row (fetch_k=20 candidate cut +
+  20x20 pair sims + driver-side greedy, see operators/retrieval.py).
+
 r7 scale-curve spot check (r6 judge directives #1/#6, COMPLETE): one-off
 5x ORGANIC replication of sf0.1 (scripts/scale_curve.py — replica-disjoint
 keys/content so dedup pair structure doesn't inflate quadratically; see
