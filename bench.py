@@ -83,6 +83,12 @@ across untouched JVM-only plans, 2-round early-stop medians):
 * mmr_rerank_embeddings ~1.0 s: new row (fetch_k=20 candidate cut +
   20x20 pair sims + driver-side greedy, see operators/retrieval.py).
 
+The three largest OTHER movers in that closing run were solo
+re-profiled per protocol — all noise: pagerank 7.6 interleaved vs
+5.2/6.7 solo warm (r7: 6.5), media_phash 3.7 vs 2.7/3.0 solo (earlier
+r8 best-of-2: 3.2), k_core 3.5 vs 2.1/2.4 solo (r7: 2.5). Verdict:
+session-neighborhood inflation on unchanged plans, watches closed.
+
 r7 scale-curve spot check (r6 judge directives #1/#6, COMPLETE): one-off
 5x ORGANIC replication of sf0.1 (scripts/scale_curve.py — replica-disjoint
 keys/content so dedup pair structure doesn't inflate quadratically; see
