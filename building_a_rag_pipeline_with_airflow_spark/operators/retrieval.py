@@ -76,6 +76,12 @@ def mmr_topk(
     exactly), where correctly-rounded rounding (Spark/Python) and
     scale-then-``std::round`` (DuckDB) disagree on the last digit."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # NULL vectors are excluded BEFORE the candidate cut: cosine
+    # propagates NULL, and when the corpus has fewer than fetch_k
+    # non-null vectors the desc sort would still admit NULL-scored rows
+    # — which then crash the greedy loop with float(None). A degenerate
+    # index degrades to fewer candidates instead of raising.
+    index = index.where(F.col(vec_col).isNotNull())
     # Narrow lazy checkpoint after the candidate cut: three downstream
     # references (the rel collect + both crossJoin sides) would each
     # re-run the corpus-scale TakeOrdered scan otherwise — the

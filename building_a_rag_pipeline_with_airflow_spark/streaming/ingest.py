@@ -1249,15 +1249,21 @@ def streaming_quantile_sketch(
                 "state_path (and checkpoint) to re-baseline."
             )
     else:
+        # Baseline FIRST, meta LAST: meta presence is the initialized
+        # marker (the prev_meta branch above reads the baseline
+        # unconditionally), so a crash between the two writes must leave
+        # no meta — the restart then retakes this first-invocation
+        # branch and rewrites both, instead of failing forever on a
+        # missing-baseline PATH_NOT_FOUND under orphaned meta.
+        base_sample.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/baseline"
+        )
         index_layout.write_meta(
             spark.createDataFrame(
                 [(int(k), value_col, id_col)],
                 "k int, value_col string, id_col string",
             ),
             state_path,
-        )
-        base_sample.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_path}/baseline"
         )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -3,8 +3,8 @@
 The driver compares Spark vs DuckDB at sf0.01 while local tests run at
 sf0.001 — a discrepancy that only reproduces at sf0.01 would otherwise
 surface in CORRECTNESS_r{N}.json one round too late. This script is the
-per-round insurance run (the "driver-scale drive" rule in
-.claude/skills/verify): every oracle-bearing registry query executes on
+per-round insurance run (the full-registry driver-scale sweep every
+release round runs before freezing): every oracle-bearing registry query executes on
 Spark AND on DuckDB over the same parquet and is compared with the
 exact normalization `tests/test_oracle_parity.py` uses (column-name
 sort, 9dp float guard, NaN sentinel, order-insensitive rows).

@@ -517,6 +517,25 @@ def test_mmr_topk_empty_candidates(spark):
     assert got == []
 
 
+def test_mmr_topk_null_embeddings_degrade_gracefully(spark):
+    """NULL vectors must be excluded BEFORE the candidate cut: with fewer
+    non-null vectors than fetch_k the desc sort would otherwise admit
+    NULL-scored rows and the greedy loop would crash on float(None)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = retrieval.mmr_topk(
+        df, [1.0, 0.0], k=4, fetch_k=10, id_col="vec_id"
+    ).collect()
+    assert [r.vec_id for r in got] == [1, 3]  # nulls dropped, no raise
+    # all-null index degrades to the empty frame, same schema
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id int, embedding array<double>"
+    )
+    assert retrieval.mmr_topk(allnull, [1.0, 0.0], k=2, id_col="vec_id").collect() == []
+
+
 def test_expand_retrieved_window_clips_and_orders(spark):
     """Window edges clip at document boundaries; merged text is in
     chunk_index order; window=0 degenerates to the hit chunk itself."""

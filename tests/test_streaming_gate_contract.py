@@ -253,3 +253,45 @@ def test_sketch_report_arbitrary_grain_and_baseline_guard(spark, sf_dir, tmp_pat
             raw2, ev.where(F.col("event_id") % 3 == 2), "value", "event_id",
             state, str(tmp_path / "ck2"), k=64,
         )
+
+
+def test_sketch_gate_self_heals_from_init_crash(spark, sf_dir, tmp_path):
+    """First-invocation writes go baseline FIRST, meta LAST — so a crash
+    between the two leaves state (baseline only, no meta) that the next
+    invocation treats as fresh and re-initializes, instead of the
+    pre-fix failure mode (orphaned meta -> every restart reads the
+    missing baseline and dies on PATH_NOT_FOUND forever)."""
+    import shutil
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sketch
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    ev = schemas.load_table(spark, sf_dir, "events").select("event_id", "value")
+    baseline = ev.where(F.col("event_id") % 3 == 0)
+    b1 = ev.where(F.col("event_id") % 3 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+
+    # Simulate the mid-init crash: baseline written, meta not yet.
+    sketch.bottomk_sample(baseline, "value", "event_id", 64).coalesce(
+        1
+    ).write.parquet(f"{state}/baseline")
+
+    raw = spark.readStream.schema("event_id bigint, value double").parquet(f"{src}/*")
+    q = ingest.streaming_quantile_sketch(
+        raw, baseline, "value", "event_id", state, str(tmp_path / "ck"), k=64
+    )
+    q.awaitTermination(120)
+    assert int(index_layout.read_meta(spark, state)["k"]) == 64  # healed
+    got = {
+        (r["event_id"], r["_prio"])
+        for r in ingest.read_sketch_sample(spark, state).collect()
+    }
+    exp = {
+        (r["event_id"], r["_prio"])
+        for r in sketch.bottomk_sample(b1, "value", "event_id", 64).collect()
+    }
+    assert got == exp
+    shutil.rmtree(str(tmp_path / "ck"), ignore_errors=True)

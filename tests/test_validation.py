@@ -220,3 +220,21 @@ def test_table_diff_rejects_duplicate_keys(spark):
     assert validation.table_diff(
         dup_null, dup_null, keys=["k"], assume_unique_keys=True
     ).count() >= 0  # hatch: no raise
+
+
+def test_table_diff_key_named_count(spark):
+    """The duplicate-key guard's aggregate is aliased (_td_cnt): a key
+    column literally named ``count`` must neither trip an
+    AMBIGUOUS_REFERENCE in the guard nor confuse the diff itself."""
+    import pytest
+    from building_a_rag_pipeline_with_airflow_spark.operators import validation
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "count int, v string")
+    r = spark.createDataFrame([(1, "a"), (2, "c")], "count int, v string")
+    out = {row["count"]: row.status for row in validation.table_diff(
+        l, r, keys=["count"]).collect()}
+    assert out == {2: "changed"}
+    # and the guard still fires on a duplicated 'count' key
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "count int, v string")
+    with pytest.raises(ValueError, match="primary-key"):
+        validation.table_diff(dup, r, keys=["count"])
