@@ -267,6 +267,7 @@ HEADLINE = [
     "jaccard_index_pairs",
     "minhash_signatures",
     "winnow_fingerprints",
+    "substring_dedup_documents",
     # lexical retrieval / LM stats / tokenizer
     "bm25_topk_documents",
     "bm25_batch_topk_documents",

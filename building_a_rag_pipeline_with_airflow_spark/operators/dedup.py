@@ -514,6 +514,171 @@ def winnow_fingerprints(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    max_doc_tokens: "int | None" = 100_000,
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): flag
+    every maximal token span covered by a ``k``-token window whose exact
+    (lowercased, whitespace-tokenized) text occurs at least ``min_count``
+    times across the corpus — the strongest-evidence dedup intervention
+    in the public literature, and the substring-level rung the ladder
+    above (doc-level Jaccard/MinHash/SimHash, line-level
+    ``curation.line_dedup``) was missing. The reference corpus only
+    dedups implicitly via deterministic chunk ids
+    (``Chunking_Strats/chromadb_rag.py:116``); this extends that seam.
+
+    Output: ``(id, span_start, span_end, n_windows)`` — token-index
+    spans (0-based, inclusive), one row per maximal duplicated region,
+    ``n_windows`` = how many duplicated k-windows the region merged.
+
+    Plan shape (all built-in expressions, no UDF): per-doc k-token
+    windows via ``transform`` + ``posexplode`` (linear fan-out:
+    ``n_tokens − k + 1`` rows per doc) → md5 window hash → ONE
+    map-side-combined count agg on the hash (md5-uniform keys; a
+    boilerplate window with a huge count is one skewed GROUP BY key,
+    which partial aggregation absorbs) → equi-join the ≥min_count hash
+    set back (one row per hash on the build side — output is bounded by
+    the window count, never quadratic; AQE handles a hot probe key) →
+    per-doc span merge. The merge is gaps-and-islands: windows all have
+    length k, so coverage is contiguous iff consecutive flagged
+    positions differ by ≤ k — a single ``lag`` window partitioned BY
+    DOCUMENT (group size ≤ doc windows, never corpus-scale).
+
+    The O(n·k) window-text materialization is the deliberate Spark-first
+    trade against Lee et al.'s O(n) suffix array: every stage stays a
+    codegen'd built-in over shuffle keys an external oracle reproduces
+    (md5), and the constant k is the budget knob. ``max_doc_tokens``
+    (the `baskets.max_items` convention) EXCLUDES pathological documents
+    from windowing — the transform materializes one window-hash array
+    per row, so an unbounded document is an unbounded task; pass None
+    only for length-gated inputs. The window table feeds two branches
+    (count agg + join-back) and is recomputed per branch — deliberately
+    not persisted, per the measured `ngram_jaccard_pairs` precedent.
+
+    Defaults follow the paper (k=50 tokens, any second occurrence
+    counts); short-document corpora need smaller k (a 50-token window
+    cannot repeat inside 60-token docs unless they are near-identical).
+    """
+    pre = ensure_min_partitions(df).where(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    if max_doc_tokens is not None:
+        pre = pre.where(F.size("_toks") <= int(max_doc_tokens))
+    wins = pre.where(F.size("_toks") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "_h"),
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_h")
+    )
+    hits = wins.join(dup, "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k - 1).cast("int").alias("span_end"),
+            F.count("*").cast("int").alias("n_windows"),
+        )
+        .drop("_island")
+    )
+
+
+def scrub_duplicate_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    max_doc_tokens: "int | None" = 100_000,
+) -> DataFrame:
+    """Rebuild each document with every :func:`duplicate_substring_spans`
+    region removed — the scrub side of Lee et al. 2021's ExactSubstr
+    intervention. This variant removes EVERY occurrence of a duplicated
+    span (all covered tokens), the conservative form: keeping exactly one
+    canonical occurrence would need a global (doc, pos) argmin per window
+    hash whose kept-region unions interact across overlapping windows —
+    cost without measurable training benefit in the public results.
+
+    Output: ``(id, text, n_tokens, n_dup_spans, dup_tokens)`` — the
+    scrubbed text (lowercased, single-space joined: the same canonical
+    form ``normalized_text`` establishes for the doc-level rung),
+    original token count, span count and covered-token count (0 for
+    untouched docs; ``dup_tokens / n_tokens`` is the corpus duplication
+    rate Lee et al. report).
+
+    Scale shape: the spans table aggregates per doc (collect_list of
+    span structs — bounded by spans-per-doc ≤ tokens/k), LEFT-joins back
+    to the token table on the id, and token filtering is a per-row
+    higher-order ``filter``/``exists`` over (tokens × spans) — per-doc
+    bounded, interpreted-HOF cost paid only on span-bearing rows.
+
+    Documents over ``max_doc_tokens`` pass through UNSCRUBBED (no spans
+    are computed for them, and their windows don't count toward corpus
+    frequencies — the spans-side cap) rather than vanishing: a scrub
+    that silently drops documents is a different, more destructive
+    operator than one that skips them."""
+    spans = duplicate_substring_spans(
+        df, text_col, id_col, k=k, min_count=min_count,
+        max_doc_tokens=max_doc_tokens,
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("int")
+        .alias("dup_tokens"),
+    )
+    pre = ensure_min_partitions(df).where(
+        F.length(F.trim(F.col(text_col))) > 0
+    ).select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    j = pre.join(agg, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text"),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1292,6 +1292,89 @@ def simhash_documents_q(spark, sf_dir):
     return dedup.simhash(docs).orderBy("doc_id")
 
 
+@q(
+    "substring_dedup_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[(i + 1):(i + 8)], ' ')) AS h
+      FROM base, unnest(range(0, greatest(len(toks) - 7, 0))) AS t(i)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+             CAST(sum(e - s + 1) AS INT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT b.doc_id,
+             coalesce(string_agg(CASE WHEN sp.doc_id IS NULL
+                                      THEN b.toks[u.j + 1] END,
+                                 ' ' ORDER BY u.j), '') AS text
+      FROM base b
+      CROSS JOIN unnest(range(0, len(b.toks))) AS u(j)
+      LEFT JOIN spans sp
+        ON sp.doc_id = b.doc_id AND u.j BETWEEN sp.s AND sp.e
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id, md5(k.text) AS kept_h,
+           CAST(len(b.toks) AS INT) AS n_tokens,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0)::DOUBLE / len(b.toks), 4)
+             AS dup_fraction
+    FROM base b
+    LEFT JOIN per_doc p USING (doc_id)
+    JOIN kept k ON k.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def substring_dedup_documents(spark, sf_dir):
+    """Exact duplicated-substring scrub (Lee et al. 2021 ExactSubstr —
+    the substring-level dedup rung): flag every maximal span covered by
+    an 8-token window repeating verbatim anywhere in the corpus, and
+    rebuild each document without the flagged tokens. k=8 rather than
+    the paper's 50 because the synthetic documents run 10-99 tokens
+    (the planted near-dups repeat at that grain — ~2.1k duplicated
+    windows across 47 docs at sf0.01); the operator default stays 50.
+    Output hashes the scrubbed text (driver row stays narrow while
+    value-checking exact rebuilt bytes) plus the per-doc span count,
+    covered-token count, and duplication fraction Lee et al. report."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.scrub_duplicate_substrings(docs, k=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("kept_h"),
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_fraction"
+        ),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Vector / retrieval (V1-V3, J3) over the embeddings table
 # --------------------------------------------------------------------------

@@ -312,3 +312,118 @@ def test_zipf_vocab_rank_no_global_data_window(spark, sf_dir):
     # ...and the data-sized one (producing _rn) is keyed by _pid
     data_wins = [ln for ln in win_lines if "_rn" in ln]
     assert data_wins and all("_pid" in ln for ln in data_wins)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring dedup (Lee et al. 2021 — dedup.duplicate_
+# substring_spans / scrub_duplicate_substrings); corpus-scale differential
+# checks live in the substring_dedup_documents oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_hand_computed(spark):
+    """Cross-doc 3-token repeats are flagged on every occurrence; unique
+    text and sub-k docs produce no spans."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q a b c r x y z"),
+        (3, "u v w m n o p s"),
+        (4, "t1 t2"),  # shorter than k -> no windows at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in dedup.duplicate_substring_spans(df, k=3).collect()
+    }
+    assert got == {
+        (1, 0, 2): 1, (1, 5, 7): 1,  # "a b c" + "x y z" in doc 1
+        (2, 1, 3): 1, (2, 5, 7): 1,  # same runs, shifted, in doc 2
+    }
+
+
+def test_substring_spans_merge_overlap_and_adjacency(spark):
+    """Windows merging rules: overlap (gap < k) and exact adjacency
+    (gap == k) merge into one span; gap > k splits. 'a b c a b c'
+    repeats its own window at distance exactly k — the self-repetition
+    + boundary case in one."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [
+        (1, "a b c a b c"),              # windows 'a b c' at pos 0 and 3
+        (2, "p q r s t u a b c v w p q r s t u"),  # 'p q r s t u' twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in dedup.duplicate_substring_spans(df, k=3).collect()
+    }
+    # doc 1: pos 0 and 3, gap == k -> ONE span covering the whole doc
+    assert got == {(1, 0, 5): 2, (2, 0, 8): 5, (2, 11, 16): 4}
+    # doc 2: the first 'p q r s t u' run yields overlapping dup windows
+    # at pos 0-3 and doc1's shared 'a b c' window at pos 6 — gap == k
+    # from pos 3, so coverage is contiguous through token 8 and the two
+    # regions MERGE (5 windows); the second run (pos 11-14) stands alone.
+
+
+def test_scrub_duplicate_substrings_rebuild_and_counts(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q a b c r x y z"),
+        (3, "u v w m n o p s"),
+        (4, "t1 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in dedup.scrub_duplicate_substrings(df, k=3).collect()}
+    assert got[1].text == "d e" and got[1].n_dup_spans == 2 and got[1].dup_tokens == 6
+    assert got[2].text == "q r" and got[2].dup_tokens == 6
+    assert got[3].text == "u v w m n o p s" and got[3].n_dup_spans == 0
+    assert got[4].text == "t1 t2" and got[4].n_tokens == 2  # sub-k passthrough
+    # a fully-duplicated doc survives as an empty string, not a lost row
+    dup_all = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup.scrub_duplicate_substrings(
+        dup_all, k=3).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_substring_dedup_case_and_whitespace_canonical(spark):
+    """Windows hash the lowercased whitespace-tokenized form: case and
+    run-length whitespace differences still match (the normalized_text
+    dedup canonicalization, applied token-wise)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [(1, "Alpha  Beta\tGamma end1"), (2, "alpha beta gamma end2")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = dedup.duplicate_substring_spans(df, k=3).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in spans} == {
+        (1, 0, 2), (2, 0, 2)
+    }
+
+
+def test_substring_dedup_max_doc_tokens_guard(spark):
+    """Oversize docs are excluded from windowing (their text can't flag
+    other docs) but PASS THROUGH the scrub unscrubbed — a scrub that
+    drops documents would be silently destructive."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    big_text = " ".join(f"w{i}" for i in range(30)) + " a b c"
+    rows = [(1, big_text), (2, "a b c tail here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # cap excludes doc 1 (33 tokens) -> 'a b c' occurs once in-window
+    spans = dedup.duplicate_substring_spans(
+        df, k=3, max_doc_tokens=20
+    ).collect()
+    assert spans == []
+    out = {r.doc_id: r for r in dedup.scrub_duplicate_substrings(
+        df, k=3, max_doc_tokens=20).collect()}
+    assert set(out) == {1, 2}  # both docs present
+    assert out[1].n_dup_spans == 0 and out[1].n_tokens == 33
+    # without the cap the shared run is flagged in both
+    full = {r.doc_id: r.n_dup_spans for r in dedup.scrub_duplicate_substrings(
+        df, k=3, max_doc_tokens=None).collect()}
+    assert full == {1: 1, 2: 1}

@@ -668,6 +668,22 @@ def test_scd2_windows_are_keyed(spark, sf_dir):
             assert "c_custkey" in line  # every window carries the key
 
 
+def test_substring_dedup_windows_are_doc_keyed_no_cartesian(spark, sf_dir):
+    """The exact-substring rung's span merge must stay a PER-DOCUMENT
+    window (gaps-and-islands keyed by doc_id — a global-order lag would
+    single-partition the corpus), and the dup-hash join-back must be an
+    equi-join, never a cartesian."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
+
+    df = REGISTRY["substring_dedup_documents"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "doc_id" in line  # every window carries the doc key
+
+
 def test_benford_total_broadcasts(spark, sf_dir):
     from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
 
