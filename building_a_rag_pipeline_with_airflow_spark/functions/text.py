@@ -129,6 +129,52 @@ def normalized_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def html_to_text(col: Column | str) -> Column:
+    """HTML boilerplate strip for the fetch path: the reference's S5 fetch
+    (``Chunking_Strats/chromadb_rag.py:35-46``) returns raw
+    ``response.text`` — which for real URLs is HTML — and chunks it as-is,
+    markup and all. This inserts the missing cleanup between fetch and
+    chunking: drop ``<script>``/``<style>`` blocks WITH their contents,
+    drop comments, strip every remaining tag (tag → space so adjacent
+    text nodes never weld into one token), decode the common named/
+    numeric entities, and collapse whitespace.
+
+    Pure ``regexp_replace`` chain — codegen'd, zero shuffle, and every
+    pattern is RE2-compatible (inline ``(?is)`` flags, non-greedy
+    quantifiers, no lookarounds), so an external SQL oracle replays the
+    chain byte-identically. ``&amp;`` decodes LAST, so ``&amp;lt;`` in
+    the source correctly yields the literal text ``&lt;`` rather than
+    double-decoding to ``<``. Not a full HTML5 parser by design: CDATA,
+    exotic entities, and malformed markup beyond these patterns pass
+    through as text — production can swap in a real extractor
+    (trafilatura-class) behind the same column contract.
+
+    The (pattern, replacement) chain lives in :data:`HTML_STRIP_CHAIN` so
+    the SQL oracle is BUILT from the same table the engine folds — the
+    two can't drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_CHAIN:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+#: The html_to_text regex chain, in application order. Every pattern is
+#: RE2-compatible; entity decode order matters (&amp; strictly last).
+HTML_STRIP_CHAIN: "tuple[tuple[str, str], ...]" = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    (r"(?i)&nbsp;", " "),
+    (r"(?i)&lt;", "<"),
+    (r"(?i)&gt;", ">"),
+    (r"(?i)&quot;", '"'),
+    (r"(?i)&(#39|apos);", "'"),
+    (r"(?i)&amp;", "&"),
+    (r"\s+", " "),
+)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of the normalized text.
 

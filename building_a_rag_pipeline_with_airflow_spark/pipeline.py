@@ -47,13 +47,24 @@ def build_index(
     dim: int = DEFAULT_DIM,
     embed_fn=None,
     keep_cols: tuple[str, ...] = (),
+    html: bool = False,
 ) -> DataFrame:
     """documents → chunks → embeddings index DataFrame.
+
+    ``html=True`` inserts :func:`functions.text.html_to_text` between the
+    fetched documents and chunking — the cleanup the reference's S5 fetch
+    path (raw ``response.text``, ``chromadb_rag.py:35-46``) skips, so its
+    chunks carry markup. A codegen'd projection: no extra shuffle, no
+    extra pass.
 
     Keeps doc metadata columns named in ``keep_cols`` (hybrid-search
     predicates); at scale, persist with
     ``index.write.partitionBy(*keep_cols).parquet(path)`` so V3 prefilters
     prune partitions."""
+    if html:
+        from building_a_rag_pipeline_with_airflow_spark.functions.text import html_to_text
+
+        docs = docs.withColumn("text", html_to_text("text"))
     chunks = chunk_documents(docs, strategy)
     if keep_cols:
         meta = docs.select("doc_id", *keep_cols)
@@ -92,11 +103,15 @@ def rag_pipeline(
     query_text: str,
     strategy: str = "fixed",
     k: int = 5,
+    html: bool = False,
 ) -> DataFrame:
     """Full E1 flagship: load documents, index, retrieve. Returns the ranked
-    top-k chunk DataFrame (rank, chunk_id, doc_id, score, text...)."""
+    top-k chunk DataFrame (rank, chunk_id, doc_id, score, text...).
+    ``html=True`` strips HTML boilerplate before chunking (see
+    :func:`build_index`) — the knob for corpora landed straight from the
+    S5 fetch path."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    index = build_index(docs, strategy=strategy)
+    index = build_index(docs, strategy=strategy, html=html)
     return retrieve_chunks(index, query_text, k=k)
 
 

@@ -1292,6 +1292,74 @@ def simhash_documents_q(spark, sf_dir):
     return dedup.simhash(docs).orderBy("doc_id")
 
 
+_HTML_WRAP_PRE = "<html><head><title>Doc "
+_HTML_WRAP_MID = (
+    '</title><style type="text/css">p  { color: red; }</style></head><body>'
+    '<script type="text/javascript">if (a < b && c > d) { alert("boiler"); }'
+    "</script><!-- hidden comment {not text} -->"
+    '<h1 class="t">Header&nbsp;&amp;amp; &#39;q&apos; &quot;z&quot; 1&lt;2 '
+    "&amp;lt;esc</h1>  <p>"
+)
+_HTML_WRAP_SUF = "</p><br/><div >tail</div></body></html>"
+
+
+def _html_chain_sql(expr: str) -> str:
+    """Fold functions.text.HTML_STRIP_CHAIN into nested DuckDB
+    regexp_replace calls — the oracle is BUILT from the same
+    (pattern, replacement) table the engine applies, so they can't
+    drift. Every pattern is RE2-compatible by the chain's contract."""
+    for pat, rep in tx.HTML_STRIP_CHAIN:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+@q(
+    "html_to_text_documents",
+    f"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '{_HTML_WRAP_PRE}' || CAST(doc_id AS VARCHAR)
+               || '{_HTML_WRAP_MID}' || text || '{_HTML_WRAP_SUF}' AS h
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, {_html_chain_sql('h')} AS clean FROM wrapped
+    )
+    SELECT doc_id, md5(clean) AS clean_h,
+           CAST(length(clean) AS INT) AS clean_len,
+           CAST(len(string_split(clean, ' ')) AS INT) AS n_tokens
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def html_to_text_documents(spark, sf_dir):
+    """HTML boilerplate strip (the S5 fetch-path cleanup,
+    `chromadb_rag.py:35-46` returns raw response.text and chunks the
+    markup): each document is wrapped in-plan in an HTML page exercising
+    every chain rule — script/style blocks with tag-like content inside,
+    comments, attributes, all seven entity decodes including the
+    double-escape `&amp;amp;`/`&amp;lt;` order trap and a tag-split word
+    boundary — then stripped with functions.text.html_to_text and
+    value-checked byte-exactly (md5 + length + token count) against the
+    DuckDB replay of the same chain. Codegen'd projection: zero shuffle,
+    zero UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit(_HTML_WRAP_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_WRAP_MID),
+        F.col("text"),
+        F.lit(_HTML_WRAP_SUF),
+    )
+    clean = tx.html_to_text(wrapped)
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_h"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.size(F.split(clean, " ")).cast("int").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 @q(
     "substring_dedup_documents",
     r"""

@@ -236,3 +236,62 @@ def test_adjacent_overlap_matches_constant(spark, docs):
     assert by_key[(1, 0)] == 0
     assert by_key[(1, 1)] == 50  # interior chunks overlap by exactly CHUNK_OVERLAP
     assert by_key[(3, 1)] == 1   # 351-char doc: second chunk is 1 char
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (functions.text.html_to_text) + pipeline wiring
+# ---------------------------------------------------------------------------
+
+
+def test_html_to_text_rules(spark):
+    """Every chain rule: script/style contents dropped (even with tag-like
+    text inside), comments dropped, tags become spaces (no word welding),
+    entities decode with &amp; LAST (double-escapes stay text), whitespace
+    collapses."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.functions import text as tx
+
+    cases = [
+        ("<p>hello</p><p>world</p>", "hello world"),
+        ("<script>var a = '<div>' && 1 < 2;</script>kept", "kept"),
+        ("<style>p { color: red; }</style>kept", "kept"),
+        ("a<!-- <b>hidden</b> -->b", "a b"),
+        ("one<br/>two", "one two"),  # tag -> space, words not welded
+        ("x&nbsp;y", "x y"),
+        ("&lt;tag&gt; &quot;q&quot; &#39;a&#39; &apos;b&apos;", "<tag> \"q\" 'a' 'b'"),
+        ("&amp;amp; &amp;lt;", "&amp; &lt;"),  # decode-order trap
+        ("  a \t b\n\nc  ", "a b c"),
+        ("<SCRIPT>x</SCRIPT><STYLE>y</STYLE>ok", "ok"),  # case-insensitive
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r.i: r.clean
+        for r in df.select("i", tx.html_to_text("html").alias("clean")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_build_index_html_wiring(spark):
+    """rag wiring: build_index(html=True) chunks the STRIPPED text — an
+    HTML fixture indexes identically to its pre-cleaned text, and the
+    markup tokens never reach the chunker."""
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+    plain = "alpha beta gamma delta epsilon zeta"
+    html = (
+        "<html><head><style>p{x}</style><script>var q=1;</script></head>"
+        "<body><h1>alpha beta</h1><p>gamma delta</p> epsilon&nbsp;zeta</body></html>"
+    )
+    docs_html = spark.createDataFrame([(1, html)], "doc_id int, text string")
+    docs_plain = spark.createDataFrame([(1, plain)], "doc_id int, text string")
+    got = build_index(docs_html, strategy="fixed", html=True).select(
+        "chunk_id", "text").collect()
+    want = build_index(docs_plain, strategy="fixed").select(
+        "chunk_id", "text").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    raw = build_index(docs_html, strategy="fixed").select("text").collect()
+    assert any("<script>" in r.text for r in raw)  # without the knob, markup chunks
