@@ -162,35 +162,55 @@ def mixture_reweight(
 
     Returns ``(sampled_df, plan_df)``; the plan (stratum, total, weight,
     fraction, cut) is the auditable record a dataset release ships."""
-    import math
+    counts = _stratum_counts(df, strata_col, "mixture_reweight")
+    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "mixture_reweight: weights must be > 0 (drop a domain by "
+            "filtering it out, not by zero-weighting it)"
+        )
+    full = {s: float(weights.get(s, default_weight)) for s in counts}
+    return _mixture_plan_apply(df, strata_col, counts, full, key, salt)
 
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).count().collect()
-    }
+
+def _stratum_counts(df: DataFrame, strata_col: str, op: str) -> dict:
+    """Stratum → row count (strata are domains — a handful of rows
+    collected to the driver), with the shared mixture guards."""
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
     if not counts:
-        raise ValueError("mixture_reweight: input has no rows")
+        raise ValueError(f"{op}: input has no rows")
     if None in counts:
         # A NULL stratum would count into the plan and the scarcest-stratum
         # cap but silently vanish at the apply equi-join (NULL never
         # matches), leaving the plan table claiming a fraction for rows the
         # sample dropped. Make the caller decide.
         raise ValueError(
-            f"mixture_reweight: {counts[None]} rows have NULL "
-            f"{strata_col!r}; filter them out or fill a sentinel stratum "
-            "before reweighting"
+            f"{op}: {counts[None]} rows have NULL {strata_col!r}; filter "
+            "them out or fill a sentinel stratum before reweighting"
         )
-    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
-        raise ValueError(
-            "mixture_reweight: weights must be > 0 (drop a domain by "
-            "filtering it out, not by zero-weighting it)"
-        )
-    cap = min(
-        n / weights.get(s, default_weight) for s, n in counts.items()
-    )
+    return counts
+
+
+def _mixture_plan_apply(
+    df: DataFrame,
+    strata_col: str,
+    counts: Mapping[str, int],
+    weights: Mapping[str, float],
+    key: str,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared mixture core: feasible total capped by the scarcest
+    stratum (``cap = min(n_s / w_s)``), per-stratum keep fraction
+    ``min(1, cap * w_s / n_s)``, threshold ``floor(fraction * BUCKETS)``
+    (floor, not round — any SQL engine reproduces it bit-for-bit; Python
+    ``round`` is banker's), apply via one broadcast plan join + the
+    map-side :func:`hash_bucket` predicate. Every stratum must appear in
+    ``weights`` (callers resolve defaults)."""
+    import math
+
+    cap = min(n / weights[s] for s, n in counts.items())
     plan_rows = []
     for s, n in sorted(counts.items()):
-        wt = weights.get(s, default_weight)
+        wt = weights[s]
         frac = min(1.0, cap * wt / n)
         plan_rows.append((s, n, float(wt), frac, int(math.floor(frac * BUCKETS))))
     plan_df = df.sparkSession.createDataFrame(
@@ -204,6 +224,46 @@ def mixture_reweight(
         .drop("cut")
     )
     return sampled, plan_df
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    alpha: float = 0.5,
+    salt: str = "tempmix",
+) -> tuple[DataFrame, DataFrame]:
+    """Temperature-scaled domain mixture (the GPT-3/Pile-style public
+    pretraining recipe): instead of hitting explicit target weights like
+    :func:`mixture_reweight`, sample each domain toward the share
+    ``p_s^alpha / sum_j p_j^alpha`` — alpha in (0, 1) flattens the natural
+    distribution, upweighting small high-quality sources without starving
+    the crawl-sized head (alpha ≈ 0.3-0.7 in the published recipes;
+    alpha = 1 is exactly proportional and keeps everything — pinned by
+    test). Deletion-only, like every mixture here: no duplication.
+
+    The alpha-weights are ``n_s^alpha`` — proportional to ``p_s^alpha``
+    (the common ``N^alpha`` cancels in the mixture normalization), so the
+    whole plan derives from one stratum-count aggregate. Planning,
+    thresholds, the auditable plan table, and the map-side content-hash
+    apply are the shared :func:`mixture_reweight` core; the achieved mix
+    hits the temperature-scaled shares at the largest feasible total
+    (capped by the scarcest post-scaling stratum).
+
+    Returns ``(sampled_df, plan_df)``; plan schema identical to
+    `mixture_reweight`'s (weight = the n^alpha stratum weight)."""
+    import math
+
+    alpha = float(alpha)
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"temperature_mixture: alpha must be in (0, 1], got {alpha} "
+            "(alpha > 1 sharpens the head — use explicit mixture_reweight "
+            "weights if that is really intended)"
+        )
+    counts = _stratum_counts(df, strata_col, "temperature_mixture")
+    weights = {s: math.pow(n, alpha) for s, n in counts.items()}
+    return _mixture_plan_apply(df, strata_col, counts, weights, key, salt)
 
 
 def hash_uniform(key: Column | str, salt: str = "") -> Column:

@@ -3599,6 +3599,71 @@ def mixture_reweight_documents(spark, sf_dir):
 
 
 @q(
+    "temperature_mixture_documents",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS total
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, total, pow(total, 0.5) AS weight FROM counts
+    ),
+    capped AS (SELECT min(total / weight) AS cap FROM weighted),
+    plan AS (
+      SELECT source, total, weight,
+             least(1.0, (SELECT cap FROM capped) * weight / total) AS fraction,
+             CAST(floor(least(1.0, (SELECT cap FROM capped) * weight / total)
+                        * {sampling.BUCKETS}) AS BIGINT) AS cut
+      FROM weighted
+    ),
+    kept AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS kept
+      FROM documents d JOIN plan p ON p.source = d.source
+      WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR || 'tempmix'), 1, 15)
+                 AS BIGINT) % {sampling.BUCKETS} < p.cut
+      GROUP BY d.source
+    )
+    SELECT p.source, p.total, coalesce(k.kept, 0) AS kept,
+           round(p.fraction, 4) AS fraction,
+           round(p.weight / (SELECT sum(weight) FROM weighted), 4)
+             AS target_share
+    FROM plan p LEFT JOIN kept k ON k.source = p.source
+    ORDER BY p.source
+    """,
+)
+def temperature_mixture_documents(spark, sf_dir):
+    """Temperature-scaled mixture sampling audit (alpha = 0.5, the
+    GPT-3/Pile-style recipe): each source sampled toward share
+    p^alpha / sum p^alpha — small sources upweighted without starving the
+    head — at the largest feasible total. Reports per-source planned
+    fraction, achieved kept count, and the temperature-scaled target
+    share; the alpha math (pow, scarcest-stratum cap, floor thresholds)
+    replays in DuckDB over the same stratum counts, and the apply step is
+    the map-only content-hash predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled, plan = sampling.temperature_mixture(
+        docs, "source", key="doc_id", alpha=0.5
+    )
+    kept = sampled.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("kept")
+    )
+    wsum = Window.partitionBy(F.lit(1))
+    return (
+        plan.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "total",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+            F.round("fraction", 4).alias("fraction"),
+            F.round(
+                F.col("weight") / F.sum("weight").over(wsum), 4
+            ).alias("target_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "stratified_sample_customers",
     f"""
     SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal

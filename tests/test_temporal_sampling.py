@@ -215,6 +215,44 @@ def test_mixture_reweight_proportions_and_determinism(spark, sf_dir):
     assert len(a) == s1.count() and s1.count() < docs.count()
 
 
+def test_temperature_mixture_math_and_reduction(spark):
+    """alpha=0.5 over a skewed 2-stratum corpus: target shares follow
+    sqrt(n), the scarce stratum keeps everything (it IS the cap), the
+    head downsamples to hit the temperature-scaled ratio; alpha=1
+    reduces to exactly proportional (every fraction 1.0, nothing
+    dropped); alpha outside (0,1] and NULL strata raise."""
+    import math
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sampled, plan = sampling.temperature_mixture(
+        df, "source", key="doc_id", alpha=0.5
+    )
+    pl = {r.source: r for r in plan.collect()}
+    assert pl["small"].fraction == 1.0  # scarcest stratum defines the cap
+    # big's planned fraction: cap = min(n/sqrt(n)) = sqrt(100); frac =
+    # cap*sqrt(900)/900
+    want = min(1.0, math.sqrt(100) * math.sqrt(900) / 900)
+    assert abs(pl["big"].fraction - want) < 1e-12
+    kept = {r.source: r.cnt for r in sampled.groupBy("source").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert kept["small"] == 100
+    # achieved mix ~ sqrt-proportional: 300:100 = 3:1 (hash granularity)
+    assert abs(kept["big"] / kept["small"] - 3.0) < 0.2
+    s1, plan1 = sampling.temperature_mixture(df, "source", key="doc_id", alpha=1.0)
+    assert {r.fraction for r in plan1.collect()} == {1.0}
+    assert s1.count() == df.count()
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mixture(df, "source", key="doc_id", alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mixture(df, "source", key="doc_id", alpha=1.5)
+    null_df = spark.createDataFrame([(1, None), (2, "a")], "k long, source string")
+    with pytest.raises(ValueError, match="NULL"):
+        sampling.temperature_mixture(null_df, "source", key="k")
+
+
 def test_mixture_reweight_rejects_null_strata(spark):
     import pytest as _pytest
 
