@@ -1300,6 +1300,149 @@ def read_sketch_sample(spark: SparkSession, state_path: str) -> DataFrame:
     ).limit(int(meta["k"]))
 
 
+def streaming_cluster_safe_split(
+    rows_stream: DataFrame,
+    components_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    eval_fraction: float = 0.1,
+    salt: str = "split",
+    available_now: bool = True,
+):
+    """Streaming leakage-safe train/eval assignment: incoming documents
+    are assigned as they arrive, CONSISTENTLY with a frozen near-dup
+    component map — the streaming form of
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.sampling.cluster_safe_split`,
+    composed with the gate-family mechanics (frozen state, O(batch)
+    replay-idempotent partials, read-side fold ≡ batch operator).
+
+    Why the map freezes: the assignment is a pure function of
+    ``(id, component map, eval_fraction, salt)``. If the map changed
+    between batches, the same document family could land on BOTH sides
+    across batches — exactly the leakage the operator exists to prevent.
+    So the component map is written once (``<state_path>/components``),
+    its identity is enforced on every restart (count + order-independent
+    md5-fold checksum — the map at scale is too large for a collected
+    set comparison), and ``(id_col, comp_col, eval_fraction, salt)``
+    freeze in ``<state_path>/meta``; any mismatch raises (the family
+    rule). Re-clustering means a NEW split under a fresh state_path —
+    an intentional, visible re-assignment, never a silent drift.
+
+    Each micro-batch left-joins the frozen map (one equi-join; the map
+    side is pair-bearing docs only) and writes narrow assignment rows
+    ``(id, split_key, split)`` under a replay-idempotent ``_batch_id``
+    partition. Because assignment is stateless given the frozen inputs,
+    the accumulated assignments are IDENTICAL to batch
+    ``cluster_safe_split`` over the accumulated stream (parity-tested).
+    Write order follows the crash-safe family rule: components first,
+    meta LAST (meta presence is the initialized marker)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(
+            f"eval_fraction must be in [0, 1], got {eval_fraction}"
+        )
+    spark = rows_stream.sparkSession
+    comp = components_df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(comp_col).cast("string").alias(comp_col),
+    )
+
+    def _fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.bit_xor(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("\x1f", id_col, comp_col)),
+                            1, 15,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("fp"),
+        ).first()
+        return int(row["n"]), int(row["fp"])
+
+    prev_meta = index_layout.read_meta_or_none(spark, state_path)
+    n, fp = _fingerprint(comp)
+    if prev_meta is not None:
+        if (
+            prev_meta["id_col"] != id_col
+            or prev_meta["comp_col"] != comp_col
+            or float(prev_meta["eval_fraction"]) != float(eval_fraction)
+            or prev_meta["salt"] != salt
+        ):
+            raise ValueError(
+                f"streaming_cluster_safe_split: {state_path}/meta froze "
+                f"(id_col={prev_meta['id_col']!r}, comp_col="
+                f"{prev_meta['comp_col']!r}, eval_fraction="
+                f"{float(prev_meta['eval_fraction'])}, salt="
+                f"{prev_meta['salt']!r}) but this invocation asks for "
+                f"(id_col={id_col!r}, comp_col={comp_col!r}, "
+                f"eval_fraction={float(eval_fraction)}, salt={salt!r}); "
+                "changing any of them re-assigns documents mid-stream. "
+                "Use a fresh state_path (and checkpoint) to change them."
+            )
+        if (int(prev_meta["n_components"]), int(prev_meta["comp_fp"])) != (n, fp):
+            raise ValueError(
+                f"streaming_cluster_safe_split: {state_path}/components "
+                "holds a DIFFERENT component map; assigning new arrivals "
+                "against a mutated map can put one near-dup family on both "
+                "sides across batches — the leakage this operator exists "
+                "to prevent. Re-cluster into a fresh state_path (and "
+                "checkpoint) to re-split."
+            )
+    else:
+        comp.write.mode("overwrite").parquet(f"{state_path}/components")
+        index_layout.write_meta(
+            spark.createDataFrame(
+                [(id_col, comp_col, float(eval_fraction), salt, n, fp)],
+                "id_col string, comp_col string, eval_fraction double, "
+                "salt string, n_components bigint, comp_fp bigint",
+            ),
+            state_path,
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frozen = batch_df.sparkSession.read.parquet(f"{state_path}/components")
+        assigned = sampling.cluster_safe_split(
+            batch_df.withColumn(id_col, F.col(id_col).cast("string")),
+            frozen,
+            id_col=id_col,
+            comp_col=comp_col,
+            eval_fraction=eval_fraction,
+            salt=salt,
+        )
+        (
+            assigned.select(id_col, "split_key", "split")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    return index_layout.start_extender(
+        rows_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_split_assignments(spark: SparkSession, state_path: str) -> DataFrame:
+    """The accumulated streamed assignments ``(id, split_key, split)`` —
+    row-identical (parity-tested) to batch ``cluster_safe_split`` over
+    the accumulated stream against the frozen component map. A replayed
+    batch's rows were overwritten in place, so no dedup is needed."""
+    return spark.read.parquet(f"{state_path}/batches").drop("_batch_id")
+
+
 def read_sketch_report(
     spark: SparkSession, state_path: str, n_bins: int = 10, eps: float = 1e-6
 ) -> DataFrame:

@@ -998,3 +998,111 @@ def test_streaming_ivf_extender_refuses_narrowing_id(spark, tmp_path):
     q = ingest.streaming_extend_ivf_index(stream, idx, str(tmp_path / "nckpt"))
     with pytest.raises(Exception, match="NARROW"):
         q.awaitTermination(120)
+
+
+def test_streaming_cluster_safe_split_matches_batch(spark, tmp_path):
+    """Streamed split assignments must equal batch cluster_safe_split over
+    the accumulated stream against the frozen component map — after one
+    batch, after a fresh-checkpoint replay, and after a second batch; a
+    near-dup family arriving ACROSS batches still lands on one side (the
+    reason the map freezes)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    rows = [(str(i), f"text {i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # families of 3 (0-2 -> '0', 3-5 -> '3', ...) over the first 30 ids,
+    # members deliberately split across the two arrival batches below
+    comp = spark.createDataFrame(
+        [(str(i), str(i - i % 3)) for i in range(30)],
+        "doc_id string, component string",
+    )
+    b1 = docs.where(F.col("doc_id").cast("int") % 2 == 0)
+    b2 = docs.where(F.col("doc_id").cast("int") % 2 == 1)
+    src = tmp_path / "css_src"
+    src.mkdir()
+    state, ck = str(tmp_path / "css_state"), str(tmp_path / "css_ck")
+    schema = "doc_id string, text string"
+
+    def run(checkpoint):
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = ingest.streaming_cluster_safe_split(
+            raw, comp, state, checkpoint, eval_fraction=0.3
+        )
+        q.awaitTermination(120)
+
+    def streamed():
+        return sorted(map(tuple, ingest.read_split_assignments(spark, state)
+                          .select("doc_id", "split_key", "split").collect()))
+
+    def batch(df):
+        return sorted(map(tuple, sampling.cluster_safe_split(
+            df, comp, eval_fraction=0.3
+        ).select("doc_id", "split_key", "split").collect()))
+
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run(ck)
+    first = streamed()
+    assert first == batch(b1)
+
+    run(str(tmp_path / "css_ck2"))  # fresh-checkpoint replay: no change
+    assert streamed() == first
+
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run(ck)
+    got = streamed()
+    assert got == batch(b1.unionByName(b2))
+    # cross-batch family atomicity: every component's members share a side
+    by_key = {}
+    for doc_id, key, split in got:
+        by_key.setdefault(key, set()).add(split)
+    fam = {k: v for k, v in by_key.items() if int(k) < 30}
+    assert fam and all(len(v) == 1 for v in fam.values())
+    assert {s for v in by_key.values() for s in v} == {"train", "eval"}
+
+
+def test_streaming_cluster_safe_split_frozen_guards(spark, tmp_path):
+    """The family's frozen-state rules: a mutated component map, or
+    changed (eval_fraction | salt | columns), raises before any partial
+    is written; an identical restart is accepted."""
+    import pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.createDataFrame(
+        [(str(i), f"t {i}") for i in range(20)], "doc_id string, text string"
+    )
+    comp = spark.createDataFrame(
+        [(str(i), str(i - i % 2)) for i in range(10)],
+        "doc_id string, component string",
+    )
+    src = tmp_path / "cssg_src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "d1"))
+    state = str(tmp_path / "cssg_state")
+    schema = "doc_id string, text string"
+
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = ingest.streaming_cluster_safe_split(
+        raw, comp, state, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    # identical restart: accepted
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = ingest.streaming_cluster_safe_split(
+        raw, comp, state, str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+
+    mutated = comp.withColumn("component", F.concat(F.col("component"), F.lit("x")))
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="DIFFERENT component map"):
+        ingest.streaming_cluster_safe_split(
+            raw, mutated, state, str(tmp_path / "ck3")
+        )
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="froze"):
+        ingest.streaming_cluster_safe_split(
+            raw, comp, state, str(tmp_path / "ck4"), eval_fraction=0.5
+        )
