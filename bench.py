@@ -69,6 +69,27 @@ a diff — its cost is the curate_corpus_e2e tail line ×2 plus small
 constant, already tracked; the driver's sf0.01 correctness row (~16 s)
 is its per-round evidence.
 
+r9 notes:
+
+* NEW headline row substring_dedup_documents (the Lee et al. 2021
+  ExactSubstr rung, k=8): ~1.2 s warm at sf0.1 in a quiet session
+  (measured at landing). 5x organic scale check
+  (scripts/scale_check_r9.py, token-suffix replicas so dup-window mass
+  grows linearly): full scrub 1.60x, spans-only 1.09x on 5x data —
+  the windows -> count-agg -> equi-join -> per-doc-islands plan is
+  linear as designed; no cliff, no stage split needed.
+* The r9 closing-session environment ran HOT: an in-session bench read
+  ~184 s total with 20-50% inflation spread across untouched JVM-only
+  plans (q4 0.8->1.3, q21 1.9->3.0, pagerank 7.1->9.5), and the same
+  substring_dedup query measured 1.2 s in a morning session vs 2.9-3.7 s
+  solo in the closing one — same commit, same plan: host-side
+  contention, the r3 calibration pattern. Solo re-profiles of the
+  movers showed no query-level regression of r9's making
+  (jaccard_index_pairs 1.9 solo warm vs r8's 2.0 published;
+  mixture_reweight_documents 1.4 vs 1.5 after its plan-identical
+  refactor). Trust per-query deltas only against same-session
+  neighbors.
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
