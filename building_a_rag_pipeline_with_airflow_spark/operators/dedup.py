@@ -565,6 +565,17 @@ def duplicate_substring_spans(
     counts); short-document corpora need smaller k (a 50-token window
     cannot repeat inside 60-token docs unless they are near-identical).
     """
+    if int(k) < 1:
+        raise ValueError(
+            f"duplicate_substring_spans: k must be >= 1, got {k} (k=0 "
+            "windows are all the empty string — every token flags)"
+        )
+    if int(min_count) < 2:
+        raise ValueError(
+            f"duplicate_substring_spans: min_count must be >= 2, got "
+            f"{min_count} (every window matches itself at least once — "
+            "min_count=1 flags the whole corpus)"
+        )
     pre = ensure_min_partitions(df).where(
         F.length(F.trim(F.col(text_col))) > 0
     ).select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))

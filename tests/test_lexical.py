@@ -405,6 +405,20 @@ def test_substring_dedup_case_and_whitespace_canonical(spark):
     }
 
 
+def test_substring_dedup_degenerate_param_guards(spark):
+    """k=0 (all-empty windows) and min_count=1 (every window matches
+    itself) silently flag the whole corpus — both raise loudly."""
+    import pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.duplicate_substring_spans(df, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.scrub_duplicate_substrings(df, k=2, min_count=1)
+
+
 def test_substring_dedup_max_doc_tokens_guard(spark):
     """Oversize docs are excluded from windowing (their text can't flag
     other docs) but PASS THROUGH the scrub unscrubbed — a scrub that
