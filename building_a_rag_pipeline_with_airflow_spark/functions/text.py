@@ -160,10 +160,15 @@ def html_to_text(col: Column | str) -> Column:
 
 #: The html_to_text regex chain, in application order. Every pattern is
 #: RE2-compatible; entity decode order matters (&amp; strictly last).
+#: Comments strip BEFORE script/style: a comment that merely mentions
+#: ``<script>`` must not arm the script pattern into swallowing body
+#: text up to a later real ``</script>``, and the old-school
+#: ``<script><!-- code --></script>`` hiding idiom still collapses
+#: (inner comment goes first, the emptied script block second).
 HTML_STRIP_CHAIN: "tuple[tuple[str, str], ...]" = (
+    (r"(?s)<!--.*?-->", " "),
     (r"(?is)<script\b[^>]*>.*?</script>", " "),
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
-    (r"(?s)<!--.*?-->", " "),
     (r"(?s)<[^>]*>", " "),
     (r"(?i)&nbsp;", " "),
     (r"(?i)&lt;", "<"),

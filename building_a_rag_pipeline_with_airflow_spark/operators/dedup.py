@@ -652,7 +652,10 @@ def scrub_duplicate_substrings(
     are computed for them, and their windows don't count toward corpus
     frequencies — the spans-side cap) rather than vanishing: a scrub
     that silently drops documents is a different, more destructive
-    operator than one that skips them."""
+    operator than one that skips them. The same no-vanishing rule holds
+    for blank/NULL-text documents: they rebuild to the empty string
+    (``n_tokens`` 0) instead of being filtered off the output — only
+    the spans side may skip them (no tokens, no windows)."""
     spans = duplicate_substring_spans(
         df, text_col, id_col, k=k, min_count=min_count,
         max_doc_tokens=max_doc_tokens,
@@ -664,9 +667,10 @@ def scrub_duplicate_substrings(
         .cast("int")
         .alias("dup_tokens"),
     )
-    pre = ensure_min_partitions(df).where(
-        F.length(F.trim(F.col(text_col))) > 0
-    ).select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    pre = ensure_min_partitions(df).select(
+        F.col(id_col),
+        tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("_toks"),
+    )
     j = pre.join(agg, id_col, "left")
     spans_arr = F.coalesce(
         F.col("_spans"),

@@ -150,12 +150,16 @@ def table_diff(
     keys = list(keys)
     if not assume_unique_keys:
         for side, df in (("left", left), ("right", right)):
-            # Aliased count: a key column literally named "count" would
-            # make a bare F.col("count") reference AMBIGUOUS_REFERENCE.
+            # Aliased count, with the alias DERIVED to miss every input
+            # column: a key literally named "count" (or "_td_cnt") would
+            # otherwise make the reference AMBIGUOUS_REFERENCE.
+            cnt = "_td_cnt"
+            while cnt in df.columns:
+                cnt += "_"
             dup = (
                 df.groupBy(*keys)
-                .agg(F.count("*").alias("_td_cnt"))
-                .where(F.col("_td_cnt") > 1)
+                .agg(F.count("*").alias(cnt))
+                .where(F.col(cnt) > 1)
                 .limit(1)
                 .collect()
             )
@@ -163,7 +167,7 @@ def table_diff(
                 kv = {k: dup[0][k] for k in keys}
                 raise ValueError(
                     f"table_diff: {side} snapshot violates the primary-key "
-                    f"contract — key {kv} appears {dup[0]['_td_cnt']} times. "
+                    f"contract — key {kv} appears {dup[0][cnt]} times. "
                     "A duplicated key (including duplicated NULLs) fans the "
                     "null-safe full-outer join out many-to-many and the "
                     "changelog under-reports. Deduplicate or widen the key "

@@ -9,6 +9,14 @@ Output discipline (so oracle value-hash comparison is stable):
 * int-typed aggregates cast identically (DuckDB ``count`` is BIGINT,
   ``sum(int)`` would be HUGEINT — avoided/cast);
 * every computed column aliased identically in Spark and SQL.
+
+Known portability bound (applies to every ``\\s+``-tokenizing oracle
+here, established since r2): Java regex ``\\s`` includes vertical tab
+(``\\x0B``) where RE2's does not, so a document containing a vertical
+tab would tokenize differently between Spark and DuckDB. The synthetic
+corpora contain none; real corpora should normalize control whitespace
+at ingest (one ``regexp_replace`` ahead of the chain) rather than fork
+per-engine tokenizers.
 """
 
 from __future__ import annotations
@@ -1364,8 +1372,14 @@ def html_to_text_documents(spark, sf_dir):
     "substring_dedup_documents",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents WHERE length(trim(text)) > 0
+      -- blank/NULL docs keep an EMPTY token array (Spark tokens()
+      -- semantics; a bare string_split_regex('') is [''], len 1) so
+      -- they flow through to the output unscrubbed instead of vanishing
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) > 0
+                  THEN string_split_regex(lower(trim(text)), '\s+')
+                  ELSE []::VARCHAR[] END AS toks
+      FROM documents
     ),
     wins AS (
       SELECT doc_id, i AS pos,
@@ -1406,15 +1420,15 @@ def html_to_text_documents(spark, sf_dir):
         ON sp.doc_id = b.doc_id AND u.j BETWEEN sp.s AND sp.e
       GROUP BY b.doc_id
     )
-    SELECT b.doc_id, md5(k.text) AS kept_h,
+    SELECT b.doc_id, md5(coalesce(k.text, '')) AS kept_h,
            CAST(len(b.toks) AS INT) AS n_tokens,
            coalesce(p.n_dup_spans, 0) AS n_dup_spans,
            coalesce(p.dup_tokens, 0) AS dup_tokens,
-           round(coalesce(p.dup_tokens, 0)::DOUBLE / len(b.toks), 4)
-             AS dup_fraction
+           round(coalesce(p.dup_tokens, 0)::DOUBLE
+                 / greatest(len(b.toks), 1), 4) AS dup_fraction
     FROM base b
     LEFT JOIN per_doc p USING (doc_id)
-    JOIN kept k ON k.doc_id = b.doc_id
+    LEFT JOIN kept k ON k.doc_id = b.doc_id
     ORDER BY b.doc_id
     """,
 )
@@ -1437,9 +1451,9 @@ def substring_dedup_documents(spark, sf_dir):
         "n_tokens",
         "n_dup_spans",
         "dup_tokens",
-        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
-            "dup_fraction"
-        ),
+        F.round(
+            F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+        ).alias("dup_fraction"),
     ).orderBy("doc_id")
 
 

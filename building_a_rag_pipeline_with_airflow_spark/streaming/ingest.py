@@ -1351,13 +1351,21 @@ def streaming_cluster_safe_split(
     )
 
     def _fingerprint(df: DataFrame):
+        # Per-field md5 BEFORE combining: hex digests cannot contain the
+        # separator, so ('a\\x1fb','c') and ('a','b\\x1fc') cannot collide
+        # the way a raw concat would; NULL fields get a non-hex sentinel
+        # distinct from empty strings. The xor-fold is order-independent
+        # (the map at scale is too large for a collected-set compare).
+        field = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("~"))
         row = df.agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.bit_xor(
                     F.conv(
                         F.substring(
-                            F.md5(F.concat_ws("\x1f", id_col, comp_col)),
+                            F.md5(
+                                F.concat(field(id_col), field(comp_col))
+                            ),
                             1, 15,
                         ),
                         16, 10,

@@ -263,6 +263,11 @@ def test_html_to_text_rules(spark):
         ("&amp;amp; &amp;lt;", "&amp; &lt;"),  # decode-order trap
         ("  a \t b\n\nc  ", "a b c"),
         ("<SCRIPT>x</SCRIPT><STYLE>y</STYLE>ok", "ok"),  # case-insensitive
+        # comments strip BEFORE script: a comment mentioning <script>
+        # must not swallow body text up to a later real </script>...
+        ("a<!-- <script> -->b<script>x</script>c", "a b c"),
+        # ...while the old-school script-hiding idiom still collapses
+        ("<script><!-- var q = 1; --></script>ok", "ok"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"

@@ -405,6 +405,22 @@ def test_substring_dedup_case_and_whitespace_canonical(spark):
     }
 
 
+def test_scrub_keeps_blank_and_null_docs(spark):
+    """The no-vanishing rule extends to blank/NULL text: those documents
+    rebuild to the empty string (n_tokens 0) instead of being filtered
+    off the scrub output — a scrub that drops rows is a different, more
+    destructive operator."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [(1, "   "), (2, None), (3, "a b c x"), (4, "a b c y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in dedup.scrub_duplicate_substrings(df, k=3).collect()}
+    assert set(got) == {1, 2, 3, 4}  # nothing vanished
+    assert got[1].text == "" and got[1].n_tokens == 0 and got[1].n_dup_spans == 0
+    assert got[2].text == "" and got[2].n_tokens == 0
+    assert got[3].text == "x" and got[3].dup_tokens == 3
+
+
 def test_substring_dedup_degenerate_param_guards(spark):
     """k=0 (all-empty windows) and min_count=1 (every window matches
     itself) silently flag the whole corpus — both raise loudly."""

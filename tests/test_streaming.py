@@ -1101,6 +1101,26 @@ def test_streaming_cluster_safe_split_frozen_guards(spark, tmp_path):
         ingest.streaming_cluster_safe_split(
             raw, mutated, state, str(tmp_path / "ck3")
         )
+    # separator-injection collision: ('a\x1fb','c') and ('a','b\x1fc')
+    # concat to the same raw string — a raw-concat checksum passes the
+    # guard on a genuinely different map; per-field hashing must raise
+    state2 = str(tmp_path / "cssg_state2")
+    comp_a = spark.createDataFrame(
+        [("a\x1fb", "c")], "doc_id string, component string"
+    )
+    comp_b = spark.createDataFrame(
+        [("a", "b\x1fc")], "doc_id string, component string"
+    )
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = ingest.streaming_cluster_safe_split(
+        raw, comp_a, state2, str(tmp_path / "ck5")
+    )
+    q.awaitTermination(120)
+    raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+    with pytest.raises(ValueError, match="DIFFERENT component map"):
+        ingest.streaming_cluster_safe_split(
+            raw, comp_b, state2, str(tmp_path / "ck6")
+        )
     raw = spark.readStream.schema(schema).parquet(f"{src}/*")
     with pytest.raises(ValueError, match="froze"):
         ingest.streaming_cluster_safe_split(
