@@ -73,11 +73,14 @@ r9 notes:
 
 * NEW headline row substring_dedup_documents (the Lee et al. 2021
   ExactSubstr rung, k=8): ~1.2 s warm at sf0.1 in a quiet session
-  (measured at landing). 5x organic scale check
-  (scripts/scale_check_r9.py, token-suffix replicas so dup-window mass
-  grows linearly): full scrub 1.60x, spans-only 1.09x on 5x data —
-  the windows -> count-agg -> equi-join -> per-doc-islands plan is
-  linear as designed; no cliff, no stage split needed.
+  (measured at landing). Scale curve, both decades, via
+  scripts/scale_check_r9.py (token-suffix organic replicas so
+  dup-window mass grows linearly): 5x data -> 1.60x full / 1.09x
+  spans-only; 25x data -> 3.48x full / 4.40x spans-only (2.61 ->
+  9.08 s full, 1.55 -> 6.82 s spans in one session) — the windows ->
+  count-agg -> equi-join -> per-doc-islands plan is linear as designed,
+  with fixed session overhead dominating the base point; no cliff, no
+  further stage split needed.
 * The r9 closing-session environment ran HOT: an in-session bench read
   ~184 s total with 20-50% inflation spread across untouched JVM-only
   plans (q4 0.8->1.3, q21 1.9->3.0, pagerank 7.1->9.5), and the same
