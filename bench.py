@@ -81,17 +81,19 @@ r9 notes:
   count-agg -> equi-join -> per-doc-islands plan is linear as designed,
   with fixed session overhead dominating the base point; no cliff, no
   further stage split needed.
-* The r9 closing-session environment ran HOT: an in-session bench read
-  ~184 s total with 20-50% inflation spread across untouched JVM-only
-  plans (q4 0.8->1.3, q21 1.9->3.0, pagerank 7.1->9.5), and the same
-  substring_dedup query measured 1.2 s in a morning session vs 2.9-3.7 s
-  solo in the closing one — same commit, same plan: host-side
-  contention, the r3 calibration pattern. Solo re-profiles of the
+* The r9 closing-day host ran HOT and UNSTABLE: three bench runs of
+  identical code read 184 / 165 / 297 s total, with the inflation
+  spread uniformly across untouched JVM-only plans (q4 0.8->1.3, q21
+  1.9->3.0, pagerank 7.1->9.5 in the 184 s run), and the same
+  substring_dedup query measured 1.2 s in a morning session vs
+  2.8-3.7 s later — same commit, same plan: host-side contention, the
+  r3 calibration pattern at larger amplitude. Solo re-profiles of the
   movers showed no query-level regression of r9's making
   (jaccard_index_pairs 1.9 solo warm vs r8's 2.0 published;
   mixture_reweight_documents 1.4 vs 1.5 after its plan-identical
   refactor). Trust per-query deltas only against same-session
-  neighbors.
+  neighbors; the driver's interleaved-median run is the number of
+  record.
 
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
