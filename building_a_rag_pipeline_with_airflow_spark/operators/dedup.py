@@ -565,6 +565,19 @@ def duplicate_substring_spans(
     counts); short-document corpora need smaller k (a 50-token window
     cannot repeat inside 60-token docs unless they are near-identical).
     """
+    _check_substring_params(k, min_count)
+    wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens)
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_h")
+    )
+    hits = wins.join(dup, "_h").select(id_col, "pos")
+    return _merge_spans(hits, id_col, k)
+
+
+def _check_substring_params(k: int, min_count: int) -> None:
     if int(k) < 1:
         raise ValueError(
             f"duplicate_substring_spans: k must be >= 1, got {k} (k=0 "
@@ -576,12 +589,24 @@ def duplicate_substring_spans(
             f"{min_count} (every window matches itself at least once — "
             "min_count=1 flags the whole corpus)"
         )
+
+
+def _window_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_tokens: "int | None",
+) -> DataFrame:
+    """(id, pos, _h): every k-token window's md5, 0-based positions —
+    the shared windowing core of the batch operator and the durable
+    index, so from-index and in-plan results agree by construction."""
     pre = ensure_min_partitions(df).where(
         F.length(F.trim(F.col(text_col))) > 0
     ).select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
     if max_doc_tokens is not None:
         pre = pre.where(F.size("_toks") <= int(max_doc_tokens))
-    wins = pre.where(F.size("_toks") >= k).select(
+    return pre.where(F.size("_toks") >= k).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -590,13 +615,12 @@ def duplicate_substring_spans(
             )
         ).alias("pos", "_h"),
     )
-    dup = (
-        wins.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= int(min_count))
-        .select("_h")
-    )
-    hits = wins.join(dup, "_h").select(id_col, "pos")
+
+
+def _merge_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    spans (windows are fixed length k, so coverage is contiguous iff
+    consecutive positions differ by ≤ k) — one doc-keyed lag window."""
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = (
         hits.withColumn("_prev", F.lag("pos").over(w))
@@ -692,6 +716,107 @@ def scrub_duplicate_substrings(
         F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
     )
+
+
+def build_substring_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    n_buckets: int = 32,
+    max_doc_tokens: "int | None" = 100_000,
+) -> None:
+    """Materialize the exact-substring window-hash index on storage —
+    the ExactSubstr rung's durable twin, completing the family (shingle
+    postings / BM25 postings / IVF / pHash all have one): tokenize and
+    window-hash the corpus ONCE at build time, then every spans/scrub
+    job starts from the stored hashes instead of re-hashing O(n·k)
+    window text per run.
+
+    Layout (family-shared mechanics from ``sources/index_layout``):
+
+    * ``<path>/windows/bucket=B/`` — (h, doc_id, pos, h_count) rows,
+      hash-bucketed by the window hash so one hash's occurrences live in
+      one partition directory, sorted by h within files for row-group
+      skipping. ``h_count`` (the hash's corpus occurrence count) is
+      denormalized into every row: the ≥min_count duplicate gate becomes
+      a PUSHED parquet predicate at query time instead of a
+      re-aggregation — the same trick as the shingle index's stored
+      ``shingle_df`` stop-guard.
+    * ``<path>/meta/`` — (k, n_buckets, max_doc_tokens, extended); the
+      window size is FROZEN into the index (hashes from different k
+      cannot mix, and span reconstruction needs k for the end offset).
+    """
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    _check_substring_params(k, 2)
+    wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens).select(
+        F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h")
+    )
+    require_nonempty(wins, "substring index windows")
+    counts = wins.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("h_count")
+    )
+    rows = wins.join(counts, "h").withColumn(
+        "bucket", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int")
+    )
+    index_layout.write_index_rows(
+        rows,
+        f"{path}/windows",
+        partition_cols=("bucket",),
+        sort_col="h",
+        n_files=n_buckets,
+    )
+    index_layout.write_meta(
+        df.sparkSession.createDataFrame(
+            [(int(k), int(n_buckets),
+              -1 if max_doc_tokens is None else int(max_doc_tokens), False)],
+            "k int, n_buckets int, max_doc_tokens long, extended boolean",
+        ),
+        path,
+    )
+
+
+def spans_from_index(
+    spark, path: str, min_count: int = 2
+) -> DataFrame:
+    """Duplicated-substring spans from a :func:`build_substring_index`
+    layout — result-identical to :func:`duplicate_substring_spans` at
+    the index's frozen (k, max_doc_tokens), but the corpus is never
+    re-tokenized: the stored window hashes are the only input, with the
+    ≥min_count duplicate gate pushed into the scan as an ``h_count``
+    parquet predicate.
+
+    Extended indexes (``streaming_extend_substring_index`` appends under
+    new ``_batch_id`` partitions and flips ``meta.extended``): the
+    stored ``h_count`` is batch-local there, so a window repeating only
+    ACROSS batches — the very duplication an incremental corpus grows —
+    would evade the pushed predicate. When the meta flag says extended,
+    the gate switches to an in-plan recount over the (bucket, h) shuffle
+    key (the `jaccard_pairs_from_index` recount contract). Re-running
+    :func:`build_substring_index` offline restores the pushed fast
+    path."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    _check_substring_params(2, min_count)
+    meta = index_layout.read_meta(spark, path)
+    raw = spark.read.parquet(f"{path}/windows")
+    if meta and meta.extended:
+        base = raw.select("bucket", "h", "doc_id", "pos")
+        dup = (
+            base.groupBy("bucket", "h")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") >= int(min_count))
+            .select("bucket", "h")
+        )
+        hits = base.join(dup, ["bucket", "h"]).select("doc_id", "pos")
+    else:
+        hits = raw.where(F.col("h_count") >= int(min_count)).select(
+            "doc_id", "pos"
+        )
+    return _merge_spans(hits, "doc_id", int(meta.k))
 
 
 def embedding_near_dups(

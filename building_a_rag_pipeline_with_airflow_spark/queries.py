@@ -1368,9 +1368,10 @@ def html_to_text_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@q(
-    "substring_dedup_documents",
-    r"""
+# Shared CTE chain for the ExactSubstr oracles (k=8, min_count=2): the
+# in-plan scrub query AND the durable-index spans query replay the same
+# window-hash/count/island pipeline, differing only in the tail.
+_SUBSTR_CTES = r"""
     WITH base AS (
       -- blank/NULL docs keep an EMPTY token array (Spark tokens()
       -- semantics; a bare string_split_regex('') is [''], len 1) so
@@ -1401,10 +1402,18 @@ def html_to_text_documents(spark, sf_dir):
       FROM lagged
     ),
     spans AS (
-      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e,
+             count(*) AS nw
       FROM isl GROUP BY doc_id, island
-    ),
-    per_doc AS (
+    )
+"""
+
+
+@q(
+    "substring_dedup_documents",
+    _SUBSTR_CTES
+    + r"""
+    , per_doc AS (
       SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
              CAST(sum(e - s + 1) AS INT) AS dup_tokens
       FROM spans GROUP BY doc_id
@@ -1455,6 +1464,40 @@ def substring_dedup_documents(spark, sf_dir):
             F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
         ).alias("dup_fraction"),
     ).orderBy("doc_id")
+
+
+_SUBSTRING_INDEX_CACHE: dict[str, str] = {}
+
+
+@q(
+    "substring_index_spans",
+    _SUBSTR_CTES
+    + """
+    SELECT doc_id, CAST(s AS INT) AS span_start, CAST(e AS INT) AS span_end,
+           CAST(nw AS INT) AS n_windows
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def substring_index_spans(spark, sf_dir):
+    """The durable-index twin of `duplicate_substring_spans` (the
+    `jaccard_index_pairs` pattern): spans computed from a materialized
+    window-hash index (built once per session into a temp dir) instead
+    of re-hashing the corpus per run — same shared-CTE oracle as the
+    in-plan scrub, identical spans. The ≥min_count duplicate gate is a
+    PUSHED h_count parquet predicate on the fresh index; an extended
+    index recounts in-plan (cross-batch repeats)."""
+    import os
+    import tempfile
+
+    path = _SUBSTRING_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(f"{path}/windows"):
+        path = tempfile.mkdtemp(prefix="substr_idx_") + "/index"
+        docs = _t(spark, sf_dir, "documents")
+        dedup.build_substring_index(docs, path, k=8)
+        _SUBSTRING_INDEX_CACHE[sf_dir] = path
+    return dedup.spans_from_index(spark, path, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -7703,10 +7746,11 @@ _R9_WINDOW = (
     "winnow_fingerprints",
 )
 
-# Oracle queries ADDED in r9 after the window above froze would queue
-# here (the _NEW_R8 mechanism); empty at freeze time — every r9
-# addition landed before the freeze and sits in the window itself.
-_NEW_R9: "tuple[str, ...]" = ()
+# Oracle queries ADDED in r9 after the window above froze (the _NEW_R8
+# mechanism): they sort immediately after _R9_WINDOW, first in line for
+# the r10 rotation. substring_index_spans is the durable-index twin of
+# the in-window substring_dedup_documents (same shared-CTE oracle).
+_NEW_R9: "tuple[str, ...]" = ("substring_index_spans",)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

@@ -256,6 +256,72 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
     )
 
 
+def streaming_extend_substring_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Keep a :func:`~building_a_rag_pipeline_with_airflow_spark.operators.\
+dedup.build_substring_index` layout fresh — the ExactSubstr twin of
+    :func:`streaming_extend_shingle_index`: each micro-batch of NEW
+    documents window-hashes once (the index's frozen k and
+    max_doc_tokens) and appends (h, doc_id, pos, h_count) rows into the
+    same ``bucket=B`` directories under its own ``_batch_id`` (dynamic
+    overwrite → replayed batches are idempotent). Contract: append-only
+    new doc ids, same as every other extender.
+
+    The batch writes its own batch-local ``h_count`` (schema-compatible)
+    and flips ``meta.extended``, which tells :func:`spans_from_index` to
+    stop trusting stored counts and recount in-plan — a window that
+    repeats only ACROSS batches (exactly the duplication an incremental
+    corpus grows) would evade a pushed batch-local predicate. Re-running
+    ``build_substring_index`` offline restores the pushed fast path."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.dedup import _window_hashes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = index_layout.read_meta(spark, index_path)
+        mdt = None if int(meta.max_doc_tokens) < 0 else int(meta.max_doc_tokens)
+        wins = _window_hashes(
+            batch_df, text_col, id_col, int(meta.k), mdt
+        ).select(F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h"))
+        counts = wins.groupBy("h").agg(
+            F.count("*").cast("bigint").alias("h_count")
+        )
+        rows = wins.join(counts, "h").withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("h"), F.lit(int(meta.n_buckets))).cast("int"),
+        )
+        index_layout.write_index_rows(
+            rows,
+            f"{index_path}/windows",
+            partition_cols=("bucket",),
+            sort_col="h",
+            n_files=int(meta.n_buckets),
+            batch_id=batch_id,
+            extend=True,
+        )
+        if not meta.extended:
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta.k), int(meta.n_buckets),
+                      int(meta.max_doc_tokens), True)],
+                    "k int, n_buckets int, max_doc_tokens long, "
+                    "extended boolean",
+                ),
+                index_path,
+            )
+
+    return index_layout.start_extender(
+        docs_stream, checkpoint_path, write_batch, available_now
+    )
+
+
 def streaming_extend_postings_index(
     docs_stream: DataFrame,
     index_path: str,

@@ -1,10 +1,10 @@
 """ONE parameterized contract test for the durable-index family.
 
-The four durable indexes (shingle postings, BM25 postings, IVF vectors,
-pHash bands) share the layout mechanics in
+The five durable indexes (shingle postings, BM25 postings, IVF vectors,
+pHash bands, ExactSubstr window hashes) share the layout mechanics in
 ``sources/index_layout.py``; this file pins the CONTRACT itself once,
 parameterized over every index, so a mechanics fix that lands in one
-path cannot silently miss the other three:
+path cannot silently miss the others:
 
 1. **build ≡ in-plan** — querying the built-then-extended index equals
    the in-plan operator over the same full corpus;
@@ -120,6 +120,31 @@ SPECS = [
         prune_plan=None,
         prune_marker=lambda plan: "PartitionFilters" in plan
         and "cell_id" in plan,
+    ),
+    IndexSpec(
+        name="substring",
+        corpus=lambda spark, sf: spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 80),
+        split_col="doc_id",
+        build=lambda base, path: dedup.build_substring_index(
+            base, path, k=8, n_buckets=8
+        ),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_substring_index(
+            stream, path, ckpt
+        ),
+        query=lambda spark, path: dedup.spans_from_index(
+            spark, path, min_count=2
+        ),
+        inplan=lambda full: dedup.duplicate_substring_spans(full, k=8),
+        prune_plan=lambda spark, path: dedup.spans_from_index(
+            spark, path, min_count=2
+        ),
+        # non-extended index: the >=min_count duplicate gate is a PUSHED
+        # parquet predicate on the stored h_count (extended indexes
+        # recount in-plan instead — cross-batch repeats)
+        prune_marker=lambda plan: "h_count" in plan
+        and "PushedFilters" in plan,
     ),
     IndexSpec(
         name="phash",

@@ -457,3 +457,52 @@ def test_substring_dedup_max_doc_tokens_guard(spark):
     full = {r.doc_id: r.n_dup_spans for r in dedup.scrub_duplicate_substrings(
         df, k=3, max_doc_tokens=None).collect()}
     assert full == {1: 1, 2: 1}
+
+
+def test_substring_index_cross_batch_dup_detection(spark, tmp_path):
+    """The extended-mode recount exists for exactly this: a window whose
+    repeats are split ACROSS the base build and a streamed extension
+    batch has batch-local h_count == 1 on every stored row (the pushed
+    predicate would miss it), but spans_from_index flags it after the
+    extension flips meta.extended."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(1, "p q r s0 t0 u0"), (2, "a1 b1 c1 d1 e1 f1")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(3, "x9 y9 p q r z9"), (4, "m2 n2 o2 w2 v2 k2")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "ss_idx")
+    dedup.build_substring_index(base, path, k=3, n_buckets=4)
+    # fresh index: 'p q r' occurs once -> nothing flagged
+    assert dedup.spans_from_index(spark, path).collect() == []
+
+    landing = tmp_path / "ss_landing"
+    landing.mkdir()
+    new.coalesce(1).write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    q = ingest.streaming_extend_substring_index(
+        stream, path, str(tmp_path / "ss_ck")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.spans_from_index(spark, path).collect()
+    }
+    # 'p q r': tokens 0-2 of doc 1, tokens 2-4 of doc 3 — cross-batch
+    assert got == {(1, 0, 2), (3, 2, 4)}
+    # and the from-index result equals the in-plan operator on the union
+    expect = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_substring_spans(
+            base.unionByName(new), k=3
+        ).collect()
+    }
+    assert got == expect
