@@ -684,6 +684,24 @@ def scrub_duplicate_substrings(
         df, text_col, id_col, k=k, min_count=min_count,
         max_doc_tokens=max_doc_tokens,
     )
+    return scrub_with_spans(df, spans, text_col=text_col, id_col=id_col)
+
+
+def scrub_with_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`scrub_duplicate_substrings`' rebuild stage over
+    PRECOMPUTED spans — the composition durable-index users want:
+    ``scrub_with_spans(docs, spans_from_index(spark, path))`` rebuilds
+    the corpus without re-tokenizing/re-hashing it for span discovery
+    (the text is still tokenized once for the rebuild itself — that is
+    the scrub's own input). ``spans`` must carry ``(id_col, span_start,
+    span_end)`` in the same 0-based lowercased-whitespace token
+    coordinates the batch operator and the index both emit. Output and
+    no-vanishing semantics identical to the composed operator."""
     agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.count("*").cast("int").alias("n_dup_spans"),

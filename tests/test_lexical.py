@@ -506,3 +506,25 @@ def test_substring_index_cross_batch_dup_detection(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_scrub_with_spans_composes_with_index(spark, tmp_path):
+    """scrub_with_spans over spans_from_index must equal the composed
+    batch scrub — the no-rehash path for durable-index users."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q a b c r x y z"),
+        (3, "u v w m n o p s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    path = str(tmp_path / "sw_idx")
+    dedup.build_substring_index(df, path, k=3, n_buckets=4)
+    via_index = dedup.scrub_with_spans(
+        df, dedup.spans_from_index(spark, path)
+    )
+    direct = dedup.scrub_duplicate_substrings(df, k=3)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
