@@ -565,7 +565,7 @@ def duplicate_substring_spans(
     counts); short-document corpora need smaller k (a 50-token window
     cannot repeat inside 60-token docs unless they are near-identical).
     """
-    _check_substring_params(k, min_count)
+    _check_substring_params(k, min_count, "duplicate_substring_spans")
     wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens)
     dup = (
         wins.groupBy("_h")
@@ -577,15 +577,20 @@ def duplicate_substring_spans(
     return _merge_spans(hits, id_col, k)
 
 
-def _check_substring_params(k: int, min_count: int) -> None:
-    if int(k) < 1:
+def _check_substring_params(
+    k: "int | None", min_count: "int | None", op: str
+) -> None:
+    """Shared ExactSubstr parameter guards; errors name the ACTUAL entry
+    point. Pass None to skip a check the caller doesn't own (e.g.
+    spans_from_index, whose k is frozen in the index meta)."""
+    if k is not None and int(k) < 1:
         raise ValueError(
-            f"duplicate_substring_spans: k must be >= 1, got {k} (k=0 "
+            f"{op}: k must be >= 1, got {k} (k=0 "
             "windows are all the empty string — every token flags)"
         )
-    if int(min_count) < 2:
+    if min_count is not None and int(min_count) < 2:
         raise ValueError(
-            f"duplicate_substring_spans: min_count must be >= 2, got "
+            f"{op}: min_count must be >= 2, got "
             f"{min_count} (every window matches itself at least once — "
             "min_count=1 flags the whole corpus)"
         )
@@ -700,8 +705,19 @@ def scrub_with_spans(
     (the text is still tokenized once for the rebuild itself — that is
     the scrub's own input). ``spans`` must carry ``(id_col, span_start,
     span_end)`` in the same 0-based lowercased-whitespace token
-    coordinates the batch operator and the index both emit. Output and
-    no-vanishing semantics identical to the composed operator."""
+    coordinates the batch operator and the index both emit; the index
+    stores its id as ``doc_id``, so a spans frame lacking ``id_col`` but
+    carrying ``doc_id`` is renamed on entry (custom-id corpora compose
+    without a manual rename). Output and no-vanishing semantics
+    identical to the composed operator."""
+    if id_col not in spans.columns:
+        if "doc_id" in spans.columns:
+            spans = spans.withColumnRenamed("doc_id", id_col)
+        else:
+            raise ValueError(
+                f"scrub_with_spans: spans frame has no {id_col!r} (or "
+                f"'doc_id') column; got {spans.columns}"
+            )
     agg = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.count("*").cast("int").alias("n_dup_spans"),
@@ -769,7 +785,7 @@ def build_substring_index(
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    _check_substring_params(k, 2)
+    _check_substring_params(k, None, "build_substring_index")
     wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens).select(
         F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h")
     )
@@ -818,7 +834,7 @@ def spans_from_index(
     path."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    _check_substring_params(2, min_count)
+    _check_substring_params(None, min_count, "spans_from_index")
     meta = index_layout.read_meta(spark, path)
     raw = spark.read.parquet(f"{path}/windows")
     if meta and meta.extended:

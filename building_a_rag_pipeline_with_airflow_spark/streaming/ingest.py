@@ -218,6 +218,25 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
         sh = shingles(batch_df, text_col, id_col, int(meta.n)).select(
             F.col(id_col).alias("doc_id"), "shingle"
         )
+        # An all-blank batch shingles to nothing: adding zero rows must
+        # not flip the index off its pushed-predicate fast path.
+        sh = sh.localCheckpoint(eager=True)
+        if sh.isEmpty():
+            return
+        # Flip meta BEFORE the rows land (the substring-extender rule): a
+        # reader between the two writes must never see extension rows
+        # under extended=False — the pushed batch-local shingle_df guard
+        # would miss a shingle crossing max_posting only across batches.
+        # The reverse gap is safe: extended=True over base-only rows
+        # recounts to exactly the stored doc-freqs.
+        if not meta.extended:
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta.n), int(meta.n_buckets), True)],
+                    "n int, n_buckets int, extended boolean",
+                ),
+                index_path,
+            )
         dfreq = sh.groupBy("shingle").agg(
             F.count("*").cast("bigint").alias("shingle_df")
         )
@@ -242,14 +261,9 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
             batch_id=batch_id,
             extend=True,
         )
-        if not meta.extended:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta.n), int(meta.n_buckets), True)],
-                    "n int, n_buckets int, extended boolean",
-                ),
-                index_path,
-            )
+        from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
+
+        release_checkpoint(sh)
 
     return index_layout.start_extender(
         docs_stream, checkpoint_path, write_batch, available_now
@@ -290,6 +304,29 @@ dedup.build_substring_index` layout fresh — the ExactSubstr twin of
         wins = _window_hashes(
             batch_df, text_col, id_col, int(meta.k), mdt
         ).select(F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h"))
+        # A non-empty batch can still window to NOTHING (every doc below
+        # the frozen k, or above max_doc_tokens — realistic for short-doc
+        # corpora): adding zero rows must not flip the index off its
+        # pushed-predicate fast path.
+        wins = wins.localCheckpoint(eager=True)
+        if wins.isEmpty():
+            return
+        # Flip meta BEFORE the rows land: a reader (or a crash) between
+        # the two writes must never see extension rows under
+        # extended=False — the pushed batch-local h_count predicate would
+        # silently miss cross-batch duplicates. The reverse gap is safe:
+        # extended=True over base-only rows recounts to exactly the
+        # stored counts.
+        if not meta.extended:
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta.k), int(meta.n_buckets),
+                      int(meta.max_doc_tokens), True)],
+                    "k int, n_buckets int, max_doc_tokens long, "
+                    "extended boolean",
+                ),
+                index_path,
+            )
         counts = wins.groupBy("h").agg(
             F.count("*").cast("bigint").alias("h_count")
         )
@@ -306,16 +343,9 @@ dedup.build_substring_index` layout fresh — the ExactSubstr twin of
             batch_id=batch_id,
             extend=True,
         )
-        if not meta.extended:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta.k), int(meta.n_buckets),
-                      int(meta.max_doc_tokens), True)],
-                    "k int, n_buckets int, max_doc_tokens long, "
-                    "extended boolean",
-                ),
-                index_path,
-            )
+        from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
+
+        release_checkpoint(wins)
 
     return index_layout.start_extender(
         docs_stream, checkpoint_path, write_batch, available_now

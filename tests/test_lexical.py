@@ -528,3 +528,62 @@ def test_scrub_with_spans_composes_with_index(spark, tmp_path):
     assert sorted(map(tuple, via_index.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_substring_extension_zero_window_batch_keeps_fast_path(spark, tmp_path):
+    """A non-empty batch whose documents all fall below the frozen k
+    windows to NOTHING — it must not flip meta.extended (which would
+    permanently demote spans_from_index off the pushed-predicate fast
+    path while adding zero rows)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id int, text string"
+    )
+    path = str(tmp_path / "zk_idx")
+    dedup.build_substring_index(base, path, k=3, n_buckets=4)
+    before = sorted(map(tuple, dedup.spans_from_index(spark, path).collect()))
+
+    landing = tmp_path / "zk_landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(3, "too short"), (4, "")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    q = ingest.streaming_extend_substring_index(
+        stream, path, str(tmp_path / "zk_ck")
+    )
+    q.awaitTermination(120)
+
+    assert not bool(index_layout.read_meta(spark, path).extended)
+    assert sorted(map(tuple, dedup.spans_from_index(spark, path).collect())) == before
+    plan = (
+        dedup.spans_from_index(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "h_count" in plan and "PushedFilters" in plan  # fast path kept
+
+
+def test_scrub_with_spans_custom_id_col(spark, tmp_path):
+    """The index stores its id as doc_id; scrub_with_spans must rename
+    on entry so custom-id corpora compose without a manual rename, and
+    raise clearly when neither column exists."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    rows = [(10, "a b c d e x y z"), (20, "q a b c r x y z")]
+    df = spark.createDataFrame(rows, "chunk_id int, text string")
+    path = str(tmp_path / "cid_idx")
+    dedup.build_substring_index(df, path, k=3, n_buckets=4, id_col="chunk_id")
+    out = {r.chunk_id: r.text for r in dedup.scrub_with_spans(
+        df, dedup.spans_from_index(spark, path), id_col="chunk_id"
+    ).collect()}
+    assert out == {10: "d e", 20: "q r"}
+    bad = spark.createDataFrame([(1, 0, 2)], "other int, span_start int, span_end int")
+    with pytest.raises(ValueError, match="spans frame has no"):
+        dedup.scrub_with_spans(df, bad, id_col="chunk_id")
