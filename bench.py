@@ -81,7 +81,11 @@ r9 notes:
   count-agg -> equi-join -> per-doc-islands plan is linear as designed,
   with fixed session overhead dominating the base point; no cliff, no
   further stage split needed.
-* The r9 closing-day host ran HOT and UNSTABLE: three bench runs of
+* r9 CLOSING quiet-window run: 147.9 s total vs r8's published 141.4 —
+  net of the new substring_dedup row (2.6 s) the comparable surface is
+  flat; the only >0.5 s mover on an untouched plan (pagerank 7.1->8.9)
+  oscillates 5.2-9.5 across sessions per the noise record below.
+* Mid-round the host ran HOT and UNSTABLE: three bench runs of
   identical code read 184 / 165 / 297 s total, with the inflation
   spread uniformly across untouched JVM-only plans (q4 0.8->1.3, q21
   1.9->3.0, pagerank 7.1->9.5 in the 184 s run), and the same
