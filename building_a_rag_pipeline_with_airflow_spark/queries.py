@@ -7674,10 +7674,12 @@ def expectations_by_lang_documents(spark, sf_dir):
 # landed after the r8 window froze (_NEW_R8: mmr_rerank_embeddings,
 # cluster_safe_split_documents, rag_sentence_window_context — all
 # parity-green in the judge's own 151-query run, queued first per the
-# r8 verdict), and the three NEW r9 oracles (substring_dedup_documents,
-# html_to_text_documents, temperature_mixture_documents) — then (b) 44
+# r8 verdict), and the four NEW r9 oracles (substring_dedup_documents,
+# html_to_text_documents, temperature_mixture_documents, and the
+# late-round substring_index_spans — swapped in under the
+# never-checked-first rule, like r8's sketch promotion) — then (b) 43
 # of the 48 stalest anchors (every oracle whose last driver-green row
-# is r6). The four displaced r6 anchors each keep an in-window
+# is r6). The five displaced r6 anchors each keep an in-window
 # same-family sibling and already carry multi-round green history:
 #   chunk_first_positions ↔ chunk_overlap_adjacent (the same
 #   chunk-derived measurement over the same chunker output);
@@ -7685,7 +7687,11 @@ def expectations_by_lang_documents(spark, sf_dir):
 #   embedding_norms ↔ near_dup_embeddings_exact + topk_cosine (norms are
 #   a sub-expression of both);
 #   union_distinct_values ↔ distinct_nation_segments (the same set-op
-#   family).
+#   family);
+#   chunk_semantic_documents ↔ chunk_recursive_documents (the semantic
+#   chunker's stage 1 IS the recursive splitter — the r4-precedented
+#   pairing; the refconst variant of the same oracle generator is
+#   r8-green).
 # Everything rotating OUT carries a green r7 or r8 driver row; all
 # oracles remain value-checked every round by
 # tests/test_oracle_parity.py regardless of window position. (The r8
@@ -7699,14 +7705,14 @@ _R9_WINDOW = (
     "substring_dedup_documents",
     "html_to_text_documents",
     "temperature_mixture_documents",
-    # (b) stalest anchors: last driver-green r6 (44 of the 48-cohort)
+    "substring_index_spans",
+    # (b) stalest anchors: last driver-green r6 (43 of the 48-cohort)
     "bpe_encode_fixed_documents",
     "brand_revenue_topk",
     "chi2_priority_drift_orders",
     "chunk_fixed_documents",
     "chunk_overlap_adjacent",
     "chunk_recursive_documents",
-    "chunk_semantic_documents",
     "column_profile_orders",
     "corpus_release_report",
     "dedup_exact_documents",
@@ -7746,11 +7752,12 @@ _R9_WINDOW = (
     "winnow_fingerprints",
 )
 
-# Oracle queries ADDED in r9 after the window above froze (the _NEW_R8
-# mechanism): they sort immediately after _R9_WINDOW, first in line for
-# the r10 rotation. substring_index_spans is the durable-index twin of
-# the in-window substring_dedup_documents (same shared-CTE oracle).
-_NEW_R9: "tuple[str, ...]" = ("substring_index_spans",)
+# Oracle queries ADDED in r9 after the window above froze would queue
+# here (the _NEW_R8 mechanism), first in line for the r10 rotation.
+# Empty: the late-round substring_index_spans was swapped INTO the
+# window under the never-checked-first rule instead (the r8 sketch
+# promotion precedent).
+_NEW_R9: "tuple[str, ...]" = ()
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
