@@ -197,6 +197,7 @@ def build_shingle_index(
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
+    _check_n_buckets(n_buckets, "build_shingle_index")
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
     )
@@ -596,6 +597,18 @@ def _check_substring_params(
         )
 
 
+def _check_n_buckets(n_buckets: int, op: str) -> None:
+    """Index-build bucket-count guard (r9 advice): ``pmod(xxhash64(h),
+    0)`` is NULL — a broken partition layout — and a negative count
+    yields negative partition values; fail loudly at build time like
+    the analytics/curation n_buckets guards do."""
+    if int(n_buckets) < 1:
+        raise ValueError(
+            f"{op}: n_buckets must be >= 1, got {n_buckets} "
+            "(pmod by 0 is NULL — the bucket layout would be broken)"
+        )
+
+
 def _window_hashes(
     df: DataFrame,
     text_col: str,
@@ -786,6 +799,7 @@ def build_substring_index(
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     _check_substring_params(k, None, "build_substring_index")
+    _check_n_buckets(n_buckets, "build_substring_index")
     wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens).select(
         F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h")
     )

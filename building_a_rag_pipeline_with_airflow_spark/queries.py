@@ -7670,7 +7670,7 @@ def expectations_by_lang_documents(spark, sf_dir):
 #     window is preserved in git history at this spot; its 50/50 green
 #     rows are CORRECTNESS_r06.json.)
 # r9 rotation (r8 judge directive #1): the driver window refreshes with
-# (a) the 6 never-driver-checked oracles — the three r8 additions that
+# (a) the 7 never-driver-checked oracles — the three r8 additions that
 # landed after the r8 window froze (_NEW_R8: mmr_rerank_embeddings,
 # cluster_safe_split_documents, rag_sentence_window_context — all
 # parity-green in the judge's own 151-query run, queued first per the
@@ -7918,7 +7918,7 @@ _DEPRIORITIZED = (
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
     entries): the enumerated _R9_WINDOW sorts first (this round's driver
-    window — the 6 never-driver-checked oracles, then 44 of the 48
+    window — the 7 never-driver-checked oracles, then 43 of the 48
     stalest rotation anchors), then _NEW_R9 (oracles added after the
     window froze — first in line for r10; empty at freeze time), then
     the multi-green rotation pool (_DEPRIORITIZED last among oracles),

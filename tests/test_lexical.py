@@ -433,6 +433,13 @@ def test_substring_dedup_degenerate_param_guards(spark):
         dedup.duplicate_substring_spans(df, k=0)
     with pytest.raises(ValueError, match="min_count"):
         dedup.scrub_duplicate_substrings(df, k=2, min_count=1)
+    # n_buckets=0 makes pmod(xxhash64(h), 0) NULL — a broken partition
+    # layout — and negative counts yield negative partition values (r9
+    # advice): both index builders fail loudly before writing anything.
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.build_substring_index(df, "/tmp/never-written", k=2, n_buckets=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.build_shingle_index(df, "/tmp/never-written", n_buckets=-1)
 
 
 def test_substring_dedup_max_doc_tokens_guard(spark):
