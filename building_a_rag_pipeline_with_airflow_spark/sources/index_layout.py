@@ -1,11 +1,12 @@
 """Shared storage contract for the durable-index family.
 
-Five durable indexes follow ONE layout contract (shingle near-dup
+Six durable indexes follow ONE layout contract (shingle near-dup
 postings — ``operators.dedup.build_shingle_index``; BM25 postings —
 ``operators.lexical.build_postings_index``; IVF vectors —
 ``operators.similarity.build_ivf_index``; perceptual-hash bands —
 ``operators.multimodal.build_phash_index``; ExactSubstr window hashes —
-``operators.dedup.build_substring_index``):
+``operators.dedup.build_substring_index``; trigram gram postings —
+``operators.linkage.build_trigram_index``):
 
 * **Data** lives under ``<path>/<subdir>/`` partitioned by the layout's
   pruning key(s) PLUS ``_batch_id``: the base build writes everything as
@@ -24,7 +25,7 @@ postings — ``operators.dedup.build_shingle_index``; BM25 postings —
   balance drifts, never per arrival).
 
 These helpers are the single implementation of that contract; a fix to
-the write/replay mechanics lands in all five indexes at once.
+the write/replay mechanics lands in all six indexes at once.
 Extenders that flip ``extended`` write the meta flip BEFORE their data
 rows (a reader between the two writes must never see extension rows
 under a stale flag — the recount-over-base gap is the safe one), and

@@ -1,7 +1,8 @@
 """ONE parameterized contract test for the durable-index family.
 
-The five durable indexes (shingle postings, BM25 postings, IVF vectors,
-pHash bands, ExactSubstr window hashes) share the layout mechanics in
+The six durable indexes (shingle postings, BM25 postings, IVF vectors,
+pHash bands, ExactSubstr window hashes, trigram gram postings) share
+the layout mechanics in
 ``sources/index_layout.py``; this file pins the CONTRACT itself once,
 parameterized over every index, so a mechanics fix that lands in one
 path cannot silently miss the others:
@@ -28,6 +29,7 @@ from pyspark.sql import functions as F
 from building_a_rag_pipeline_with_airflow_spark.operators import (
     dedup,
     lexical,
+    linkage,
     multimodal as mm,
     similarity as sim,
 )
@@ -167,6 +169,29 @@ SPECS = [
         prune_marker=lambda plan: "PartitionFilters" in plan
         and "band_i" in plan,
     ),
+    IndexSpec(
+        name="trigram",
+        corpus=lambda spark, sf: spark.read.parquet(f"{sf}/part.parquet")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .select("name_id", F.col("p_name").alias("name"))
+        .where(F.col("name_id") < 80),
+        split_col="name_id",
+        build=lambda base, path: linkage.build_trigram_index(
+            base, path, n_buckets=8
+        ),
+        extend=lambda stream, path, ckpt: ingest.streaming_extend_trigram_index(
+            stream, path, ckpt
+        ),
+        query=None,  # needs the query workload; filled per-test below
+        inplan=None,
+        prune_plan=None,
+        # non-extended index: the stop-gram guard is a PUSHED parquet
+        # predicate on the stored gram_df (extended indexes recount
+        # in-plan instead — a gram can cross max_posting across batches)
+        prune_marker=lambda plan: "gram_df" in plan
+        and "PushedFilters" in plan,
+    ),
 ]
 
 
@@ -191,6 +216,21 @@ def _run_contract(spec, spark, sf_dir, tmp_path):
         spec.inplan = lambda f: sim.ivf_topk_cosine(
             f, qvec, k=5, nprobe=4, method="stride", stride=16
         )
+        spec.prune_plan = spec.query
+
+    # Trigram needs the query workload off the corpus; close over it
+    # here so the spec table stays declarative (the IVF convention).
+    # Queries are truncated names of BOTH halves, so the extension's
+    # new names must surface as candidates for from-index ≡ in-plan.
+    if spec.name == "trigram":
+        tq = full.where(key <= 10).select(
+            F.col("name_id").alias("q_id"),
+            F.expr("substring(name, 3)").alias("q_text"),
+        )
+        spec.query = lambda spark, p: linkage.trigram_topk_from_index(
+            spark, p, tq, k=3
+        )
+        spec.inplan = lambda f: linkage.trigram_topk(tq, f, k=3)
         spec.prune_plan = spec.query
 
     # ---- contract 3: the query's scan prunes (checked on the freshly

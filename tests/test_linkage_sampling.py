@@ -389,3 +389,54 @@ def test_weighted_sample_logw_rejects_null_weights(spark):
     )
     with pytest.raises(Exception, match="NULL log_weight"):
         sampling.weighted_sample_logw(df, "id", "lw", k=2).collect()
+
+
+def test_trigram_from_index_cross_batch_stop_gram_recount(spark, tmp_path):
+    """The extended-index recount rule, end to end: a gram under
+    max_posting in EVERY batch but over it across batches must still be
+    dropped by `trigram_topk_from_index` — the stored batch-local
+    gram_df would miss it, so the extended path recounts in-plan over
+    the workload-pruned postings (and must match the in-plan operator
+    over the full corpus)."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    # gram "aaa" sits in 2 names per batch (under the cap of 3) but 4
+    # across both (over it); each name keeps one unique second gram.
+    base = spark.createDataFrame(
+        [(1, "aaab"), (3, "aaac")], "name_id int, name string"
+    )
+    new = spark.createDataFrame(
+        [(2, "aaad"), (4, "aaae")], "name_id int, name string"
+    )
+    queries = spark.createDataFrame(
+        [(10, "aaaq")], "q_id int, q_text string"  # grams {aaa, aaq}
+    )
+    path = str(tmp_path / "idx")
+    linkage.build_trigram_index(base, path, n_buckets=4)
+
+    # fresh index, cap 3: per-batch df 2 <= 3 keeps "aaa" -> 2 hits
+    fresh = linkage.trigram_topk_from_index(
+        spark, path, queries, k=5, max_posting=3
+    )
+    assert fresh.count() == 2
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    new.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(landing / "d1")).schema
+    ).parquet(f"{landing}/*")
+    q = ingest.streaming_extend_trigram_index(
+        stream, path, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    # extended: recount sees cross-batch df 4 > 3, drops "aaa"; "aaq"
+    # matches nothing -> empty, exactly like in-plan over full corpus
+    ext = linkage.trigram_topk_from_index(
+        spark, path, queries, k=5, max_posting=3
+    )
+    assert ext.isEmpty()
+    assert linkage.trigram_topk(
+        queries, base.union(new), k=5, max_posting=3
+    ).isEmpty()
