@@ -99,6 +99,23 @@ r9 notes:
   neighbors; the driver's interleaved-median run is the number of
   record.
 
+r10 notes:
+
+* One-story rule (r9 verdict "what's wrong" #1): the r9 number of
+  record is BENCH_r09.json's 140.6 s (driver interleaved-median run).
+  The 147.9 s closing quiet-window reading logged below was a
+  builder-side observation in a session the host-instability record
+  already covers; the published number supersedes it.
+* FOUR new headline rows this round, ~+6-7 s of genuinely new work per
+  round: substring_index_spans (~2.4 s at landing — the from-index
+  row the r9 verdict asked for), substring_dedup_rolling (~2.4 s,
+  output-identical to the md5 row by construction),
+  duplication_profile_documents (~0.7 s),
+  trigram_search_parts_from_index (~0.8 s warm). Compare r10's total
+  against r9 net of these; the early-stop budget logic may drop the
+  third interleaved round as the roster grows — 2-round medians are
+  the documented fallback (r8 precedent).
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
@@ -298,6 +315,17 @@ HEADLINE = [
     "minhash_signatures",
     "winnow_fingerprints",
     "substring_dedup_documents",
+    # r10: the from-index twin gets its own number (r9 verdict
+    # "what's wrong" #2 — it entered the r9 driver window after the
+    # roster froze). First call builds the session-cached index; the
+    # interleaved median measures the pushed-h_count-predicate reads.
+    "substring_index_spans",
+    # r10: the rolling-hash production tier (identical output to the
+    # md5 anchor row above; at the registry's k=8 the O(n·k) vs O(n)
+    # hash-stage gap is small — the k=50 comparison where it matters
+    # lives in scripts/scale_check_r10.py).
+    "substring_dedup_rolling",
+    "duplication_profile_documents",
     # lexical retrieval / LM stats / tokenizer
     "bm25_topk_documents",
     "bm25_batch_topk_documents",
@@ -331,6 +359,10 @@ HEADLINE = [
     # linkage / weighted sampling / sequence analytics
     "fuzzy_match_parts",
     "trigram_search_parts",
+    # r10: the durable-index twin (sixth index family member); first
+    # call builds the session-cached gram index, the median measures
+    # the O(matching-postings) from-index reads.
+    "trigram_search_parts_from_index",
     "bloom_prefilter_supplier_revenue",
     "weighted_sample_documents",
     "weighted_sample_per_lang",

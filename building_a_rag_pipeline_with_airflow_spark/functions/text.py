@@ -229,7 +229,8 @@ def try_tiktoken_udf():
     r7 re-checked — ``import tiktoken`` still raises ModuleNotFoundError;
     the whitespace+BPE-regex fallback remains the in-container path.
     r8 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r9 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r9 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r10 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:

@@ -8,6 +8,9 @@ the distributed plan; the engine returns the context DataFrame).
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -250,4 +253,108 @@ def assemble_context(retrieved: DataFrame, source_col: str = "doc_id") -> DataFr
             "\n\n",
         ).alias("context"),
         F.count("*").cast("int").alias("n_sources"),
+    )
+
+
+def token_overlap_scorer_udf():
+    """Deterministic hermetic cross-scorer for tests and oracles: distinct
+    lowercase-whitespace-token Jaccard between the query and the candidate
+    text, as an Arrow-batched pandas_udf with the ``(query, text) ->
+    double`` signature every :func:`rerank_with` scorer must have — the
+    stand-in the test container uses where a real cross-encoder model
+    would load (the ``try_sentence_transformer_udf`` seam discipline,
+    functions/embed.py).
+
+    Oracle determinism: the score is one IEEE division of two small
+    integers (|A∩B| / |A∪B|) — bit-identical on any engine, so it needs
+    NO rounding (rounding would *introduce* the half-boundary trap: set
+    sizes include powers of two, and e.g. 1/128 sits exactly on the 6dp
+    half grid where round-half-even and scale-then-round disagree).
+    NULL/empty text scores 0.0."""
+
+    @F.pandas_udf("double")
+    def _score(q: pd.Series, t: pd.Series) -> pd.Series:
+        def jac(a, b):
+            aset = {w for w in (a or "").lower().split(" ") if w}
+            bset = {w for w in (b or "").lower().split(" ") if w}
+            union = len(aset | bset)
+            return float(len(aset & bset)) / union if union else 0.0
+
+        return pd.Series([jac(a, b) for a, b in zip(q, t)])
+
+    return _score
+
+
+def try_cross_encoder_udf(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+):
+    """Real-model cross-encoder scorer (the public two-stage retrieval
+    recipe's precision stage). Returns None when sentence-transformers is
+    not installed (it is not in the test container) — the same gated-seam
+    discipline as ``functions.embed.try_sentence_transformer_udf``. The
+    model loads lazily once per executor process; batches arrive as
+    Arrow-paired (query, text) series."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except Exception:
+        return None
+
+    @F.pandas_udf("double")
+    def _score(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        from sentence_transformers import CrossEncoder
+
+        model = CrossEncoder(model_name)
+        for q, t in it:
+            preds = model.predict(
+                list(zip(q.fillna("").tolist(), t.fillna("").tolist()))
+            )
+            yield pd.Series([float(p) for p in preds])
+
+    return _score
+
+
+def rerank_with(
+    index: DataFrame,
+    query_text: str,
+    scorer_udf,
+    k: int = TOP_K,
+    fetch_k: int = 4 * TOP_K,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage retrieval (bi-encoder recall → cross-encoder precision),
+    the standard public recipe the reference's single-stage top-k lacks
+    (chromadb_rag.py:127-140 scores every hit with the SAME bi-encoder
+    that built the index): stage 1 embeds the query driver-side and cuts
+    ``fetch_k`` candidates by cosine; stage 2 scores each (query,
+    candidate_text) PAIR with ``scorer_udf`` — any pandas_udf with the
+    ``(query, text) -> double`` signature: the hermetic
+    :func:`token_overlap_scorer_udf` in tests, a
+    :func:`try_cross_encoder_udf` model in production — and returns the
+    top ``k`` by that score. Output: (id, score, ce_score, rank) where
+    ``score`` is the stage-1 cosine and ``rank`` orders by ``ce_score``
+    desc with the id tiebreak.
+
+    Scale shape (the candidate-bounded pin, tested): stage 1 is
+    TakeOrderedAndProject — the corpus never shuffles; the fetch_k
+    candidate ids BROADCAST back onto the index for text, so the
+    expensive pair-scorer UDF runs on at most fetch_k rows, never the
+    corpus; the final rank is a single-partition window over those same
+    ≤fetch_k rows (metadata-scale by construction, the mmr_topk
+    convention)."""
+    if k < 1 or fetch_k < k:
+        raise ValueError(f"need 1 <= k <= fetch_k, got k={k} fetch_k={fetch_k}")
+    qvec = embed_text(query_text, dim)
+    cands = topk_cosine(index, qvec, k=fetch_k, vec_col=vec_col, id_col=id_col)
+    with_text = index.select(id_col, text_col).join(F.broadcast(cands), id_col)
+    scored = with_text.withColumn(
+        "ce_score", scorer_udf(F.lit(query_text), F.col(text_col))
+    )
+    w = Window.orderBy(F.desc("ce_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "score", "ce_score", F.col("rank").cast("int").alias("rank"))
     )

@@ -580,3 +580,88 @@ def test_mmr_topk_lambda_zero_picks_most_relevant_first(spark):
     ).collect()
     assert [r.vec_id for r in got] == [9]
     assert got[0].mmr_score == 0.0  # lam*rel at lam=0
+
+
+def test_rerank_with_hand_computed(spark):
+    """Two-stage rerank with the hermetic token-Jaccard scorer on a
+    4-chunk corpus where the cross scores are hand-derivable: exact
+    text match 1.0 > one-of-three overlap 1/3 > no overlap 0.0 = NULL
+    text 0.0 (id tiebreak). fetch_k covers the corpus so the final
+    order is the cross-encoder's alone; stage-1 cosine is reported in
+    the score column."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    index = spark.createDataFrame(
+        [
+            (1, "alpha beta", [1.0, 0.0, 0.0, 0.0]),
+            (2, "alpha gamma", [0.9, 0.1, 0.0, 0.0]),
+            (3, "delta epsilon", [0.0, 1.0, 0.0, 0.0]),
+            (4, None, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "chunk_id int, text string, embedding array<double>",
+    )
+    got = retrieval.rerank_with(
+        index,
+        "alpha beta",
+        retrieval.token_overlap_scorer_udf(),
+        k=4,
+        fetch_k=4,
+        dim=4,
+    ).collect()
+    assert [r.chunk_id for r in got] == [1, 2, 3, 4]
+    assert [r.rank for r in got] == [1, 2, 3, 4]
+    assert got[0].ce_score == 1.0
+    assert got[1].ce_score == 1.0 / 3.0  # exact IEEE ratio, no rounding
+    assert got[2].ce_score == 0.0 and got[3].ce_score == 0.0
+    # stage-1 cosine rides along for every returned row
+    assert all(r.score is not None for r in got)
+
+    # k cut: only the top-2 by cross score survive
+    top2 = retrieval.rerank_with(
+        index, "alpha beta", retrieval.token_overlap_scorer_udf(),
+        k=2, fetch_k=4, dim=4,
+    ).collect()
+    assert [r.chunk_id for r in top2] == [1, 2]
+
+
+def test_rerank_with_plan_candidate_bounded(spark, sf_dir):
+    """The candidate-bounded pin: stage 1 must be TakeOrderedAndProject
+    (the corpus never shuffles), the candidate ids must BROADCAST back
+    onto the index for text, and the pair scorer must be an
+    Arrow-batched python eval — never a row-at-a-time UDF."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    index = build_index(docs, strategy="fixed")
+    df = retrieval.rerank_with(
+        index, "spark join merge", retrieval.token_overlap_scorer_udf(),
+        k=3, fetch_k=5,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "stage-1 cut is not TakeOrdered"
+    assert "BroadcastHashJoin" in plan, "candidates do not broadcast"
+    assert "ArrowEvalPython" in plan, "scorer is not Arrow-batched"
+    assert "BatchEvalPython" not in plan, "row-at-a-time python eval leaked in"
+
+
+def test_rerank_with_rejects_bad_k(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    index = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])], "chunk_id int, text string, embedding array<double>"
+    )
+    scorer = retrieval.token_overlap_scorer_udf()
+    with pytest.raises(ValueError, match="k <= fetch_k"):
+        retrieval.rerank_with(index, "a", scorer, k=0, fetch_k=4)
+    with pytest.raises(ValueError, match="k <= fetch_k"):
+        retrieval.rerank_with(index, "a", scorer, k=5, fetch_k=4)
+
+
+def test_cross_encoder_seam_gated():
+    """The real-model adapter returns None where sentence-transformers is
+    absent (this container) — the embedder seam's gating discipline."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    assert retrieval.try_cross_encoder_udf() is None
