@@ -7856,7 +7856,7 @@ def expectations_by_lang_documents(spark, sf_dir):
 # retrieval seam), then (b) the 5 stalest anchors (last driver-green
 # r6: chunk_first_positions, chunk_semantic_documents, embedding_norms,
 # topk_orders, union_distinct_values — exactly the five displaced from
-# the r9 window), then (c) 41 of the 47 next-stalest anchors (every
+# the r9 window), then (c) 41 of the 50 next-stalest anchors (every
 # remaining oracle whose last driver-green row is r7). All 8 anchors
 # the r9 verdict suggested by name (chunk_first_positions,
 # embedding_norms, quarter_classification, filter_pushdown_orders,
@@ -7901,7 +7901,7 @@ _R10_WINDOW = (
     "embedding_norms",
     "topk_orders",
     "union_distinct_values",
-    # (c) next-stalest: last driver-green r7 (41 of the 47-cohort)
+    # (c) next-stalest: last driver-green r7 (41 of the 50-cohort)
     "asof_join_events_orders",
     "benford_price_profile",
     "bigram_lm_ppl_documents",
@@ -8109,7 +8109,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
     entries): the enumerated _R10_WINDOW sorts first (this round's
     driver window — the 4 never-driver-checked oracles, then the 5
-    stalest anchors, then 41 of the 47 next-stalest), then _NEW_R10
+    stalest anchors, then 41 of the 50 next-stalest), then _NEW_R10
     (oracles added after the window froze — first in line for r11;
     empty at freeze time), then the multi-green rotation pool
     (_DEPRIORITIZED last among oracles), then rows-only queries. All
