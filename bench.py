@@ -127,7 +127,12 @@ r10 notes:
   noise as predicted — the k=50 win is the scale-check note above);
   duplication_profile_documents 1.3 s;
   trigram_search_parts_from_index 1.1 s (vs 1.1 s in-plan at this
-  corpus size — the index pays off with corpus growth, not here).
+  corpus size — the sf0.1 part table collapses to only 64 DISTINCT
+  names, so the two paths tie; scripts/scale_check_r10_trigram.py
+  measures where the index pays: at 64k names in-plan 2.7 s vs
+  from-index 1.3 s, at 320k names 10.7 s vs 2.6 s — the in-plan
+  re-gram-explode grows 4.0x over that 5x step while the pruned
+  postings read grows 2.1x; build once 9.6/16.5 s).
   Compare r10's published total against r9 net of these; the
   early-stop budget logic may drop the third interleaved round as the
   roster grows — 2-round medians are the documented fallback (r8

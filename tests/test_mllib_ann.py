@@ -665,3 +665,31 @@ def test_cross_encoder_seam_gated():
     from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
 
     assert retrieval.try_cross_encoder_udf() is None
+
+
+def test_rerank_slots_before_sentence_window(spark, sf_dir):
+    """The two-stage rerank output composes with sentence-window
+    expansion exactly like plain retrieval does (the 'slots behind
+    MMR/sentence-window' contract): join the chosen ids back for
+    (doc_id, chunk_index), expand ±1 — cross-encoder precision picks
+    the hits, the expanded window is the answer context."""
+    from building_a_rag_pipeline_with_airflow_spark import schemas
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+    from building_a_rag_pipeline_with_airflow_spark.pipeline import build_index
+
+    docs = schemas.load_table(spark, sf_dir, "documents")
+    index = build_index(docs, strategy="fixed")
+    hits = retrieval.rerank_with(
+        index, "spark join merge", retrieval.token_overlap_scorer_udf(),
+        k=3, fetch_k=8,
+    )
+    enriched = hits.join(
+        index.select("chunk_id", "doc_id", "chunk_index"), "chunk_id"
+    )
+    out = retrieval.expand_retrieved_window(
+        enriched, index.drop("embedding"), window=1
+    ).orderBy("rank")
+    rows = out.collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert all(1 <= r.n_window_chunks <= 3 for r in rows)
+    assert all(r.window_text for r in rows)
