@@ -102,7 +102,7 @@ def trigram_topk(
     q_text: str = "q_text",
     c_id: str = "name_id",
     c_text: str = "name",
-    max_posting: int = 100_000,
+    max_posting: "int | None" = 100_000,
 ) -> DataFrame:
     """Fuzzy string SEARCH: for every query string, the top-k most
     similar corpus strings by trigram-set Jaccard — the search-shaped
@@ -254,7 +254,7 @@ def trigram_topk_from_index(
     *,
     q_id: str = "q_id",
     q_text: str = "q_text",
-    max_posting: int = 100_000,
+    max_posting: "int | None" = 100_000,
 ) -> DataFrame:
     """Fuzzy top-k search against a :func:`build_trigram_index` layout —
     result-identical to :func:`trigram_topk` over the same corpus, but
@@ -291,19 +291,23 @@ def trigram_topk_from_index(
         "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int")
     )
     raw = spark.read.parquet(f"{path}/postings")
+    # max_posting=None disables the stop-gram guard on BOTH paths — the
+    # in-plan operator supports it (trigram_topk's `if max_posting is
+    # not None`), and from-index must stay result-identical mode for mode
     if meta.extended:
-        pruned = raw.join(F.broadcast(qgrams), ["bucket", "gram"])
-        ok = (
-            pruned.groupBy("gram")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= int(max_posting))
-            .select("gram")
-        )
-        cpost = pruned.join(F.broadcast(ok), "gram")
+        cpost = raw.join(F.broadcast(qgrams), ["bucket", "gram"])
+        if max_posting is not None:
+            ok = (
+                cpost.groupBy("gram")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= int(max_posting))
+                .select("gram")
+            )
+            cpost = cpost.join(F.broadcast(ok), "gram")
     else:
-        cpost = raw.where(F.col("gram_df") <= int(max_posting)).join(
-            F.broadcast(qgrams), ["bucket", "gram"]
-        )
+        if max_posting is not None:
+            raw = raw.where(F.col("gram_df") <= int(max_posting))
+        cpost = raw.join(F.broadcast(qgrams), ["bucket", "gram"])
     shared = (
         qpost.join(cpost.select("gram", "name_id", "n_grams"), "gram")
         .groupBy("q_id", "name_id")

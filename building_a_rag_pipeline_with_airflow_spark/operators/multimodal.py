@@ -575,6 +575,12 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
     there are no batch-local denormalized statistics to go stale."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
+    if int(n_bands) < 1:
+        # family build-guard rule (r9 advice): n_bands=0 would band to
+        # an EMPTY array — every row dropped, a silently empty index
+        raise ValueError(
+            f"build_phash_index: n_bands must be >= 1, got {n_bands}"
+        )
     hashed = perceptual_hash(df, data_col=data_col, id_col=id_col)
     rows = _phash_band_rows(hashed, n_bands, id_col=id_col)
     index_layout.write_index_rows(

@@ -305,3 +305,88 @@ def start_extender(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_postings_extender(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    *,
+    derive_rows: Callable,
+    key_col: str,
+    count_col: str,
+    rows_subdir: str,
+    flip_meta_df: Callable,
+    extra_outputs: "Callable | None" = None,
+    available_now: bool = True,
+):
+    """The ONE extension dance every bucketed-postings index shares
+    (shingle / ExactSubstr windows / trigram grams) — previously three
+    hand-copied ``write_batch`` bodies, now the single implementation
+    the module docstring promises. Per batch:
+
+    1. skip empty batches; read the frozen build meta;
+    2. ``derive_rows(batch_df, meta)`` explodes the batch to posting
+       rows (must contain ``key_col``); a narrow eager
+       ``localCheckpoint`` pins them (three downstream references);
+    3. a NON-empty batch can still derive to zero rows (all-blank
+       docs, every doc under the frozen k...) — skip WITHOUT flipping
+       the index off its pushed-predicate fast path, releasing the
+       checkpoint either way (a stream of such batches must not leak
+       one pinned RDD per batch);
+    4. flip ``meta.extended`` BEFORE the rows land (``flip_meta_df``
+       builds the index's meta row) — the family crash-ordering rule: a
+       reader between the writes must never see extension rows under
+       ``extended=False``, where the pushed batch-local count guard
+       would miss a key crossing its cap only ACROSS batches; the
+       reverse gap is safe (recount over base-only rows reproduces the
+       stored counts exactly);
+    5. batch-local ``count_col`` doc-freqs join back (schema-compatible
+       with the build's corpus-wide column), rows hash-bucket by
+       ``pmod(xxhash64(key), meta.n_buckets)`` and append under this
+       ``_batch_id`` with dynamic overwrite (replay idempotence), sorted
+       by key for row-group skipping;
+    6. ``extra_outputs(batch_df, rows, meta)`` yields (subdir, df) side
+       tables (shingle doc sizes, trigram name payload), written under
+       the same batch id.
+    """
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        release_checkpoint,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = read_meta(spark, index_path)
+        rows = derive_rows(batch_df, meta).localCheckpoint(eager=True)
+        if rows.isEmpty():
+            release_checkpoint(rows)
+            return
+        if not meta.extended:
+            write_meta(flip_meta_df(spark, meta), index_path)
+        dfreq = rows.groupBy(key_col).agg(
+            F.count("*").cast("bigint").alias(count_col)
+        )
+        out = rows.join(dfreq, key_col).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(key_col), F.lit(int(meta.n_buckets))).cast("int"),
+        )
+        write_index_rows(
+            out,
+            f"{index_path}/{rows_subdir}",
+            partition_cols=("bucket",),
+            sort_col=key_col,
+            n_files=int(meta.n_buckets),
+            batch_id=batch_id,
+            extend=True,
+        )
+        for subdir, df in (
+            extra_outputs(batch_df, rows, meta) if extra_outputs else ()
+        ):
+            write_index_rows(
+                df, f"{index_path}/{subdir}", batch_id=batch_id, extend=True
+            )
+        release_checkpoint(rows)
+
+    return start_extender(stream, checkpoint_path, write_batch, available_now)

@@ -207,66 +207,39 @@ dedup.build_shingle_index` layout fresh — the text-side twin of
     and recount in-plan — a shingle can cross ``max_posting`` only across
     batches, and a pushed predicate over batch-local counts would miss it.
     Re-running ``build_shingle_index`` (offline, like IVF re-clustering)
-    restores the pushed-guard fast path."""
+    restores the pushed-guard fast path.
+
+    Mechanics (empty-batch skips, the flip-meta-first crash ordering,
+    batch-local doc-freq join, replay-idempotent bucketed write,
+    checkpoint release on every path) live in ONE place —
+    :func:`~building_a_rag_pipeline_with_airflow_spark.sources.\
+index_layout.start_postings_extender` — shared with the ExactSubstr
+    and trigram extenders."""
     from building_a_rag_pipeline_with_airflow_spark.operators.dedup import shingles
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        meta = index_layout.read_meta(spark, index_path)
-        sh = shingles(batch_df, text_col, id_col, int(meta.n)).select(
-            F.col(id_col).alias("doc_id"), "shingle"
-        )
-        # An all-blank batch shingles to nothing: adding zero rows must
-        # not flip the index off its pushed-predicate fast path.
-        sh = sh.localCheckpoint(eager=True)
-        if sh.isEmpty():
-            return
-        # Flip meta BEFORE the rows land (the substring-extender rule): a
-        # reader between the two writes must never see extension rows
-        # under extended=False — the pushed batch-local shingle_df guard
-        # would miss a shingle crossing max_posting only across batches.
-        # The reverse gap is safe: extended=True over base-only rows
-        # recounts to exactly the stored doc-freqs.
-        if not meta.extended:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta.n), int(meta.n_buckets), True)],
-                    "n int, n_buckets int, extended boolean",
+    return index_layout.start_postings_extender(
+        docs_stream,
+        index_path,
+        checkpoint_path,
+        derive_rows=lambda batch_df, meta: shingles(
+            batch_df, text_col, id_col, int(meta.n)
+        ).select(F.col(id_col).alias("doc_id"), "shingle"),
+        key_col="shingle",
+        count_col="shingle_df",
+        rows_subdir="postings",
+        flip_meta_df=lambda spark, meta: spark.createDataFrame(
+            [(int(meta.n), int(meta.n_buckets), True)],
+            "n int, n_buckets int, extended boolean",
+        ),
+        extra_outputs=lambda batch_df, rows, meta: [
+            (
+                "doc_sizes",
+                rows.groupBy("doc_id").agg(
+                    F.count("*").cast("bigint").alias("n_shingles")
                 ),
-                index_path,
             )
-        dfreq = sh.groupBy("shingle").agg(
-            F.count("*").cast("bigint").alias("shingle_df")
-        )
-        postings = sh.join(dfreq, "shingle").withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("shingle"), F.lit(int(meta.n_buckets))).cast("int"),
-        )
-        index_layout.write_index_rows(
-            postings,
-            f"{index_path}/postings",
-            partition_cols=("bucket",),
-            sort_col="shingle",
-            n_files=int(meta.n_buckets),
-            batch_id=batch_id,
-            extend=True,
-        )
-        index_layout.write_index_rows(
-            sh.groupBy("doc_id").agg(
-                F.count("*").cast("bigint").alias("n_shingles")
-            ),
-            f"{index_path}/doc_sizes",
-            batch_id=batch_id,
-            extend=True,
-        )
-        from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
-
-        release_checkpoint(sh)
-
-    return index_layout.start_extender(
-        docs_stream, checkpoint_path, write_batch, available_now
+        ],
+        available_now=available_now,
     )
 
 
@@ -292,63 +265,35 @@ dedup.build_substring_index` layout fresh — the ExactSubstr twin of
     stop trusting stored counts and recount in-plan — a window that
     repeats only ACROSS batches (exactly the duplication an incremental
     corpus grows) would evade a pushed batch-local predicate. Re-running
-    ``build_substring_index`` offline restores the pushed fast path."""
+    ``build_substring_index`` offline restores the pushed fast path.
+
+    Mechanics shared via
+    :func:`~building_a_rag_pipeline_with_airflow_spark.sources.\
+index_layout.start_postings_extender` (a non-empty batch can still
+    window to NOTHING — every doc below the frozen k, or above
+    max_doc_tokens — and must skip without flipping the fast path)."""
     from building_a_rag_pipeline_with_airflow_spark.operators.dedup import _window_hashes
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        meta = index_layout.read_meta(spark, index_path)
+    def derive(batch_df: DataFrame, meta) -> DataFrame:
         mdt = None if int(meta.max_doc_tokens) < 0 else int(meta.max_doc_tokens)
-        wins = _window_hashes(
+        return _window_hashes(
             batch_df, text_col, id_col, int(meta.k), mdt
         ).select(F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h"))
-        # A non-empty batch can still window to NOTHING (every doc below
-        # the frozen k, or above max_doc_tokens — realistic for short-doc
-        # corpora): adding zero rows must not flip the index off its
-        # pushed-predicate fast path.
-        wins = wins.localCheckpoint(eager=True)
-        if wins.isEmpty():
-            return
-        # Flip meta BEFORE the rows land: a reader (or a crash) between
-        # the two writes must never see extension rows under
-        # extended=False — the pushed batch-local h_count predicate would
-        # silently miss cross-batch duplicates. The reverse gap is safe:
-        # extended=True over base-only rows recounts to exactly the
-        # stored counts.
-        if not meta.extended:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta.k), int(meta.n_buckets),
-                      int(meta.max_doc_tokens), True)],
-                    "k int, n_buckets int, max_doc_tokens long, "
-                    "extended boolean",
-                ),
-                index_path,
-            )
-        counts = wins.groupBy("h").agg(
-            F.count("*").cast("bigint").alias("h_count")
-        )
-        rows = wins.join(counts, "h").withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("h"), F.lit(int(meta.n_buckets))).cast("int"),
-        )
-        index_layout.write_index_rows(
-            rows,
-            f"{index_path}/windows",
-            partition_cols=("bucket",),
-            sort_col="h",
-            n_files=int(meta.n_buckets),
-            batch_id=batch_id,
-            extend=True,
-        )
-        from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
 
-        release_checkpoint(wins)
-
-    return index_layout.start_extender(
-        docs_stream, checkpoint_path, write_batch, available_now
+    return index_layout.start_postings_extender(
+        docs_stream,
+        index_path,
+        checkpoint_path,
+        derive_rows=derive,
+        key_col="h",
+        count_col="h_count",
+        rows_subdir="windows",
+        flip_meta_df=lambda spark, meta: spark.createDataFrame(
+            [(int(meta.k), int(meta.n_buckets),
+              int(meta.max_doc_tokens), True)],
+            "k int, n_buckets int, max_doc_tokens long, extended boolean",
+        ),
+        available_now=available_now,
     )
 
 
@@ -377,71 +322,45 @@ linkage.build_trigram_index` layout fresh — the fuzzy-search twin of
     (each name's grams land whole inside one batch), so it is ALWAYS
     exact — only the corpus-wide statistic degrades to recount.
     Re-running ``build_trigram_index`` offline restores the pushed-guard
-    fast path."""
+    fast path.
+
+    Mechanics shared via
+    :func:`~building_a_rag_pipeline_with_airflow_spark.sources.\
+index_layout.start_postings_extender`; the (name_id, name) payload
+    rows ride as the extra output (ALL batch rows, NULL-name included —
+    the payload mirrors the corpus, the postings mirror its grams)."""
     from building_a_rag_pipeline_with_airflow_spark.operators.linkage import trigram_set
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        meta = index_layout.read_meta(spark, index_path)
-        cg = batch_df.select(
+    def derive(batch_df: DataFrame, meta) -> DataFrame:
+        return batch_df.select(
             F.col(c_id).alias("name_id"),
             F.col(c_text).alias("name"),
             trigram_set(c_text).alias("_g"),
-        )
-        post = cg.select(
+        ).select(
             "name_id", F.size("_g").alias("n_grams"),
             F.explode("_g").alias("gram"),
         )
-        # A non-empty batch can still gram to NOTHING (all-NULL names):
-        # adding zero rows must not flip the index off its
-        # pushed-predicate fast path.
-        post = post.localCheckpoint(eager=True)
-        if post.isEmpty():
-            return
-        # Flip meta BEFORE the rows land (the family crash-ordering
-        # rule): a reader between the writes must never see extension
-        # rows under extended=False — the pushed batch-local gram_df
-        # guard would miss a gram crossing max_posting only across
-        # batches. The reverse gap is safe: extended=True over base-only
-        # rows recounts to exactly the stored doc-freqs.
-        if not meta.extended:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta.n_buckets), True)],
-                    "n_buckets int, extended boolean",
+
+    return index_layout.start_postings_extender(
+        names_stream,
+        index_path,
+        checkpoint_path,
+        derive_rows=derive,
+        key_col="gram",
+        count_col="gram_df",
+        rows_subdir="postings",
+        flip_meta_df=lambda spark, meta: spark.createDataFrame(
+            [(int(meta.n_buckets), True)], "n_buckets int, extended boolean"
+        ),
+        extra_outputs=lambda batch_df, rows, meta: [
+            (
+                "names",
+                batch_df.select(
+                    F.col(c_id).alias("name_id"), F.col(c_text).alias("name")
                 ),
-                index_path,
             )
-        dfreq = post.groupBy("gram").agg(
-            F.count("*").cast("bigint").alias("gram_df")
-        )
-        rows = post.join(dfreq, "gram").withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("gram"), F.lit(int(meta.n_buckets))).cast("int"),
-        )
-        index_layout.write_index_rows(
-            rows,
-            f"{index_path}/postings",
-            partition_cols=("bucket",),
-            sort_col="gram",
-            n_files=int(meta.n_buckets),
-            batch_id=batch_id,
-            extend=True,
-        )
-        index_layout.write_index_rows(
-            cg.select("name_id", "name"),
-            f"{index_path}/names",
-            batch_id=batch_id,
-            extend=True,
-        )
-        from building_a_rag_pipeline_with_airflow_spark.operators import release_checkpoint
-
-        release_checkpoint(post)
-
-    return index_layout.start_extender(
-        names_stream, checkpoint_path, write_batch, available_now
+        ],
+        available_now=available_now,
     )
 
 

@@ -83,7 +83,7 @@ def build_long_docs(spark, n_rep: int) -> str:
     return ROOT
 
 
-def time_spans(spark, path: str, k: int, hash: str) -> float:
+def time_spans(spark, path: str, k: int, hash: str) -> "tuple[float, int]":
     from building_a_rag_pipeline_with_airflow_spark.operators import dedup
 
     docs = spark.read.parquet(f"{path}/documents.parquet")

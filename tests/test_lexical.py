@@ -723,3 +723,56 @@ def test_scrub_with_spans_custom_id_col(spark, tmp_path):
     bad = spark.createDataFrame([(1, 0, 2)], "other int, span_start int, span_end int")
     with pytest.raises(ValueError, match="spans frame has no"):
         dedup.scrub_with_spans(df, bad, id_col="chunk_id")
+
+
+def test_zero_row_extension_batch_releases_checkpoint(spark, tmp_path):
+    """The skip path for a non-empty batch that derives to ZERO posting
+    rows must release its eager localCheckpoint — a stream of such
+    batches would otherwise pin one checkpointed RDD per batch for the
+    session's life (unpersist() is a no-op on locally-checkpointed
+    frames; only release_checkpoint frees them). Exercises the shared
+    start_postings_extender skip path."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id int, text string"
+    )
+    path = str(tmp_path / "rl_idx")
+    dedup.build_substring_index(base, path, k=3, n_buckets=4)
+
+    landing = tmp_path / "rl_landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(3, "too short"), (4, "")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(str(landing / "d1"))
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    stream = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    q = ingest.streaming_extend_substring_index(
+        stream, path, str(tmp_path / "rl_ck")
+    )
+    q.awaitTermination(120)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_postings_build_rejects_degenerate_n_buckets(spark):
+    """build_postings_index joins the family n_buckets build guard
+    (pmod by 0 is NULL — a silently broken bucket layout)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import lexical
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="n_buckets"):
+            lexical.build_postings_index(df, "/tmp/never_written", n_buckets=bad)
+
+
+def test_phash_build_rejects_degenerate_n_bands(spark):
+    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=4)
+    with pytest.raises(ValueError, match="n_bands"):
+        mm.build_phash_index(media, "/tmp/never_written", n_bands=0)

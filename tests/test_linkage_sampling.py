@@ -440,3 +440,46 @@ def test_trigram_from_index_cross_batch_stop_gram_recount(spark, tmp_path):
     assert linkage.trigram_topk(
         queries, base.union(new), k=5, max_posting=3
     ).isEmpty()
+
+
+def test_trigram_from_index_none_max_posting_matches_inplan(spark, tmp_path):
+    """max_posting=None (the no-stop-gram-guard mode trigram_topk
+    supports) must work identically from the index — on both the fresh
+    pushed-guard path and the extended recount path."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(i, "aaaa") for i in range(1, 6, 2)], "name_id int, name string"
+    )
+    new = spark.createDataFrame(
+        [(i, "aaaa") for i in range(2, 7, 2)], "name_id int, name string"
+    )
+    queries = spark.createDataFrame([(1, "aaaa")], "q_id int, q_text string")
+
+    path = str(tmp_path / "np_idx")
+    linkage.build_trigram_index(base, path, n_buckets=4)
+
+    def rows(df):
+        return sorted(map(str, (tuple(r) for r in df.collect())))
+
+    assert rows(
+        linkage.trigram_topk_from_index(spark, path, queries, k=9,
+                                        max_posting=None)
+    ) == rows(linkage.trigram_topk(queries, base, k=9, max_posting=None))
+
+    landing = tmp_path / "np_landing"
+    landing.mkdir()
+    new.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("name_id int, name string").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_trigram_index(
+        stream, path, str(tmp_path / "np_ck")
+    ).awaitTermination(120)
+
+    assert rows(
+        linkage.trigram_topk_from_index(spark, path, queries, k=9,
+                                        max_posting=None)
+    ) == rows(
+        linkage.trigram_topk(queries, base.union(new), k=9, max_posting=None)
+    )
