@@ -415,6 +415,23 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
         postings = tf.join(dfreq, "term").withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
+        # Flip meta BEFORE any extension rows land — the family
+        # crash-ordering rule (this extender used to flip LAST): a
+        # reader between the writes must never see extension postings
+        # under extended=False, where the stored batch-local df_t would
+        # be trusted as corpus-wide idf and meta's n_docs/avgdl would
+        # silently exclude the visible rows. The reverse gap is safe:
+        # extended=True over base-only rows recounts df to exactly the
+        # stored values, and the build's base batch_stats row (-1)
+        # reproduces meta's n_docs/avgdl.
+        if not meta["extended"]:
+            index_layout.write_meta(
+                spark.createDataFrame(
+                    [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
+                    "n_docs bigint, avgdl double, n_buckets int, extended boolean",
+                ),
+                index_path,
+            )
         index_layout.write_index_rows(
             postings,
             f"{index_path}/postings",
@@ -434,14 +451,6 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
             extend=True,
             coalesce=1,
         )
-        if not meta["extended"]:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
-                    "n_docs bigint, avgdl double, n_buckets int, extended boolean",
-                ),
-                index_path,
-            )
 
     return index_layout.start_extender(
         docs_stream, checkpoint_path, write_batch, available_now
