@@ -293,7 +293,8 @@ def trigram_topk_from_index(
     raw = spark.read.parquet(f"{path}/postings")
     # max_posting=None disables the stop-gram guard on BOTH paths — the
     # in-plan operator supports it (trigram_topk's `if max_posting is
-    # not None`), and from-index must stay result-identical mode for mode
+    # not None`), and from-index must stay result-identical to it in
+    # every mode
     if meta.extended:
         cpost = raw.join(F.broadcast(qgrams), ["bucket", "gram"])
         if max_posting is not None:

@@ -491,12 +491,27 @@ def resize_image(df: DataFrame, width: int, height: int,
     return df.drop(data_col).join(resized, id_col)
 
 
+def _check_n_bands(n_bands: int, op: str) -> None:
+    """Band-count guard for the 63-bit pHash, shared by every banding
+    consumer: n_bands < 1 bands to an EMPTY array (every row silently
+    dropped), and n_bands > 8 extracts DUPLICATE bytes — the hash has
+    exactly eight meaningful 8-bit slices, and the JVM shift count wraps
+    mod 64, so band 8 re-reads band 0's byte: the index doubles with
+    duplicate rows and min_shared_bands combinatorics silently skew."""
+    if not (1 <= int(n_bands) <= 8):
+        raise ValueError(
+            f"{op}: n_bands must be in 1..8 (the 63-bit phash has eight "
+            f"8-bit slices), got {n_bands}"
+        )
+
+
 def _phash_band_rows(hashed: DataFrame, n_bands: int,
                      id_col: str = "media_id",
                      hash_col: str = "phash") -> DataFrame:
     """(band_i, band_v, id, hash) rows — the stored/joined form shared by
     the in-plan matcher, the durable index build, and the streaming
     extension (one banding definition, three consumers)."""
+    _check_n_bands(n_bands, "_phash_band_rows")
     bands = F.array(
         *[
             F.struct(
@@ -575,12 +590,9 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
     there are no batch-local denormalized statistics to go stale."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    if int(n_bands) < 1:
-        # family build-guard rule (r9 advice): n_bands=0 would band to
-        # an EMPTY array — every row dropped, a silently empty index
-        raise ValueError(
-            f"build_phash_index: n_bands must be >= 1, got {n_bands}"
-        )
+    # family build-guard rule (r9 advice) — checked BEFORE the hashing
+    # UDF spends compute; _phash_band_rows re-checks for in-plan callers
+    _check_n_bands(n_bands, "build_phash_index")
     hashed = perceptual_hash(df, data_col=data_col, id_col=id_col)
     rows = _phash_band_rows(hashed, n_bands, id_col=id_col)
     index_layout.write_index_rows(

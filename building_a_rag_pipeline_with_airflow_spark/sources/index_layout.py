@@ -360,33 +360,40 @@ def start_postings_extender(
         spark = batch_df.sparkSession
         meta = read_meta(spark, index_path)
         rows = derive_rows(batch_df, meta).localCheckpoint(eager=True)
-        if rows.isEmpty():
-            release_checkpoint(rows)
-            return
-        if not meta.extended:
-            write_meta(flip_meta_df(spark, meta), index_path)
-        dfreq = rows.groupBy(key_col).agg(
-            F.count("*").cast("bigint").alias(count_col)
-        )
-        out = rows.join(dfreq, key_col).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(key_col), F.lit(int(meta.n_buckets))).cast("int"),
-        )
-        write_index_rows(
-            out,
-            f"{index_path}/{rows_subdir}",
-            partition_cols=("bucket",),
-            sort_col=key_col,
-            n_files=int(meta.n_buckets),
-            batch_id=batch_id,
-            extend=True,
-        )
-        for subdir, df in (
-            extra_outputs(batch_df, rows, meta) if extra_outputs else ()
-        ):
-            write_index_rows(
-                df, f"{index_path}/{subdir}", batch_id=batch_id, extend=True
+        # try/finally: a write failure (type-narrowing refusal, transient
+        # FS error — Structured Streaming retries the batch) must not
+        # leak the pinned blocks; one leaked RDD per retry is the same
+        # class as the zero-row skip leak
+        try:
+            if rows.isEmpty():
+                return
+            if not meta.extended:
+                write_meta(flip_meta_df(spark, meta), index_path)
+            dfreq = rows.groupBy(key_col).agg(
+                F.count("*").cast("bigint").alias(count_col)
             )
-        release_checkpoint(rows)
+            out = rows.join(dfreq, key_col).withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64(key_col), F.lit(int(meta.n_buckets))
+                ).cast("int"),
+            )
+            write_index_rows(
+                out,
+                f"{index_path}/{rows_subdir}",
+                partition_cols=("bucket",),
+                sort_col=key_col,
+                n_files=int(meta.n_buckets),
+                batch_id=batch_id,
+                extend=True,
+            )
+            for subdir, df in (
+                extra_outputs(batch_df, rows, meta) if extra_outputs else ()
+            ):
+                write_index_rows(
+                    df, f"{index_path}/{subdir}", batch_id=batch_id, extend=True
+                )
+        finally:
+            release_checkpoint(rows)
 
     return start_extender(stream, checkpoint_path, write_batch, available_now)

@@ -389,18 +389,27 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
     and (b) derive n_docs/avgdl by summing the per-batch rows — exact,
     and a replayed batch overwrites its own row instead of double-
     counting. Re-running ``build_postings_index`` offline restores the
-    stored-df fast path."""
+    stored-df fast path.
+
+    Mechanics shared via
+    :func:`~building_a_rag_pipeline_with_airflow_spark.sources.\
+index_layout.start_postings_extender` — which also gives this extender
+    the family's zero-derive skip (a batch of all-blank docs contributes
+    no postings AND no docs to n_docs: ``_tokenized`` filters blank docs
+    on the in-plan side too, so skipping preserves from-index ≡ in-plan)
+    and the flip-meta-first crash ordering (it used to flip LAST — a
+    reader between the writes saw extension rows under extended=False,
+    trusting batch-local df_t as corpus-wide idf; the reverse gap is
+    safe because the build's base batch_stats row (-1) reproduces meta's
+    n_docs/avgdl exactly). The per-batch (n_docs, sum_dl) stats row
+    rides as the extra output, derived from the SAME checkpointed
+    posting rows as the postings (one tokenization pass per batch)."""
     from building_a_rag_pipeline_with_airflow_spark.operators.lexical import _tokenized
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        meta = index_layout.read_meta(spark, index_path)
-        n_buckets = int(meta["n_buckets"])
-        base = _tokenized(batch_df, id_col, text_col)
-        tf = (
-            base.select(
+    def derive(batch_df: DataFrame, meta) -> DataFrame:
+        return (
+            _tokenized(batch_df, id_col, text_col)
+            .select(
                 F.col(id_col).alias("doc_id"),
                 "dl",
                 F.explode("toks").alias("term"),
@@ -411,49 +420,34 @@ lexical.build_postings_index` layout fresh — the BM25 twin of
                 F.first("dl").alias("dl"),
             )
         )
-        dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df_t"))
-        postings = tf.join(dfreq, "term").withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
-        # Flip meta BEFORE any extension rows land — the family
-        # crash-ordering rule (this extender used to flip LAST): a
-        # reader between the writes must never see extension postings
-        # under extended=False, where the stored batch-local df_t would
-        # be trusted as corpus-wide idf and meta's n_docs/avgdl would
-        # silently exclude the visible rows. The reverse gap is safe:
-        # extended=True over base-only rows recounts df to exactly the
-        # stored values, and the build's base batch_stats row (-1)
-        # reproduces meta's n_docs/avgdl.
-        if not meta["extended"]:
-            index_layout.write_meta(
-                spark.createDataFrame(
-                    [(int(meta["n_docs"]), float(meta["avgdl"]), n_buckets, True)],
-                    "n_docs bigint, avgdl double, n_buckets int, extended boolean",
-                ),
-                index_path,
-            )
-        index_layout.write_index_rows(
-            postings,
-            f"{index_path}/postings",
-            partition_cols=("bucket",),
-            sort_col="term",
-            n_files=n_buckets,
-            batch_id=batch_id,
-            extend=True,
-        )
-        index_layout.write_index_rows(
-            base.agg(
-                F.count("*").cast("bigint").alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-            ),
-            f"{index_path}/batch_stats",
-            batch_id=batch_id,
-            extend=True,
-            coalesce=1,
-        )
 
-    return index_layout.start_extender(
-        docs_stream, checkpoint_path, write_batch, available_now
+    return index_layout.start_postings_extender(
+        docs_stream,
+        index_path,
+        checkpoint_path,
+        derive_rows=derive,
+        key_col="term",
+        # stored df_t is double (the build's schema); the helper's bigint
+        # count conforms to it at the write boundary, values exact
+        count_col="df_t",
+        rows_subdir="postings",
+        flip_meta_df=lambda spark, meta: spark.createDataFrame(
+            [(int(meta["n_docs"]), float(meta["avgdl"]),
+              int(meta["n_buckets"]), True)],
+            "n_docs bigint, avgdl double, n_buckets int, extended boolean",
+        ),
+        extra_outputs=lambda batch_df, rows, meta: [
+            (
+                "batch_stats",
+                rows.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .agg(
+                    F.count("*").cast("bigint").alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                ),
+            )
+        ],
+        available_now=available_now,
     )
 
 

@@ -771,8 +771,57 @@ def test_postings_build_rejects_degenerate_n_buckets(spark):
 
 
 def test_phash_build_rejects_degenerate_n_bands(spark):
+    """n_bands=0 bands to an empty array (silently empty index);
+    n_bands>8 re-reads duplicate bytes of the 63-bit hash (JVM shift
+    wraps mod 64) — both rejected at every banding consumer."""
     from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as mm
 
     media = mm.synthesize_media(spark, n=4)
-    with pytest.raises(ValueError, match="n_bands"):
-        mm.build_phash_index(media, "/tmp/never_written", n_bands=0)
+    for bad in (0, 16):
+        with pytest.raises(ValueError, match="n_bands"):
+            mm.build_phash_index(media, "/tmp/never_written", n_bands=bad)
+        with pytest.raises(ValueError, match="n_bands"):
+            mm.phash_near_dups(
+                mm.perceptual_hash(media), max_hamming=0, n_bands=bad
+            )
+
+
+def test_bm25_extension_all_blank_batch_keeps_fast_path(spark, tmp_path):
+    """An all-blank batch contributes no postings AND no docs (the
+    in-plan `_tokenized` filters blank docs from n_docs too): the
+    extender must skip it entirely — no meta flip off the stored-df
+    fast path, no junk (n_docs=0, sum_dl=NULL) batch_stats row — and
+    from-index must keep matching in-plan over the full corpus."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import lexical
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    base = spark.createDataFrame(
+        [(1, "spark join merge"), (2, "spark scan filter")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "bb_idx")
+    lexical.build_postings_index(base, path, n_buckets=4)
+
+    landing = tmp_path / "bb_landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(3, "   "), (4, "")], "doc_id int, text string"
+    ).coalesce(1).write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_postings_index(
+        stream, path, str(tmp_path / "bb_ck")
+    ).awaitTermination(120)
+
+    assert not bool(index_layout.read_meta(spark, path)["extended"])
+    assert spark.read.parquet(f"{path}/batch_stats").count() == 1  # base only
+    full = base.union(
+        spark.createDataFrame([(3, "   "), (4, "")], "doc_id int, text string")
+    )
+    got = [tuple(r) for r in lexical.bm25_topk_from_index(
+        spark, path, ["spark", "join"], k=5).collect()]
+    exp = [tuple(r) for r in lexical.bm25_topk(
+        full, ["spark", "join"], k=5).collect()]
+    assert got == exp
