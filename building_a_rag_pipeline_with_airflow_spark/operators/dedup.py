@@ -198,7 +198,7 @@ def build_shingle_index(
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    _check_n_buckets(n_buckets, "build_shingle_index")
+    index_layout.check_n_buckets(n_buckets, "build_shingle_index")
     sh = shingles(df, text_col, id_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
     )
@@ -584,29 +584,19 @@ def duplicate_substring_spans(
     _check_substring_params(k, min_count, "duplicate_substring_spans")
     if hash == "md5":
         wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens)
-        dup = (
-            wins.groupBy("_h")
-            .agg(F.count("*").alias("_c"))
-            .where(F.col("_c") >= int(min_count))
-            .select("_h")
-        )
-        hits = wins.join(dup, "_h").select(id_col, "pos")
     elif hash == "rolling":
         wins = _window_hashes_rolling(df, text_col, id_col, k, max_doc_tokens)
-        dup = (
-            wins.groupBy("_h")
-            .agg(F.count("*").alias("_c"))
-            .where(F.col("_c") >= int(min_count))
-            .select("_h")
-        )
-        cand = wins.join(dup, "_h").select(id_col, "pos")
-        toks = _tokens_gated(df, text_col, id_col, k, max_doc_tokens)
-        hits = _verify_candidates(cand, toks, id_col, k, min_count)
     else:
         raise ValueError(
             f"duplicate_substring_spans: hash must be 'md5' or 'rolling', "
             f"got {hash!r}"
         )
+    # one shared duplicate-hash subplan for both tiers — a change to the
+    # counting rule must hit md5 and rolling identically or they drift
+    hits = _repeated_positions(wins, id_col, min_count)
+    if hash == "rolling":
+        toks = _tokens_gated(df, text_col, id_col, k, max_doc_tokens)
+        hits = _verify_candidates(hits, toks, id_col, k, min_count)
     return _merge_spans(hits, id_col, k)
 
 
@@ -629,16 +619,23 @@ def _check_substring_params(
         )
 
 
-def _check_n_buckets(n_buckets: int, op: str) -> None:
-    """Index-build bucket-count guard (r9 advice): ``pmod(xxhash64(h),
-    0)`` is NULL — a broken partition layout — and a negative count
-    yields negative partition values; fail loudly at build time like
-    the analytics/curation n_buckets guards do."""
-    if int(n_buckets) < 1:
-        raise ValueError(
-            f"{op}: n_buckets must be >= 1, got {n_buckets} "
-            "(pmod by 0 is NULL — the bucket layout would be broken)"
-        )
+def _repeated_positions(
+    wins: DataFrame, id_col: str, min_count: int
+) -> DataFrame:
+    """(id, pos) of every window whose hash repeats ≥ ``min_count``
+    times in ``wins`` — the count-agg → equi-join core shared by both
+    hash tiers of :func:`duplicate_substring_spans` AND the rolling
+    tier's exact recount (:func:`_verify_candidates`), so a change to
+    the counting rule cannot drift between them. One map-side-combined
+    agg on the hash, one equi-join back with one row per qualifying
+    hash on the build side."""
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_h")
+    )
+    return wins.join(dup, "_h").select(id_col, "pos")
 
 
 def _tokens_gated(
@@ -821,13 +818,7 @@ def _verify_candidates(
             F.array_join(F.slice("_toks", F.col("pos") + 1, k), " ")
         ).alias("_h"),
     )
-    dup = (
-        cand_txt.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= int(min_count))
-        .select("_h")
-    )
-    return cand_txt.join(dup, "_h").select(id_col, "pos")
+    return _repeated_positions(cand_txt, id_col, min_count)
 
 
 def _merge_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -995,7 +986,7 @@ def build_substring_index(
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     _check_substring_params(k, None, "build_substring_index")
-    _check_n_buckets(n_buckets, "build_substring_index")
+    index_layout.check_n_buckets(n_buckets, "build_substring_index")
     wins = _window_hashes(df, text_col, id_col, k, max_doc_tokens).select(
         F.col(id_col).alias("doc_id"), "pos", F.col("_h").alias("h")
     )

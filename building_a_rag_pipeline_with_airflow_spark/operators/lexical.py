@@ -441,12 +441,9 @@ def build_postings_index(
       resolve).
     """
     from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
-    from building_a_rag_pipeline_with_airflow_spark.operators.dedup import (
-        _check_n_buckets,
-    )
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    _check_n_buckets(n_buckets, "build_postings_index")
+    index_layout.check_n_buckets(n_buckets, "build_postings_index")
     base = ensure_min_partitions(_tokenized(df, id_col, text_col))
     require_nonempty(base, "postings index corpus")
     tf = (

@@ -84,12 +84,20 @@ def trigram_set(col: "str | Column") -> Column:
     pure Catalyst (`transform` over a `sequence` of positions +
     `array_distinct`), reproducible in any engine via
     ``generate_series`` + ``substr`` + ``DISTINCT``. Strings shorter
-    than 3 chars contribute their whole text as one gram."""
+    than 3 chars contribute their whole text as one gram; NULL strings
+    contribute NO grams (``substr`` of NULL gives ``[NULL]``, and a
+    NULL gram is unsearchable — every downstream gram equi-join drops
+    it — so emitting it would only let an all-NULL batch defeat the
+    extender's zero-derive skip and the index build's emptiness guard
+    with posting rows that can never match)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     n = F.greatest(F.length(c) - 2, F.lit(1))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(3))
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(3))
+            ),
+            lambda g: g.isNotNull(),
         )
     )
 
@@ -209,12 +217,9 @@ def build_trigram_index(
         ensure_min_partitions,
         require_nonempty,
     )
-    from building_a_rag_pipeline_with_airflow_spark.operators.dedup import (
-        _check_n_buckets,
-    )
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
-    _check_n_buckets(n_buckets, "build_trigram_index")
+    index_layout.check_n_buckets(n_buckets, "build_trigram_index")
     cg = ensure_min_partitions(corpus).select(
         F.col(c_id).alias("name_id"),
         F.col(c_text).alias("name"),

@@ -285,6 +285,25 @@ def token_overlap_scorer_udf():
     return _score
 
 
+# Per-python-worker model cache for try_cross_encoder_udf: Spark reuses
+# python worker processes across tasks, but an iterator UDF's BODY
+# re-runs every task — a `CrossEncoder(...)` inside the generator would
+# reload hundreds of MB of weights per task (per query, in a lookup
+# service). Keyed by model name; lives at module scope so cloudpickle
+# serializes the accessor BY REFERENCE and every task in one worker
+# process shares the entry.
+_CE_MODEL_CACHE: dict = {}
+
+
+def _cross_encoder_for(model_name: str):
+    model = _CE_MODEL_CACHE.get(model_name)
+    if model is None:
+        from sentence_transformers import CrossEncoder
+
+        model = _CE_MODEL_CACHE[model_name] = CrossEncoder(model_name)
+    return model
+
+
 def try_cross_encoder_udf(
     model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
 ):
@@ -292,8 +311,10 @@ def try_cross_encoder_udf(
     recipe's precision stage). Returns None when sentence-transformers is
     not installed (it is not in the test container) — the same gated-seam
     discipline as ``functions.embed.try_sentence_transformer_udf``. The
-    model loads lazily once per executor process; batches arrive as
-    Arrow-paired (query, text) series."""
+    model loads lazily ONCE per python worker process via the
+    module-level :data:`_CE_MODEL_CACHE` (the generator body itself
+    re-runs per task, so construction cannot live there); batches arrive
+    as Arrow-paired (query, text) series."""
     try:
         import sentence_transformers  # noqa: F401
     except Exception:
@@ -301,9 +322,7 @@ def try_cross_encoder_udf(
 
     @F.pandas_udf("double")
     def _score(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        from sentence_transformers import CrossEncoder
-
-        model = CrossEncoder(model_name)
+        model = _cross_encoder_for(model_name)
         for q, t in it:
             preds = model.predict(
                 list(zip(q.fillna("").tolist(), t.fillna("").tolist()))

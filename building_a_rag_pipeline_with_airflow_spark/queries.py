@@ -2098,7 +2098,10 @@ def _rag_cross_rerank_oracle() -> str:
     The ce_score is one IEEE division of two small integers — identical
     bits on both engines, so it carries NO round() (a round would
     introduce the half-boundary trap: set-size ratios hit powers of
-    two)."""
+    two). NULL chunk text tokenizes to the EMPTY set (the coalesce
+    below), matching the Spark scorer's ``(text or '')`` — without it
+    DuckDB's split-of-NULL propagates NULL through the CASE and the
+    row would score NULL (sorting last) where Spark scores 0.0."""
     ttoks = "list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))"
     return _rag_ranked_ctes() + f"""
     qt AS (
@@ -2107,7 +2110,9 @@ def _rag_cross_rerank_oracle() -> str:
                x -> x <> '')) AS q
     ),
     ttoks AS (
-      SELECT chunk_id, score, {ttoks} AS tt FROM ranked
+      SELECT chunk_id, score,
+             coalesce({ttoks}, CAST([] AS VARCHAR[])) AS tt
+      FROM ranked
     ),
     ce AS (
       SELECT chunk_id, score,

@@ -48,6 +48,19 @@ from pyspark.sql.utils import AnalysisException
 #: (non-negative) batch ids, so -1 can never collide with one
 BASE_BATCH_ID = -1
 
+
+def check_n_buckets(n_buckets: int, op: str) -> None:
+    """Index-build bucket-count guard, shared by every bucketed builder
+    in the family (r9 advice): ``pmod(xxhash64(key), 0)`` is NULL — a
+    broken partition layout — and a negative count yields negative
+    partition values; fail loudly at build time like the
+    analytics/curation n_buckets guards do."""
+    if int(n_buckets) < 1:
+        raise ValueError(
+            f"{op}: n_buckets must be >= 1, got {n_buckets} "
+            "(pmod by 0 is NULL — the bucket layout would be broken)"
+        )
+
 _INTEGRAL_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
 
 

@@ -327,8 +327,12 @@ linkage.build_trigram_index` layout fresh — the fuzzy-search twin of
     Mechanics shared via
     :func:`~building_a_rag_pipeline_with_airflow_spark.sources.\
 index_layout.start_postings_extender`; the (name_id, name) payload
-    rows ride as the extra output (ALL batch rows, NULL-name included —
-    the payload mirrors the corpus, the postings mirror its grams)."""
+    rows ride as the extra output (ALL rows of a batch that derives any
+    posting — the payload mirrors the corpus, the postings mirror its
+    grams; NULL names gram to nothing, so a batch of ONLY NULL names is
+    a zero-derive skip like an all-blank ExactSubstr batch — it writes
+    neither postings nor payload and leaves the pushed-guard fast path
+    untouched)."""
     from building_a_rag_pipeline_with_airflow_spark.operators.linkage import trigram_set
 
     def derive(batch_df: DataFrame, meta) -> DataFrame:

@@ -483,3 +483,43 @@ def test_trigram_from_index_none_max_posting_matches_inplan(spark, tmp_path):
     ) == rows(
         linkage.trigram_topk(queries, base.union(new), k=9, max_posting=None)
     )
+
+
+def test_trigram_null_names_gram_to_nothing(spark, tmp_path):
+    """NULL strings contribute NO grams (trigram_set filters the NULL
+    substr): a NULL name/query is simply unsearchable in-plan; an
+    all-NULL corpus fails the index build's emptiness guard LOUDLY
+    instead of writing an empty postings dir every from-index read
+    would crash on; and an all-NULL extension batch is a zero-derive
+    skip — it must NOT flip meta.extended off the pushed-guard fast
+    path (it lands no postings to justify the recount)."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    corpus = spark.createDataFrame(
+        [(1, "aaab"), (2, None)], "name_id int, name string"
+    )
+    queries = spark.createDataFrame(
+        [(10, "aaab"), (11, None)], "q_id int, q_text string"
+    )
+    got = linkage.trigram_topk(queries, corpus, k=5).collect()
+    assert [(r.q_id, r.name_id) for r in got] == [(10, 1)]
+
+    all_null = spark.createDataFrame([(7, None)], "name_id int, name string")
+    with pytest.raises(Exception, match="trigram index postings"):
+        linkage.build_trigram_index(all_null, str(tmp_path / "bad"))
+
+    path = str(tmp_path / "idx")
+    linkage.build_trigram_index(corpus, path, n_buckets=4)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    all_null.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("name_id int, name string").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_trigram_index(
+        stream, path, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    assert not bool(index_layout.read_meta(spark, path).extended)
+    got = linkage.trigram_topk_from_index(spark, path, queries, k=5).collect()
+    assert [(r.q_id, r.name_id) for r in got] == [(10, 1)]
