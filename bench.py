@@ -138,6 +138,13 @@ r10 notes:
   roster grows — 2-round medians are the documented fallback (r8
   precedent). These five rows are PINNED out of the compact line's
   _others fold so their medians survive in the archived line.
+* r10 CLOSING builder-side observation (after the review-fix commit —
+  NULL-gram trigram semantics, shared ExactSubstr count subplan): solo
+  run 136.8 s total, every touched row flat or better (trigram in-plan
+  1.0 / from-index 0.9, substring md5 1.9 / rolling 2.7 / from-index
+  0.7, duplication profile 1.6). Observation only — the r10 number of
+  record is whatever BENCH_r10.json publishes (one-story rule; quote
+  it in the r11 note once known).
 
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
