@@ -201,9 +201,15 @@ def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
     # A doc shorter than n tokens yields its whole text as one shingle.
-    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    # A NULL token array yields NO shingles, same as the empty array: the
+    # == 0 guard alone misses it (size(NULL) is NULL, not 0), and the
+    # fall-through emits ONE NULL shingle per NULL-text doc — a row every
+    # downstream equi-join drops, but one that defeats the shingle index
+    # extender's zero-derive skip and pollutes doc_sizes (the trigram
+    # NULL-gram bug, same class).
+    return F.when(
+        toks.isNull() | (F.size(toks) == 0), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:

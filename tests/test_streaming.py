@@ -1126,3 +1126,61 @@ def test_streaming_cluster_safe_split_frozen_guards(spark, tmp_path):
         ingest.streaming_cluster_safe_split(
             raw, comp, state, str(tmp_path / "ck4"), eval_fraction=0.5
         )
+
+
+def test_shingle_null_text_derives_nothing(spark, tmp_path):
+    """NULL text yields NO shingles (ngrams_from_tokens' NULL-array
+    guard — size(NULL) is NULL, so the ==0 check alone fell through to
+    one NULL shingle per NULL-text doc): an all-NULL corpus fails the
+    index build's emptiness guard LOUDLY instead of writing a postings
+    dir whose only rows join-drop everywhere; an all-NULL extension
+    batch is a zero-derive skip that must NOT flip meta.extended; and a
+    mixed batch must not pollute doc_sizes with phantom one-shingle
+    rows for its NULL-text docs. The trigram NULL-gram regression,
+    applied to the shingle family."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    all_null = spark.createDataFrame(
+        [(7, None), (8, None)], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="shingle index postings"):
+        dedup.build_shingle_index(all_null, str(tmp_path / "bad"), n=3)
+
+    base = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id int, text string"
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_shingle_index(base, idx, n=3)
+
+    # batch 1: all NULL -> zero-derive skip, no flip, no doc_sizes rows
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    all_null.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_shingle_index(
+        stream, idx, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    assert not bool(index_layout.read_meta(spark, idx).extended)
+
+    # batch 2: mixed -> extends, but the NULL-text doc stays out of
+    # doc_sizes (before the fix it landed there with n_shingles=1)
+    mixed = spark.createDataFrame(
+        [(3, "a b c d z"), (4, None)], "doc_id int, text string"
+    )
+    mixed.write.parquet(str(landing / "d2"))
+    stream2 = spark.readStream.schema("doc_id int, text string").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_shingle_index(
+        stream2, idx, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    assert bool(index_layout.read_meta(spark, idx).extended)
+    sizes = {
+        r.doc_id: r.n_shingles
+        for r in spark.read.parquet(f"{idx}/doc_sizes").collect()
+    }
+    assert 4 not in sizes and sizes[3] == 3
