@@ -214,8 +214,16 @@ def ivf_assign(
     Norms are projected once per side before the join (knn_join pattern) so
     the per-pair work in the corpus×centroids loop is one dot product, not
     five interpreted array aggregations — cosine's norm terms would
-    otherwise be re-evaluated per pair inside the guard AND the division."""
-    cn = corpus.withColumn("_cn", l2_norm(c_vec))
+    otherwise be re-evaluated per pair inside the guard AND the division.
+
+    NULL vectors are EXCLUDED here (the mmr_topk NULL-vector guard
+    convention): their similarity to every centroid is NULL, so the
+    argmax window ties and dumps them into the lowest cell id — dead
+    rows no query can ever return (NULL cosine drops from every top-k),
+    stored and scanned forever. Filtering at the assignment boundary
+    keeps them out of the build, the streaming extension, and the
+    recluster path at once."""
+    cn = corpus.where(F.col(c_vec).isNotNull()).withColumn("_cn", l2_norm(c_vec))
     cent = centroids.withColumn("_celln", l2_norm(cell_vec))
     scored = cn.join(F.broadcast(cent)).select(
         corpus["*"],
@@ -263,7 +271,10 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    # isNotNull: array_to_vector(NULL) would fail the fit mid-job (or a
+    # NULL row would poison a center) — same NULL-vector guard as
+    # ivf_assign and the stride pickers
+    feats = corpus.where(F.col(c_vec).isNotNull()).select(
         array_to_vector(F.col(c_vec).cast("array<double>")).alias("features")
     )
     target = train_per_cell * n_cells
@@ -317,7 +328,14 @@ def ivf_topk_cosine(
             c_vec=c_vec,
         )
     else:
-        centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
+        # isNotNull: a NULL vector drawn as a CENTROID is a dead cell —
+        # every similarity against it is NULL, so nothing assigns there
+        # and the probe never selects it. Guarded in BOTH stride pickers
+        # (in-plan and durable build) so the two stay result-identical
+        # on NULL-bearing corpora; ivf_assign guards the corpus side.
+        centroids = corpus.where(
+            (F.col(c_id) % stride == F.lit(1)) & F.col(c_vec).isNotNull()
+        ).select(
             F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
         )
     assigned = ivf_assign(corpus, centroids, c_id, c_vec)
@@ -551,7 +569,14 @@ def build_ivf_index(
     if method == "kmeans":
         centroids = kmeans_centroids(corpus.select(c_id, c_vec), n_cells, c_vec=c_vec)
     else:
-        centroids = corpus.where(F.col(c_id) % stride == F.lit(1)).select(
+        # isNotNull: a NULL vector drawn as a CENTROID is a dead cell —
+        # every similarity against it is NULL, so nothing assigns there
+        # and the probe never selects it. Guarded in BOTH stride pickers
+        # (in-plan and durable build) so the two stay result-identical
+        # on NULL-bearing corpora; ivf_assign guards the corpus side.
+        centroids = corpus.where(
+            (F.col(c_id) % stride == F.lit(1)) & F.col(c_vec).isNotNull()
+        ).select(
             F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cell_vec")
         )
     # an empty centroid set (e.g. a stride that misses every id in a

@@ -693,3 +693,50 @@ def test_rerank_slots_before_sentence_window(spark, sf_dir):
     assert [r.rank for r in rows] == [1, 2, 3]
     assert all(1 <= r.n_window_chunks <= 3 for r in rows)
     assert all(r.window_text for r in rows)
+
+
+def test_ivf_null_vectors_never_enter_the_index(spark, tmp_path):
+    """NULL embedding vectors are excluded at the assignment boundary
+    (the mmr_topk NULL-vector guard convention): before the guard they
+    tied on NULL similarity to every centroid and dumped into the
+    lowest cell id — dead rows no cosine top-k can ever return, stored
+    and scanned forever. Pins: build drops them, the streaming
+    extension drops them, a NULL stride pick never becomes a centroid,
+    and query results are unchanged vs a NULL-free corpus."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5]), (4, [0.9, 0.1])],
+        "vec_id int, embedding array<float>",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(17, None)], "vec_id int, embedding array<float>")
+    )
+    # stride=16 makes vec_id 17 (% 16 == 1) a would-be centroid: the
+    # picker must skip the NULL row, not create a dead cell
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_index(dirty, path, n_cells=2, stride=16)
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/vectors").collect()
+    ) == [1, 2, 3, 4]
+    cents = spark.read.parquet(f"{path}/centroids")
+    assert all(r.cell_vec is not None for r in cents.collect())
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(5, [0.1, 0.9]), (6, None)], "vec_id int, embedding array<float>"
+    ).write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema(
+        "vec_id int, embedding array<float>"
+    ).parquet(f"{landing}/*")
+    ingest.streaming_extend_ivf_index(
+        stream, path, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    stored = sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/vectors").collect()
+    )
+    assert stored == [1, 2, 3, 4, 5]
+
+    got = similarity.query_ivf_index(spark, path, [0.0, 1.0], k=2)
+    assert [r.vec_id for r in got.collect()] == [2, 5]
