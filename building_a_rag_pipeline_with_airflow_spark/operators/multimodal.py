@@ -298,7 +298,16 @@ def perceptual_hash(df: DataFrame, data_col: str = "data",
     decoder+resize gives and the md5-style stub would destroy);
     production swaps ``_pixels`` for a real decode+resize. Same one-way
     Arrow discipline as :func:`image_features`: payload bytes never
-    return from the Python worker, only (id, hash)."""
+    return from the Python worker, only (id, hash).
+
+    NULL payloads are EXCLUDED before hashing (the IVF NULL-vector
+    guard convention): a real decoder cannot hash missing bytes, and
+    the stub would otherwise map every NULL payload to ONE constant
+    zeros-image hash — hamming distance 0 between all of them, so a
+    corpus with many missing payloads reports them as one giant false
+    near-dup cluster. Zero-LENGTH payloads stay in (an empty byte
+    string is still a payload; the stub decodes it deterministically)."""
+    df = df.where(F.col(data_col).isNotNull())
     hash_schema = T.StructType(
         [df.schema[id_col], T.StructField(out_col, T.LongType())]
     )
@@ -588,6 +597,7 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
     no extended-mode flag is needed because the pairs query derives
     EVERYTHING (bucket sizes included) from the stored rows in-plan —
     there are no batch-local denormalized statistics to go stale."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import require_nonempty
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     # family build-guard rule (r9 advice) — checked BEFORE the hashing
@@ -595,6 +605,11 @@ def build_phash_index(df: DataFrame, path: str, n_bands: int = 8,
     _check_n_bands(n_bands, "build_phash_index")
     hashed = perceptual_hash(df, data_col=data_col, id_col=id_col)
     rows = _phash_band_rows(hashed, n_bands, id_col=id_col)
+    # perceptual_hash excludes NULL payloads — a corpus of ONLY missing
+    # payloads must fail loudly here, not write an empty bands layout
+    # every phash_pairs_from_index read would crash on (the trigram/
+    # shingle all-NULL build rule)
+    require_nonempty(rows, "phash index band rows")
     index_layout.write_index_rows(
         rows,
         f"{path}/bands",

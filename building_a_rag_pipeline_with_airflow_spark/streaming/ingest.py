@@ -706,6 +706,12 @@ def streaming_extend_phash_index(
         rows = _mm._phash_band_rows(
             hashed, int(meta["n_bands"]), id_col=id_col
         )
+        # a non-empty batch can still hash to NOTHING (every payload
+        # NULL — perceptual_hash excludes them): skip like the postings
+        # extenders' zero-derive rule; there is no meta flip to guard
+        # here, this just avoids a pointless empty write
+        if rows.isEmpty():
+            return
         index_layout.write_index_rows(
             rows,
             f"{index_path}/bands",

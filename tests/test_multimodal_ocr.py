@@ -402,3 +402,53 @@ def test_phash_index_parity_and_streaming_extension(spark, sf_dir, tmp_path):
     # replay idempotence: draining again (no new files) changes nothing
     drain()
     assert pairs(mm.phash_pairs_from_index(spark, idx, max_hamming=6)) == full
+
+
+def test_phash_null_payloads_never_hash(spark, tmp_path):
+    """NULL payloads are excluded at the perceptual_hash boundary: the
+    stub decode otherwise mapped every one of them to a single constant
+    zeros-image hash, clustering all missing-payload rows as mutual
+    hamming-0 'near-dups' (a real decoder cannot hash missing bytes at
+    all). Pins: hashing drops them, an all-NULL corpus fails the index
+    build loudly instead of writing an empty bands layout the
+    from-index read crashes on, and an all-NULL extension batch writes
+    nothing."""
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    media = mm.synthesize_media(spark, n=4).select("media_id", "data").unionByName(
+        spark.createDataFrame(
+            [(101, None), (102, None)], "media_id bigint, data binary"
+        )
+    )
+    hashed = mm.perceptual_hash(media)
+    ids = sorted(r.media_id for r in hashed.collect())
+    assert 101 not in ids and 102 not in ids and len(ids) == 4
+    # before the guard these two formed a hamming-0 pair; now no pair
+    # involves a NULL-payload id
+    pairs = mm.phash_near_dups(hashed, max_hamming=0).collect()
+    assert all(r.id_a not in (101, 102) and r.id_b not in (101, 102)
+               for r in pairs)
+
+    all_null = spark.createDataFrame(
+        [(7, None)], "media_id bigint, data binary"
+    )
+    with pytest.raises(Exception, match="phash index band rows"):
+        mm.build_phash_index(all_null, str(tmp_path / "bad"))
+
+    idx = str(tmp_path / "idx")
+    mm.build_phash_index(
+        mm.synthesize_media(spark, n=4).select("media_id", "data"),
+        idx,
+        n_bands=4,
+    )
+    before = spark.read.parquet(f"{idx}/bands").count()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    all_null.write.parquet(str(landing / "d1"))
+    stream = spark.readStream.schema("media_id bigint, data binary").parquet(
+        f"{landing}/*"
+    )
+    ingest.streaming_extend_phash_index(
+        stream, idx, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    assert spark.read.parquet(f"{idx}/bands").count() == before
