@@ -66,6 +66,29 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _check_query_terms(query_terms, op: str) -> "list[str]":
+    """Shared BM25 query-terms guard: a bare STRING is iterable, so
+    ``sorted(set("spark joins"))`` silently becomes a bag of single
+    CHARACTERS — a query that matches nothing (or worse, matches
+    single-letter tokens) with no error anywhere. Tokenize first
+    (``query.split()``) and pass the list. Empty queries fail loudly
+    for the same reason: an empty bag scores no document, which reads
+    as 'no results' when the real problem is the call site."""
+    if isinstance(query_terms, str):
+        raise TypeError(
+            f"{op}: query_terms must be a list of terms, got a string "
+            f"({query_terms!r}) — a string iterates as CHARACTERS; "
+            "split it first (query.split())"
+        )
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError(
+            f"{op}: query_terms is empty — an empty bag-of-terms query "
+            "matches no document"
+        )
+    return terms
+
+
 def bm25_score(
     df: DataFrame,
     query_terms: list[str],
@@ -87,7 +110,7 @@ def bm25_score(
     durable-index pattern as ``dedup.build_shingle_index``) instead of
     re-tokenizing per query.
     """
-    terms = sorted(set(query_terms))
+    terms = _check_query_terms(query_terms, "bm25_score")
     base = _tokenized(df, id_col, text_col)
     qset = F.array(*[F.lit(t) for t in terms])
     # One row per (doc, query term present in doc) with its term frequency.
@@ -515,7 +538,7 @@ def bm25_topk_from_index(
     batch, summed driver-side — replay-idempotent where an incremental
     meta fold would double-count a replayed batch).
     """
-    terms = sorted(set(query_terms))
+    terms = _check_query_terms(query_terms, "bm25_topk_from_index")
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 
     meta = index_layout.read_meta(spark, path)

@@ -825,3 +825,20 @@ def test_bm25_extension_all_blank_batch_keeps_fast_path(spark, tmp_path):
     exp = [tuple(r) for r in lexical.bm25_topk(
         full, ["spark", "join"], k=5).collect()]
     assert got == exp
+
+
+def test_bm25_query_terms_guard(spark):
+    """A bare string passed as query_terms iterates as CHARACTERS —
+    sorted(set('spark joins')) is a bag of letters that silently matches
+    nothing; both BM25 entry points must raise loudly instead, and an
+    empty bag must fail rather than read as 'no results'."""
+    docs = spark.createDataFrame(
+        [(1, "spark joins data")], "doc_id int, text string"
+    )
+    with pytest.raises(TypeError, match="iterates as CHARACTERS"):
+        lexical.bm25_topk(docs, "spark joins", k=3)
+    with pytest.raises(ValueError, match="empty"):
+        lexical.bm25_topk(docs, [], k=3)
+    # the list form still works
+    got = lexical.bm25_topk(docs, ["spark", "joins"], k=3).collect()
+    assert [r.doc_id for r in got] == [1]
