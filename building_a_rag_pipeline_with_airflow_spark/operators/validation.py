@@ -53,7 +53,17 @@ def _violation_agg(e: Mapping) -> "F.Column":
     if kind == "in_range":
         ok = (F.col(col) >= F.lit(e["lo"])) & (F.col(col) <= F.lit(e["hi"]))
     elif kind == "in_set":
-        ok = F.col(col).isin(list(e["values"]))
+        vals = e["values"]
+        if isinstance(vals, str):
+            # list("GOOD") is ['G','O','O','D'] — the contract would
+            # silently check membership in a CHARACTER set (the BM25
+            # query_terms rule); demand an explicit collection
+            raise TypeError(
+                f"in_set expectation {e.get('name', col)!r}: values must "
+                f"be a collection, got a string ({vals!r}) — a string "
+                "iterates as characters; wrap it ([value])"
+            )
+        ok = F.col(col).isin(list(vals))
     elif kind == "matches":
         ok = F.col(col).rlike(e["pattern"])
     else:

@@ -238,3 +238,22 @@ def test_table_diff_key_named_count(spark):
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "count int, v string")
     with pytest.raises(ValueError, match="primary-key"):
         validation.table_diff(dup, r, keys=["count"])
+
+
+def test_in_set_rejects_bare_string_values(spark):
+    """in_set with values='GOOD' would silently contract on the CHARACTER
+    set {'G','O','D'} (strings iterate); the kind must demand an explicit
+    collection instead — the bm25 query_terms rule."""
+    df = spark.createDataFrame([(1, "GOOD")], "id int, status string")
+    with pytest.raises(TypeError, match="iterates as characters"):
+        validation.expectations_report(
+            df,
+            [{"name": "s", "kind": "in_set", "col": "status",
+              "values": "GOOD"}],
+        ).collect()
+    ok = validation.expectations_report(
+        df,
+        [{"name": "s", "kind": "in_set", "col": "status",
+          "values": ["GOOD"]}],
+    ).collect()
+    assert ok[0].n_violations == 0
