@@ -603,6 +603,19 @@ def main() -> None:
             folded += max(kept.pop(n), 0.0)
             kept["_others"] = round(folded, 1)
             line = compact_line(kept)
+        # Last-resort fallback (r10 advice): if every unpinned row is
+        # folded and the line STILL exceeds the budget (a pinned set
+        # grown past what ~1880 chars can hold), fold the pinned rows
+        # too, cheapest first — an over-budget line reproduces the r3
+        # truncated-tail failure this whole fold exists to prevent, and
+        # a folded pinned number still survives in the verbose
+        # queries_median_3dp line above (which only loses its head).
+        for n in sorted(pinned & kept.keys(), key=lambda n: times[n]):
+            if len(line) <= budget:
+                break
+            folded += max(kept.pop(n), 0.0)
+            kept["_others"] = round(folded, 1)
+            line = compact_line(kept)
     print(line)
 
 

@@ -366,6 +366,12 @@ def rerank_with(
     if k < 1 or fetch_k < k:
         raise ValueError(f"need 1 <= k <= fetch_k, got k={k} fetch_k={fetch_k}")
     qvec = embed_text(query_text, dim)
+    # NULL vectors are excluded BEFORE the stage-1 cut (the mmr_topk /
+    # IVF boundary convention, r10 advice): cosine propagates NULL, and
+    # when the corpus has fewer than fetch_k non-null vectors the desc
+    # sort would admit NULL-scored rows that can then WIN the final
+    # ranking on ce_score while reporting a NULL stage-1 score.
+    index = index.where(F.col(vec_col).isNotNull())
     cands = topk_cosine(index, qvec, k=fetch_k, vec_col=vec_col, id_col=id_col)
     with_text = index.select(id_col, text_col).join(F.broadcast(cands), id_col)
     scored = with_text.withColumn(

@@ -695,6 +695,10 @@ def streaming_extend_phash_index(
     stale."""
     from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as _mm
 
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        release_checkpoint,
+    )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -703,24 +707,35 @@ def streaming_extend_phash_index(
         hashed = _mm.perceptual_hash(
             batch_df, data_col=data_col, id_col=id_col
         )
+        # eager localCheckpoint pins the derived band rows BEFORE the
+        # zero-derive probe (the start_postings_extender discipline, r10
+        # advice): without it the isEmpty() probe and the index write
+        # each re-run the perceptual-hash pandas UDF over the batch —
+        # the phash_near_dups recompute-per-reference trap
         rows = _mm._phash_band_rows(
             hashed, int(meta["n_bands"]), id_col=id_col
-        )
-        # a non-empty batch can still hash to NOTHING (every payload
-        # NULL — perceptual_hash excludes them): skip like the postings
-        # extenders' zero-derive rule; there is no meta flip to guard
-        # here, this just avoids a pointless empty write
-        if rows.isEmpty():
-            return
-        index_layout.write_index_rows(
-            rows,
-            f"{index_path}/bands",
-            partition_cols=("band_i",),
-            sort_col="band_v",
-            n_files=int(meta["n_bands"]),
-            batch_id=batch_id,
-            extend=True,
-        )
+        ).localCheckpoint(eager=True)
+        # try/finally: a write failure (Structured Streaming retries the
+        # batch) must not leak the pinned blocks — one leaked RDD per
+        # retry, same class as the zero-derive skip leak
+        try:
+            # a non-empty batch can still hash to NOTHING (every payload
+            # NULL — perceptual_hash excludes them): skip like the
+            # postings extenders' zero-derive rule; there is no meta
+            # flip to guard here, this just avoids a pointless write
+            if rows.isEmpty():
+                return
+            index_layout.write_index_rows(
+                rows,
+                f"{index_path}/bands",
+                partition_cols=("band_i",),
+                sort_col="band_v",
+                n_files=int(meta["n_bands"]),
+                batch_id=batch_id,
+                extend=True,
+            )
+        finally:
+            release_checkpoint(rows)
 
     return index_layout.start_extender(
         media_stream, checkpoint_path, write_batch, available_now

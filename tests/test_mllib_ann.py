@@ -659,6 +659,30 @@ def test_rerank_with_rejects_bad_k(spark):
         retrieval.rerank_with(index, "a", scorer, k=5, fetch_k=4)
 
 
+def test_rerank_with_null_vectors_never_candidates(spark):
+    """NULL vectors are excluded before the stage-1 cut (r10 advice —
+    the mmr_topk boundary convention): with fewer non-null vectors than
+    fetch_k, a NULL-scored row must not enter the candidate set and win
+    the final ranking on ce_score with a NULL stage-1 score."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import retrieval
+
+    index = spark.createDataFrame(
+        [
+            (1, "alpha beta", [1.0, 0.0, 0.0, 0.0]),
+            # would score ce=1.0 and WIN the rerank if admitted
+            (2, "alpha beta", None),
+            (3, "delta", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "chunk_id int, text string, embedding array<double>",
+    )
+    got = retrieval.rerank_with(
+        index, "alpha beta", retrieval.token_overlap_scorer_udf(),
+        k=3, fetch_k=8, dim=4,
+    ).collect()
+    assert [r.chunk_id for r in got] == [1, 3]  # null-vec row dropped
+    assert all(r.score is not None for r in got)
+
+
 def test_cross_encoder_seam_gated():
     """The real-model adapter returns None where sentence-transformers is
     absent (this container) — the embedder seam's gating discipline."""
