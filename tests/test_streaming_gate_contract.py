@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from building_a_rag_pipeline_with_airflow_spark import schemas
 from building_a_rag_pipeline_with_airflow_spark.operators import (
     curation,
+    dedup,
     drift,
     validation,
 )
@@ -168,12 +169,42 @@ def _sketch_spec(spark, sf_dir):
     )
 
 
+def _duplication_spec(spark, sf_dir):
+    docs = schemas.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    cols = (
+        "band_min_count", "n_dup_windows", "n_dup_hashes",
+        "n_windows", "frac_dup_windows",
+    )
+    return dict(
+        b1=docs.where(F.col("doc_id") % 3 == 1),
+        b2=docs.where(F.col("doc_id") % 3 == 2),
+        schema="doc_id bigint, text string",
+        start=lambda raw, state, ck: ingest.streaming_duplication_profile(
+            raw, state, ck, k=8, bands=(2, 3)
+        ),
+        # mutated window size over the same state must raise (mixed-k
+        # window hashes can never fold)
+        mutated=lambda raw, state, ck: ingest.streaming_duplication_profile(
+            raw, state, ck, k=10, bands=(2, 3)
+        ),
+        expected=lambda df: _rows(
+            dedup.duplication_profile(df, k=8, bands=(2, 3)), cols
+        ),
+        fold=lambda state: _rows(
+            ingest.read_duplication_profile(spark, state), cols
+        ),
+    )
+
+
 SPECS = {
     "psi": _psi_spec,
     "expectations": _expectations_spec,
     "embedding_drift": _embedding_drift_spec,
     "nb": _nb_spec,
     "sketch": _sketch_spec,
+    "duplication": _duplication_spec,
 }
 
 
@@ -295,3 +326,58 @@ def test_sketch_gate_self_heals_from_init_crash(spark, sf_dir, tmp_path):
     }
     assert got == exp
     shutil.rmtree(str(tmp_path / "ck"), ignore_errors=True)
+
+
+def test_duplication_gate_count_floor_is_documented_lower_bound(
+    spark, tmp_path
+):
+    """The duplication gate's state-bound knob: ``count_floor=2`` drops
+    per-batch-rare hashes from the partials, so (a) duplication visible
+    WITHIN a batch still folds exactly, (b) duplication that only
+    accumulates ACROSS batches under the floor is missed — the folded
+    bands are a lower bound, by design and docstring — and (c)
+    ``n_windows`` stays exact (totals rows are written pre-floor)."""
+    within = "alpha beta gamma alpha beta gamma"  # window repeats IN-batch
+    across = "delta epsilon zeta"                 # repeats only ACROSS batches
+    b1 = spark.createDataFrame(
+        [(1, within), (2, across)], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame([(3, across)], "doc_id bigint, text string")
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    def run():
+        raw = spark.readStream.schema("doc_id bigint, text string").parquet(
+            f"{src}/*"
+        )
+        q = ingest.streaming_duplication_profile(
+            raw, state, ck, k=3, bands=(2,), count_floor=2
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run()
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run()
+
+    got = {
+        r["band_min_count"]: r
+        for r in ingest.read_duplication_profile(spark, state).collect()
+    }
+    exact = {
+        r["band_min_count"]: r
+        for r in dedup.duplication_profile(
+            b1.unionByName(b2), k=3, bands=(2,)
+        ).collect()
+    }
+    # (c) denominator exact: the within-doc has 6 tokens, k=3 -> 4
+    # windows ("alpha beta gamma" twice + two distinct middles), plus
+    # 1 window per across-doc -> 6 total
+    assert got[2]["n_windows"] == exact[2]["n_windows"] == 6
+    # (a) the in-batch repeat survives the floor: 1 hash x count 2
+    assert got[2]["n_dup_windows"] == 2 and got[2]["n_dup_hashes"] == 1
+    # (b) the cross-batch-only repeat is missed by the floored stream
+    # but counted by the batch operator: lower bound, strictly here
+    assert exact[2]["n_dup_windows"] == 4 and exact[2]["n_dup_hashes"] == 2
+    assert got[2]["n_dup_windows"] < exact[2]["n_dup_windows"]
