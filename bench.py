@@ -381,6 +381,19 @@ HEADLINE = [
     "binary_quant_topk",
     "mmr_rerank_embeddings",
     "lsh_recall_at_k",
+    # r11: rank-quality evaluation (NDCG@5/MRR@5 per customer) — a new
+    # plan shape (two bounded per-query windows + hash agg), unlike the
+    # three r11 lifecycle rows below which are deliberately NOT benched.
+    "rank_eval_ndcg_mrr",
+    # jaccard_pairs_consolidated_index / trigram_search_parts_consolidated
+    # / duplication_profile_streamed are deliberately NOT benched: their
+    # READ plans are identical to the already-benched fresh-index
+    # siblings (jaccard_index_pairs, trigram_search_parts_from_index,
+    # duplication_profile_documents' fold shape) — the new code is the
+    # one-time build→stream→consolidate lifecycle, a maintenance op, not
+    # a query; its cost is measured once at sf0.1 in
+    # scripts/scale_check_r11.py and its correctness is the driver's
+    # sf0.01 rows (each shares its sibling's oracle string verbatim).
     # multimodal plumbing
     "media_image_meta",
     "embedding_norms",

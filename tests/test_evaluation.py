@@ -1,0 +1,93 @@
+"""Hand-computed pins for the ranking-quality evaluation operator
+(NDCG@k / MRR@k) — the rank-side completion of the recall@k story."""
+
+import math
+
+import pytest
+
+from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+
+def _fixed(x: float) -> float:
+    return round(x * 1_000_000) / 1_000_000
+
+
+def test_rank_quality_hand_computed(spark):
+    """Three queries covering the whole matrix: A = partial hits with an
+    unretrieved high-grade doc (NDCG < 1, MRR from rank 2), B = nothing
+    judged (all zeros), C = judged but nothing relevant retrieved."""
+    results = spark.createDataFrame(
+        [
+            ("A", "d1", 1), ("A", "d2", 2), ("A", "d3", 3),
+            ("B", "d1", 1),
+            ("C", "d7", 1),
+        ],
+        "q_id string, doc_id string, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [
+            ("A", "d2", 2.0), ("A", "d3", 1.0), ("A", "d9", 3.0),
+            ("C", "d8", 1.0),
+        ],
+        "q_id string, doc_id string, rel double",
+    )
+    got = {
+        r["q_id"]: r
+        for r in evaluation.rank_quality(results, relevance, k=3).collect()
+    }
+    # A: DCG = 0/log2(2) + 2/log2(3) + 1/log2(4);
+    #    IDCG over (d9=3, d2=2, d3=1) = 3/log2(2) + 2/log2(3) + 1/log2(4)
+    dcg = 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    idcg = 3.0 + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert got["A"]["dcg_at_k"] == _fixed(dcg)
+    assert got["A"]["ndcg_at_k"] == _fixed(dcg / idcg)
+    assert got["A"]["mrr_at_k"] == 0.5  # first relevant at rank 2
+    assert got["A"]["n_rel_retrieved"] == 2 and got["A"]["n_rel"] == 3
+    # B: unjudged query scores zero everywhere
+    assert (
+        got["B"]["ndcg_at_k"] == 0.0
+        and got["B"]["mrr_at_k"] == 0.0
+        and got["B"]["n_rel"] == 0
+    )
+    # C: judged, but the system retrieved none of it
+    assert got["C"]["ndcg_at_k"] == 0.0 and got["C"]["mrr_at_k"] == 0.0
+    assert got["C"]["n_rel_retrieved"] == 0 and got["C"]["n_rel"] == 1
+
+
+def test_rank_quality_k_cut_and_duplicate_labels(spark):
+    """Rank k+1 hits are invisible; duplicate (q, doc) labels collapse
+    to their max; a perfect ordering scores NDCG exactly 1."""
+    results = spark.createDataFrame(
+        [("A", "d1", 1), ("A", "d2", 2), ("A", "d3", 3)],
+        "q_id string, doc_id string, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [
+            ("A", "d1", 2.0), ("A", "d1", 1.0),  # dup label -> max 2.0
+            ("A", "d2", 1.0),
+            ("A", "d3", 3.0),  # outside k=2: drops from DCG and IDCG@2
+        ],
+        "q_id string, doc_id string, rel double",
+    )
+    row = evaluation.rank_quality(results, relevance, k=2).collect()[0]
+    # top-2 retrieved = (d1=2, d2=1); ideal top-2 = (d3=3, d1=2)
+    dcg = 2.0 + 1.0 / math.log2(3)
+    idcg = 3.0 + 2.0 / math.log2(3)
+    assert row["dcg_at_k"] == _fixed(dcg)
+    assert row["ndcg_at_k"] == _fixed(dcg / idcg)
+    assert row["mrr_at_k"] == 1.0
+    # perfect ordering at k covering all labels -> exactly 1.0
+    perfect = spark.createDataFrame(
+        [("A", "d3", 1), ("A", "d1", 2), ("A", "d2", 3)],
+        "q_id string, doc_id string, rank int",
+    )
+    full = evaluation.rank_quality(perfect, relevance, k=3).collect()[0]
+    assert full["ndcg_at_k"] == 1.0 and full["mrr_at_k"] == 1.0
+
+
+def test_rank_quality_rejects_bad_k(spark):
+    df = spark.createDataFrame(
+        [("A", "d1", 1)], "q_id string, doc_id string, rank int"
+    )
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        evaluation.rank_quality(df, df.withColumnRenamed("rank", "rel"), k=0)
