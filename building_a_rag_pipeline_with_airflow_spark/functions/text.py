@@ -236,7 +236,8 @@ def try_tiktoken_udf():
     the whitespace+BPE-regex fallback remains the in-container path.
     r8 re-checked — still ModuleNotFoundError; fallback unchanged.
     r9 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r10 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r10 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r11 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:
