@@ -963,7 +963,17 @@ def read_duplication_profile(spark: SparkSession, state_path: str) -> DataFrame:
     counts = praw.groupBy(F.col("h").alias("_h")).agg(
         F.sum("c").alias("_c")
     )
-    tot = spark.read.parquet(f"{state_path}/totals").agg(
+    try:
+        traw = spark.read.parquet(f"{state_path}/totals")
+    except AnalysisException as exc:
+        # a started gate whose every batch was empty has meta but no
+        # totals yet: the batch operator over the (empty) accumulated
+        # stream reports all-zero bands, so the fold must too
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err and "UNABLE_TO_INFER_SCHEMA" not in err:
+            raise
+        traw = spark.createDataFrame([], "n_windows bigint")
+    tot = traw.agg(
         F.coalesce(F.sum("n_windows"), F.lit(0)).cast("bigint").alias(
             "n_windows"
         )
