@@ -312,8 +312,8 @@ def consolidate_shingle_index(
     :func:`jaccard_pairs_from_index` regains the PUSHED stop-shingle
     parquet predicate instead of the extended-mode in-plan recount.
     Output-identical to the extended index (the recount and the fresh
-    count are the same aggregation); one pass over the stored postings,
-    never a corpus re-shingle. Mechanics + swap-then-expire publishing
+    count are the same aggregation); computed from the stored postings
+    alone, never a corpus re-shingle. Mechanics + swap-then-expire publishing
     via the family-shared
     :func:`~building_a_rag_pipeline_with_airflow_spark.sources.index_layout.consolidate_index`."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
@@ -1102,8 +1102,8 @@ def consolidate_substring_index(
     recompute ``h_count`` corpus-wide over all accumulated batches so
     :func:`spans_from_index` regains the PUSHED ``h_count >= min_count``
     parquet predicate — the cross-batch repeats the extended-mode
-    recount exists for are folded INTO the stored counts. One pass over
-    the stored window hashes, never a corpus re-tokenization; the frozen
+    recount exists for are folded INTO the stored counts. Computed from
+    the stored window hashes alone, never a corpus re-tokenization; the frozen
     (k, max_doc_tokens) carry over unchanged. Mechanics + publishing via
     the family-shared ``index_layout.consolidate_index``."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout

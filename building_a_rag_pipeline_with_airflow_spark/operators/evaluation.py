@@ -57,14 +57,18 @@ def rank_quality(
     * ``n_rel_retrieved`` / ``n_rel`` — the recall@k numerator and
       denominator, so the frame subsumes the recall story too.
 
-    Queries are the DISTINCT queries of ``results``: a judged query the
-    system returned nothing for must be injected by the caller (an empty
-    result list is indistinguishable from an unevaluated query here).
-    Doubles are fixed-point-rounded to 6dp (the oracle-stability rule:
-    DuckDB's scale-then-round and Spark's agree on the integer grid)."""
+    Queries are the DISTINCT queries of ``results`` — including one
+    whose rows ALL sit past rank k (it scores zeros, it does not vanish:
+    dropping it would silently inflate any mean over the output). A
+    judged query the system returned nothing for must still be injected
+    by the caller (an empty result list is indistinguishable from an
+    unevaluated query here). Doubles are fixed-point-rounded to 6dp
+    (the oracle-stability rule: DuckDB's scale-then-round and Spark's
+    agree on the integer grid)."""
     if k < 1:
         raise ValueError(f"rank_quality: k must be >= 1, got {k}")
     q, d = q_col, doc_col
+    base = results.select(q).distinct()
     res = results.where(F.col(rank_col) <= int(k)).select(
         F.col(q), F.col(d), F.col(rank_col).cast("int").alias("_r")
     )
@@ -96,20 +100,24 @@ def rank_quality(
     n_rel = pos.groupBy(q).agg(F.count("*").cast("bigint").alias("n_rel"))
     fixed = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
     return (
-        per_q.join(ideal, q, "left")
+        base.join(per_q, q, "left")
+        .join(ideal, q, "left")
         .join(n_rel, q, "left")
         .select(
             q,
             fixed(F.coalesce("_dcg", F.lit(0.0))).alias("dcg_at_k"),
             fixed(
                 F.when(
-                    F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+                    (F.col("_idcg") > 0) & F.col("_dcg").isNotNull(),
+                    F.col("_dcg") / F.col("_idcg"),
                 ).otherwise(F.lit(0.0))
             ).alias("ndcg_at_k"),
             fixed(
                 F.coalesce(F.lit(1.0) / F.col("_first_hit"), F.lit(0.0))
             ).alias("mrr_at_k"),
-            "n_rel_retrieved",
+            F.coalesce("n_rel_retrieved", F.lit(0).cast("bigint")).alias(
+                "n_rel_retrieved"
+            ),
             F.coalesce("n_rel", F.lit(0).cast("bigint")).alias("n_rel"),
         )
     )

@@ -711,8 +711,8 @@ def consolidate_postings_index(
     ``n_docs``/``avgdl`` PLUS one fresh base ``batch_stats`` row — so a
     future streaming extension of the consolidated index keeps the
     replay-idempotent exact-sum property from a single-row base, exactly
-    as after a fresh build. One pass over the stored postings, never a
-    corpus re-tokenization. Mechanics + swap-then-expire publishing via
+    as after a fresh build. Computed from the stored postings alone,
+    never a corpus re-tokenization. Mechanics + swap-then-expire publishing via
     the family-shared ``index_layout.consolidate_index``."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 

@@ -354,8 +354,8 @@ def consolidate_trigram_index(
     max_posting`` stop-gram parquet predicate instead of the
     extended-mode recount. ``n_grams`` needs no recompute (a per-name
     property, never stale); the ``names`` payload table is copied under
-    the fresh base batch. One pass over the stored postings, never a
-    corpus re-gram. Mechanics + swap-then-expire publishing via the
+    the fresh base batch. Computed from the stored postings alone,
+    never a corpus re-gram. Mechanics + swap-then-expire publishing via the
     family-shared ``index_layout.consolidate_index``."""
     from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
 

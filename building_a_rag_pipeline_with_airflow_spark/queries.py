@@ -1175,6 +1175,36 @@ def jaccard_index_pairs_q(spark, sf_dir):
     )
 
 
+def _consolidated_lifecycle(
+    spark, sf_dir, cache, prefix, base_df, new_df, build, extend, consolidate
+):
+    """Shared scaffolding for the consolidation-lifecycle rows (one
+    implementation, review finding): build the index on ``base_df``,
+    stream ``new_df`` in through the family extender (one micro-batch —
+    flips `extended`), consolidate to a NEW path publishing through the
+    versioned manifest, resolve via `current_index`, and cache per
+    sf_dir so the lifecycle runs once per session."""
+    import os
+    import tempfile
+
+    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
+
+    path = cache.get(sf_dir)
+    if path is not None and os.path.isdir(f"{path}/postings"):
+        return path
+    root = tempfile.mkdtemp(prefix=prefix)
+    base_idx = f"{root}/index"
+    build(base_df, base_idx)
+    new_df.write.parquet(f"{root}/land/d1")
+    schema = spark.read.parquet(f"{root}/land/d1").schema
+    stream = spark.readStream.schema(schema).parquet(f"{root}/land/*")
+    extend(stream, base_idx, f"{root}/ck").awaitTermination(300)
+    consolidate(spark, base_idx, f"{root}/index_v2", f"{root}/manifest")
+    path = index_layout.current_index(spark, f"{root}/manifest")
+    cache[sf_dir] = path
+    return path
+
+
 _CONS_SHINGLE_CACHE: dict[str, str] = {}
 
 
@@ -1192,31 +1222,20 @@ def jaccard_pairs_consolidated_index(spark, sf_dir):
     corpus is independently value-checked by the driver. Built once per
     session (temp dir); the query itself reads only the consolidated
     postings."""
-    import os
-    import tempfile
-
-    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
     from building_a_rag_pipeline_with_airflow_spark.streaming import ingest as _ing
 
-    path = _CONS_SHINGLE_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/postings"):
-        root = tempfile.mkdtemp(prefix="shingle_cons_")
-        base_idx = f"{root}/index"
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        dedup.build_shingle_index(
-            docs.where(F.col("doc_id") % 2 == 0), base_idx, n=3
-        )
-        docs.where(F.col("doc_id") % 2 == 1).write.parquet(f"{root}/land/d1")
-        schema = spark.read.parquet(f"{root}/land/d1").schema
-        stream = spark.readStream.schema(schema).parquet(f"{root}/land/*")
-        _ing.streaming_extend_shingle_index(
-            stream, base_idx, f"{root}/ck"
-        ).awaitTermination(300)
-        dedup.consolidate_shingle_index(
-            spark, base_idx, f"{root}/index_v2", f"{root}/manifest"
-        )
-        path = index_layout.current_index(spark, f"{root}/manifest")
-        _CONS_SHINGLE_CACHE[sf_dir] = path
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _consolidated_lifecycle(
+        spark,
+        sf_dir,
+        _CONS_SHINGLE_CACHE,
+        "shingle_cons_",
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        lambda base, p: dedup.build_shingle_index(base, p, n=3),
+        _ing.streaming_extend_shingle_index,
+        dedup.consolidate_shingle_index,
+    )
     return dedup.jaccard_pairs_from_index(spark, path, threshold=0.1).orderBy(
         "id_a", "id_b"
     )
@@ -2100,20 +2119,24 @@ def lsh_recall_at_k(spark, sf_dir):
     ),
     nrel AS (
       SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM pos GROUP BY q_id
-    )
-    SELECT p.q_id,
+    ),
+    base AS (SELECT DISTINCT q_id FROM res)
+    SELECT b.q_id,
            round(coalesce(p.dcg, 0.0::DOUBLE) * 1000000) / 1000000
              AS dcg_at_k,
-           round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
+           round(CASE WHEN i.idcg > 0 AND p.dcg IS NOT NULL
+                      THEN p.dcg / i.idcg
                       ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
            round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
              / 1000000 AS mrr_at_k,
-           p.n_rel_retrieved,
+           coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
+             AS n_rel_retrieved,
            coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
-    FROM perq p
+    FROM base b
+    LEFT JOIN perq p USING (q_id)
     LEFT JOIN ideal i USING (q_id)
     LEFT JOIN nrel n USING (q_id)
-    ORDER BY p.q_id
+    ORDER BY b.q_id
     """,
 )
 def rank_eval_ndcg_mrr(spark, sf_dir):
@@ -6311,34 +6334,21 @@ def trigram_search_parts_consolidated(spark, sf_dir):
     and publishes through the versioned manifest. Shares the two
     sibling rows' oracle string verbatim — consolidated ≡ from-index ≡
     in-plan, value-checked by the driver. Built once per session."""
-    import os
-    import tempfile
-
     from building_a_rag_pipeline_with_airflow_spark.operators import linkage
-    from building_a_rag_pipeline_with_airflow_spark.sources import index_layout
     from building_a_rag_pipeline_with_airflow_spark.streaming import ingest as _ing
 
     queries, corpus = _trigram_parts_inputs(spark, sf_dir)
-    path = _CONS_TRIGRAM_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/postings"):
-        root = tempfile.mkdtemp(prefix="trigram_cons_")
-        base_idx = f"{root}/index"
-        linkage.build_trigram_index(
-            corpus.where(F.col("name_id") % 2 == 0), base_idx
-        )
-        corpus.where(F.col("name_id") % 2 == 1).write.parquet(
-            f"{root}/land/d1"
-        )
-        schema = spark.read.parquet(f"{root}/land/d1").schema
-        stream = spark.readStream.schema(schema).parquet(f"{root}/land/*")
-        _ing.streaming_extend_trigram_index(
-            stream, base_idx, f"{root}/ck"
-        ).awaitTermination(300)
-        linkage.consolidate_trigram_index(
-            spark, base_idx, f"{root}/index_v2", f"{root}/manifest"
-        )
-        path = index_layout.current_index(spark, f"{root}/manifest")
-        _CONS_TRIGRAM_CACHE[sf_dir] = path
+    path = _consolidated_lifecycle(
+        spark,
+        sf_dir,
+        _CONS_TRIGRAM_CACHE,
+        "trigram_cons_",
+        corpus.where(F.col("name_id") % 2 == 0),
+        corpus.where(F.col("name_id") % 2 == 1),
+        linkage.build_trigram_index,
+        _ing.streaming_extend_trigram_index,
+        linkage.consolidate_trigram_index,
+    )
     return linkage.trigram_topk_from_index(
         spark, path, queries, k=5
     ).orderBy("q_id", "rank")

@@ -37,6 +37,7 @@ point queries prune the scan.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -323,17 +324,23 @@ def consolidate_index(
     rewrites the layout as a fresh base build (batch ``-1``,
     ``extended=False``), so queries regain the pushed guard.
 
-    Mechanics — one pass over the stored rows, never a corpus
-    re-tokenization (the from-index queries' contract): read
-    ``<path>/<rows_subdir>``, drop the stale ``count_col``, recount per
-    ``key_col`` (cast to the STORED column type so the consolidated
-    layout is schema-identical to a fresh build), re-bucket by
-    ``pmod(xxhash64(key), meta.n_buckets)`` and write sorted-by-key
-    bucketed files; ``extra_subdirs`` side tables (shingle doc sizes,
-    trigram names) are batch-independent payloads — copied under batch
-    ``-1`` with their ``_batch_id`` dropped. ``fresh_meta_df`` is the
-    caller-built meta row with ``extended=False`` (each family owns its
-    meta schema; BM25 additionally folds corpus stats — see
+    Mechanics — the stored rows are the ONLY input, never a corpus
+    re-tokenization (the from-index queries' contract; the postings
+    parquet is scanned twice — once by the recount aggregate, once by
+    the rewrite's join probe — a deliberate trade: pinning corpus-scale
+    posting rows to force a single scan would violate the
+    narrow-output-only checkpoint rule, and a per-key window
+    formulation puts a degenerate key's whole posting list in one
+    task): read ``<path>/<rows_subdir>``, drop the stale ``count_col``,
+    recount per ``key_col`` (cast to the STORED column type so the
+    consolidated layout is schema-identical to a fresh build),
+    re-bucket by ``pmod(xxhash64(key), meta.n_buckets)`` and write
+    sorted-by-key bucketed files; ``extra_subdirs`` side tables
+    (shingle doc sizes, trigram names) are batch-independent payloads —
+    copied under batch ``-1`` with their ``_batch_id`` dropped.
+    ``fresh_meta_df`` is the caller-built meta row with
+    ``extended=False`` (each family owns its meta schema; BM25
+    additionally folds corpus stats — see
     ``lexical.consolidate_postings_index``).
 
     Publishing: ``out_path`` must be a NEW directory (never ``path``
@@ -346,13 +353,22 @@ def consolidate_index(
     operation — run it when extension volume has eroded query latency,
     never per arrival. A new extender (fresh checkpoint) can then grow
     the consolidated index from batch 0 again."""
-    norm_in, norm_out = path.rstrip("/"), out_path.rstrip("/")
+    def _canon(p: str) -> str:
+        # local paths (the only kind os.path can reason about) resolve
+        # symlinks/.. so aliases of one directory compare equal; URI
+        # paths (hdfs://, s3a://) keep their trimmed form — realpath
+        # would mangle the scheme
+        p = p.rstrip("/")
+        return p if "://" in p else os.path.realpath(p)
+
+    norm_in, norm_out = _canon(path), _canon(out_path)
     if norm_out == norm_in or norm_out.startswith(norm_in + "/"):
         raise ValueError(
             f"consolidate_index: out_path {out_path!r} must be a fresh "
             f"directory outside the source layout {path!r} (a write into "
             "its own scan input would corrupt the index mid-read)"
         )
+    norm_out = out_path.rstrip("/")  # write under the caller's spelling
     meta = read_meta(spark, path)
     n_buckets = int(meta["n_buckets"])
     raw = spark.read.parquet(f"{path}/{rows_subdir}")

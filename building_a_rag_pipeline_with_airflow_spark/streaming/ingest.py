@@ -693,9 +693,8 @@ def streaming_extend_phash_index(
     needed: the pairs query derives bucket sizes in-plan from the stored
     rows, so there is no batch-local denormalized statistic to go
     stale."""
-    from building_a_rag_pipeline_with_airflow_spark.operators import multimodal as _mm
-
     from building_a_rag_pipeline_with_airflow_spark.operators import (
+        multimodal as _mm,
         release_checkpoint,
     )
 
@@ -843,7 +842,10 @@ def streaming_duplication_profile(
     different window sizes or floors must never mix, so a re-invocation
     with different constants raises (the ``streaming_psi`` frozen-bounds
     rule; restart with identical constants is idempotent)."""
-    from building_a_rag_pipeline_with_airflow_spark.operators import dedup as _dd
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        dedup as _dd,
+        release_checkpoint,
+    )
 
     blist = _dd._check_profile_bands(bands, "streaming_duplication_profile")
     _dd._check_substring_params(k, None, "streaming_duplication_profile")
@@ -855,14 +857,14 @@ def streaming_duplication_profile(
     spark = docs_stream.sparkSession
     frozen = (
         int(k),
-        str(blist),
+        [int(c) for c in blist],  # typed array<int>, never a repr string
         -1 if max_doc_tokens is None else int(max_doc_tokens),
         int(count_floor),
     )
     meta = index_layout.read_meta_or_none(spark, state_path)
     if meta is not None:
         stored = (
-            int(meta["k"]), meta["bands"],
+            int(meta["k"]), [int(c) for c in meta["bands"]],
             int(meta["max_doc_tokens"]), int(meta["count_floor"]),
         )
         if stored != frozen:
@@ -878,14 +880,11 @@ def streaming_duplication_profile(
         index_layout.write_meta(
             spark.createDataFrame(
                 [frozen],
-                "k int, bands string, max_doc_tokens long, count_floor int",
+                "k int, bands array<int>, max_doc_tokens long, "
+                "count_floor int",
             ),
             state_path,
         )
-
-    from building_a_rag_pipeline_with_airflow_spark.operators import (
-        release_checkpoint,
-    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -908,6 +907,22 @@ def streaming_duplication_profile(
             totals = counts.agg(
                 F.sum("c").cast("bigint").alias("n_windows")
             ).withColumn("_batch_id", F.lit(batch_id))
+            # totals land BEFORE partials — the family crash-ordering
+            # rule: a crash (or concurrent fold) between the two writes
+            # then sees the denominator include a batch whose dup
+            # partials are missing — a consistent LOWER bound, the
+            # gate's stated semantics. The reverse gap folds dup counts
+            # over a denominator that excludes their batch: a fraction
+            # that can exceed 1 until the replay. Structured Streaming
+            # replays the whole batch on restart and dynamic overwrite
+            # makes both writes idempotent, so the gap always heals.
+            (
+                totals.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{state_path}/totals")
+            )
             partial = counts.where(F.col("c") >= int(count_floor))
             # a floor > 1 can eat EVERY hash of a batch; skip the
             # zero-row write (a partitioned write of nothing leaves an
@@ -921,13 +936,6 @@ def streaming_duplication_profile(
                     .partitionBy("_batch_id")
                     .parquet(f"{state_path}/partials")
                 )
-            (
-                totals.coalesce(1)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(f"{state_path}/totals")
-            )
         finally:
             release_checkpoint(counts)
 
@@ -949,7 +957,7 @@ def read_duplication_profile(spark: SparkSession, state_path: str) -> DataFrame:
     from building_a_rag_pipeline_with_airflow_spark.operators import dedup as _dd
 
     meta = index_layout.read_meta(spark, state_path)
-    blist = [int(c) for c in str(meta["bands"]).strip("[]").split(",")]
+    blist = [int(c) for c in meta["bands"]]  # stored as array<int>
     try:
         praw = spark.read.parquet(f"{state_path}/partials")
     except AnalysisException as exc:

@@ -91,3 +91,28 @@ def test_rank_quality_rejects_bad_k(spark):
     )
     with pytest.raises(ValueError, match="k must be >= 1"):
         evaluation.rank_quality(df, df.withColumnRenamed("rank", "rel"), k=0)
+
+
+def test_rank_quality_query_past_k_scores_zero_not_dropped(spark):
+    """A query present in results ONLY past rank k must still appear,
+    scoring zeros (review finding: dropping it silently inflates any
+    mean over the output) — with its judged n_rel intact."""
+    results = spark.createDataFrame(
+        [("A", "d1", 1), ("B", "d2", 6)],
+        "q_id string, doc_id string, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [("B", "d2", 1.0)], "q_id string, doc_id string, rel double"
+    )
+    got = {
+        r["q_id"]: r
+        for r in evaluation.rank_quality(results, relevance, k=5).collect()
+    }
+    assert set(got) == {"A", "B"}
+    b = got["B"]
+    assert (
+        b["dcg_at_k"] == 0.0
+        and b["ndcg_at_k"] == 0.0
+        and b["mrr_at_k"] == 0.0
+    )
+    assert b["n_rel_retrieved"] == 0 and b["n_rel"] == 1
