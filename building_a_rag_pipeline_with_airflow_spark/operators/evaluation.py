@@ -87,22 +87,26 @@ def rank_quality(
     )
     pos = rel.where(F.col("_rel") > 0)
     w = Window.partitionBy(q).orderBy(F.desc("_rel"), F.asc(d))
+    # ideal DCG and the judged-label count come out of ONE grouped pass
+    # over the ranked labels (a separate n_rel aggregate would shuffle
+    # the same rows on the same key again and cost one more join)
     ideal = (
         pos.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= int(k))
         .groupBy(q)
         .agg(
-            F.sum(F.col("_rel") / F.log2(F.col("_rn") + F.lit(1.0))).alias(
-                "_idcg"
-            )
+            F.sum(
+                F.when(
+                    F.col("_rn") <= int(k),
+                    F.col("_rel") / F.log2(F.col("_rn") + F.lit(1.0)),
+                )
+            ).alias("_idcg"),
+            F.count("*").cast("bigint").alias("n_rel"),
         )
     )
-    n_rel = pos.groupBy(q).agg(F.count("*").cast("bigint").alias("n_rel"))
     fixed = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
     return (
         base.join(per_q, q, "left")
         .join(ideal, q, "left")
-        .join(n_rel, q, "left")
         .select(
             q,
             fixed(F.coalesce("_dcg", F.lit(0.0))).alias("dcg_at_k"),
