@@ -1,5 +1,5 @@
-"""Retrieval ranking-quality evaluation: NDCG@k and MRR@k over (ranked
-results × graded relevance).
+"""Retrieval ranking-quality evaluation: NDCG@k, MRR@k, and AP@k over
+(ranked results × graded relevance).
 
 Completes the evaluation story the retrieval ladder needs (r10 judge
 directive #6): recall@k exists (`queries.lsh_recall_at_k` grades the ANN
@@ -54,6 +54,12 @@ def rank_quality(
       the query has no positive labels;
     * ``mrr_at_k``  = 1 / (first rank holding a rel > 0 doc), 0 when no
       relevant doc is retrieved in the top k;
+    * ``ap_at_k``   = Σ_{r≤k, rel(doc@r)>0} precision@r / min(n_rel, k)
+      with BINARY relevance (rel > 0) — the min(n_rel, k) denominator is
+      the standard AP@k normalization (a query with more judged
+      positives than k can still score 1.0); 0 when the query has no
+      positive labels. The running-hits window is bounded by k rows per
+      query (results are cut to rank ≤ k before it runs);
     * ``n_rel_retrieved`` / ``n_rel`` — the recall@k numerator and
       denominator, so the frame subsumes the recall story too.
 
@@ -78,12 +84,26 @@ def rank_quality(
     hits = res.join(rel, [q, d], "left").withColumn(
         "_g", F.coalesce(F.col("_rel"), F.lit(0.0))
     )
+    # running relevant-hit count at each rank — a ≤k-row window per query
+    # (ranks are unique within a query by the input contract; rowsBetween
+    # keeps the frame row-exact regardless)
+    wq = (
+        Window.partitionBy(q)
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = hits.withColumn(
+        "_ch", F.sum(F.when(F.col("_g") > 0, 1).otherwise(0)).over(wq)
+    )
     per_q = hits.groupBy(q).agg(
         F.sum(F.col("_g") / F.log2(F.col("_r") + F.lit(1.0))).alias("_dcg"),
         F.min(F.when(F.col("_g") > 0, F.col("_r"))).alias("_first_hit"),
         F.count(F.when(F.col("_g") > 0, True))
         .cast("bigint")
         .alias("n_rel_retrieved"),
+        F.sum(
+            F.when(F.col("_g") > 0, F.col("_ch") / F.col("_r"))
+        ).alias("_apnum"),
     )
     pos = rel.where(F.col("_rel") > 0)
     w = Window.partitionBy(q).orderBy(F.desc("_rel"), F.asc(d))
@@ -119,6 +139,13 @@ def rank_quality(
             fixed(
                 F.coalesce(F.lit(1.0) / F.col("_first_hit"), F.lit(0.0))
             ).alias("mrr_at_k"),
+            fixed(
+                F.when(
+                    (F.col("n_rel") > 0) & F.col("_apnum").isNotNull(),
+                    F.col("_apnum")
+                    / F.least(F.col("n_rel"), F.lit(int(k))).cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("ap_at_k"),
             F.coalesce("n_rel_retrieved", F.lit(0).cast("bigint")).alias(
                 "n_rel_retrieved"
             ),

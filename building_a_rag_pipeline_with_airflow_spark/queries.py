@@ -2101,12 +2101,21 @@ def lsh_recall_at_k(spark, sf_dir):
       FROM res_k LEFT JOIN rel
         ON res_k.q_id = rel.q_id AND res_k.doc_id = rel.doc_id
     ),
+    hits_ch AS (
+      SELECT q_id, r, g,
+             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ch
+      FROM hits
+    ),
     perq AS (
       SELECT q_id, sum(g / log2(r + 1.0)) AS dcg,
              min(CASE WHEN g > 0 THEN r END) AS fh,
              CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT)
-               AS n_rel_retrieved
-      FROM hits GROUP BY q_id
+               AS n_rel_retrieved,
+             sum(CASE WHEN g > 0 THEN ch * 1.0 / r END) AS apnum
+      FROM hits_ch GROUP BY q_id
     ),
     pos AS (SELECT * FROM rel WHERE rel > 0),
     ideal AS (
@@ -2129,6 +2138,9 @@ def lsh_recall_at_k(spark, sf_dir):
                       ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
            round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
              / 1000000 AS mrr_at_k,
+           round(CASE WHEN n.n_rel > 0 AND p.apnum IS NOT NULL
+                      THEN p.apnum / CAST(least(n.n_rel, 5) AS DOUBLE)
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ap_at_k,
            coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
              AS n_rel_retrieved,
            coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
@@ -2141,9 +2153,10 @@ def lsh_recall_at_k(spark, sf_dir):
 )
 def rank_eval_ndcg_mrr(spark, sf_dir):
     """Rank-quality EVALUATION beyond recall@k (r10 judge directive #6):
-    per-query NDCG@5 and MRR@5 via `operators.evaluation.rank_quality`,
-    completing the eval story the rerank seam needs — `lsh_recall_at_k`
-    grades WHAT was retrieved, this grades the ORDER. Instantiated on
+    per-query NDCG@5, MRR@5, and AP@5 via
+    `operators.evaluation.rank_quality`, completing the eval story the
+    rerank seam needs — `lsh_recall_at_k` grades WHAT was retrieved,
+    this grades the ORDER. Instantiated on
     TPC-H so the whole computation (ranked results AND graded labels)
     is SQL-reproducible: each customer is a query, their orders ranked
     by totalprice desc are the "results", and order priority supplies

@@ -1,5 +1,6 @@
 """Hand-computed pins for the ranking-quality evaluation operator
-(NDCG@k / MRR@k) — the rank-side completion of the recall@k story."""
+(NDCG@k / MRR@k / AP@k) — the rank-side completion of the recall@k
+story."""
 
 import math
 
@@ -42,15 +43,19 @@ def test_rank_quality_hand_computed(spark):
     assert got["A"]["dcg_at_k"] == _fixed(dcg)
     assert got["A"]["ndcg_at_k"] == _fixed(dcg / idcg)
     assert got["A"]["mrr_at_k"] == 0.5  # first relevant at rank 2
+    # AP@3: hits at ranks 2 and 3 -> (1/2 + 2/3) / min(n_rel=3, k=3)
+    assert got["A"]["ap_at_k"] == _fixed((0.5 + 2.0 / 3.0) / 3.0)
     assert got["A"]["n_rel_retrieved"] == 2 and got["A"]["n_rel"] == 3
     # B: unjudged query scores zero everywhere
     assert (
         got["B"]["ndcg_at_k"] == 0.0
         and got["B"]["mrr_at_k"] == 0.0
+        and got["B"]["ap_at_k"] == 0.0
         and got["B"]["n_rel"] == 0
     )
     # C: judged, but the system retrieved none of it
     assert got["C"]["ndcg_at_k"] == 0.0 and got["C"]["mrr_at_k"] == 0.0
+    assert got["C"]["ap_at_k"] == 0.0
     assert got["C"]["n_rel_retrieved"] == 0 and got["C"]["n_rel"] == 1
 
 
@@ -76,6 +81,10 @@ def test_rank_quality_k_cut_and_duplicate_labels(spark):
     assert row["dcg_at_k"] == _fixed(dcg)
     assert row["ndcg_at_k"] == _fixed(dcg / idcg)
     assert row["mrr_at_k"] == 1.0
+    # AP@2: hits at ranks 1 and 2 -> (1/1 + 2/2) / min(n_rel=3, k=2) = 1
+    # — min(n_rel, k) (not plain n_rel) is what lets a fully-relevant
+    # prefix score 1.0 when more positives exist than k slots
+    assert row["ap_at_k"] == 1.0
     # perfect ordering at k covering all labels -> exactly 1.0
     perfect = spark.createDataFrame(
         [("A", "d3", 1), ("A", "d1", 2), ("A", "d2", 3)],
@@ -83,6 +92,7 @@ def test_rank_quality_k_cut_and_duplicate_labels(spark):
     )
     full = evaluation.rank_quality(perfect, relevance, k=3).collect()[0]
     assert full["ndcg_at_k"] == 1.0 and full["mrr_at_k"] == 1.0
+    assert full["ap_at_k"] == 1.0
 
 
 def test_rank_quality_rejects_bad_k(spark):
@@ -114,5 +124,6 @@ def test_rank_quality_query_past_k_scores_zero_not_dropped(spark):
         b["dcg_at_k"] == 0.0
         and b["ndcg_at_k"] == 0.0
         and b["mrr_at_k"] == 0.0
+        and b["ap_at_k"] == 0.0
     )
     assert b["n_rel_retrieved"] == 0 and b["n_rel"] == 1
