@@ -417,6 +417,52 @@ def deterministic_shuffle(
     return shuffled.orderBy("_shuffle_key").drop("_shuffle_key")
 
 
+def epoch_shard_plan(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str = "epoch0",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Content-addressed shard manifest for one training epoch: every row
+    gets a ``(shard, pos)`` assignment that is a pure function of
+    (key, seed, n_shards) — the explicit-plan companion of
+    :func:`deterministic_shuffle` (which orders rows but never names the
+    file/position a dataloader rank will read). Data-parallel training
+    consumes exactly this shape: rank r streams shard r in ``pos`` order,
+    a fresh ``seed`` ("epoch1", "epoch2", …) re-deals both membership
+    and order, and because assignment is content-hash-derived the plan is
+    stable under relayout, re-runs, and engine (the :func:`hash_bucket`
+    md5 idiom, reproducible in SQL). Concatenating shards does NOT
+    reproduce `deterministic_shuffle`'s single global order — by design:
+    ranks read shards in parallel, not one global sequence.
+
+    Shape: shard = 60-bit md5 slice mod ``n_shards`` (map-side; balanced
+    binomially, n/k ± √ — hash-mod, not range-split: range boundaries
+    would be data-sample-dependent and break the pure-function contract);
+    ``pos`` = row_number per shard ordered by the same md5 (key
+    tiebreak). The per-shard window sorts ~n/n_shards rows in one task —
+    ``n_shards`` is the shard-FILE count knob (pack_sequences'
+    ``n_streams`` precedent): at corpus scale shard files are sized
+    ~100-500 MB, so n_shards grows with the data and tasks stay bounded
+    by construction. Run once per epoch at dataset-prep time, never
+    per read."""
+    if n_shards < 1:
+        raise ValueError(f"epoch_shard_plan: n_shards must be >= 1, got {n_shards}")
+    s = F.concat(F.col(key).cast("string"), F.lit(seed))
+    ordk = F.md5(s)
+    shard = (
+        F.conv(F.substring(ordk, 1, 15), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    out = df.withColumn(shard_col, shard).withColumn("_ord", ordk)
+    w = Window.partitionBy(shard_col).orderBy("_ord", key)
+    return out.withColumn(
+        pos_col, F.row_number().over(w).cast("bigint")
+    ).drop("_ord")
+
+
 def weighted_sample_logw(
     df: DataFrame,
     key: str,

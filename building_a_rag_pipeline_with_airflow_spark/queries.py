@@ -3380,6 +3380,45 @@ def hash_sample_orders(spark, sf_dir):
     )
 
 
+@q(
+    "epoch_shard_plan_orders",
+    """
+    WITH plan AS (
+      SELECT o_orderkey,
+             CAST(CAST('0x' || substr(md5(o_orderkey::VARCHAR || 'epoch1'),
+                                      1, 15) AS BIGINT) % 4 AS INT) AS shard,
+             md5(o_orderkey::VARCHAR || 'epoch1') AS ord
+      FROM orders
+    ),
+    ranked AS (
+      SELECT shard, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY shard
+                                     ORDER BY ord, o_orderkey) AS BIGINT)
+               AS pos
+      FROM plan
+    )
+    SELECT shard, pos, o_orderkey
+    FROM ranked WHERE pos <= 25
+    ORDER BY shard, pos
+    """,
+)
+def epoch_shard_plan_orders(spark, sf_dir):
+    """Per-epoch training shard manifest (`sampling.epoch_shard_plan`):
+    content-addressed (shard, pos) assignment — shard = md5-slice mod 4,
+    pos = intra-shard md5 order — so the exact permutation each
+    data-parallel rank reads is a pure function of (key, seed) and the
+    identical md5 expressions replay in DuckDB. The head (pos ≤ 25) of
+    every shard is value-checked: a single flipped comparison or hash
+    slice anywhere in the plan reorders it."""
+    orders = _t(spark, sf_dir, "orders")
+    planned = sampling.epoch_shard_plan(orders, "o_orderkey", 4, seed="epoch1")
+    return (
+        planned.where(F.col("pos") <= 25)
+        .select("shard", "pos", "o_orderkey")
+        .orderBy("shard", "pos")
+    )
+
+
 # Shared survivor-CTE chain for the curation composition oracles: gates
 # (kept1) → canonical-per-cluster near-dup dedup via recursive closure
 # (kept2) → decontamination (kept3) → mixture floor thresholds (kept4 =
@@ -8215,7 +8254,7 @@ _R11_WINDOW = (
 
 # Oracle queries ADDED in r11 after the window above froze queue here
 # (the _NEW_R8.._NEW_R10 mechanism), first in line for the r12 rotation.
-_NEW_R11: "tuple[str, ...]" = ()
+_NEW_R11: "tuple[str, ...]" = ("epoch_shard_plan_orders",)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

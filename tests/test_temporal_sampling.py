@@ -406,6 +406,40 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark, sf_dir):
     assert sorted(r.o_orderkey for r in rp.collect()) == sorted(s1)
 
 
+def test_epoch_shard_plan_partition_positions_and_seed(spark, sf_dir):
+    """The shard manifest is a PARTITION (every row exactly once),
+    positions are exactly 1..|shard| per shard, the whole plan is
+    relayout-invariant, and a new seed re-deals both shard membership
+    and intra-shard order."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    n = orders.count()
+    p1 = sampling.epoch_shard_plan(orders, "o_orderkey", 4, seed="epoch0")
+    rows = p1.select("shard", "pos", "o_orderkey").collect()
+    assert len(rows) == n and len({r.o_orderkey for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # relayout-invariant: identical (shard, pos) per key after repartition
+    p2 = sampling.epoch_shard_plan(
+        orders.repartition(17), "o_orderkey", 4, seed="epoch0"
+    )
+    a = {r.o_orderkey: (r.shard, r.pos) for r in rows}
+    b = {r.o_orderkey: (r.shard, r.pos) for r in p2.collect()}
+    assert a == b
+    # seed re-deals: same keys, different assignment
+    p3 = sampling.epoch_shard_plan(orders, "o_orderkey", 4, seed="epoch1")
+    c = {r.o_orderkey: (r.shard, r.pos) for r in p3.collect()}
+    assert set(c) == set(a) and c != a
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        sampling.epoch_shard_plan(orders, "o_orderkey", 0)
+
+
 def test_cluster_safe_split_cluster_atomicity(spark):
     """Every member of a component gets the SAME split (the whole point);
     docs absent from the components frame split by their own id, exactly
