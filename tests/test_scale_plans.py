@@ -633,6 +633,23 @@ def test_ohlc_single_shuffle_with_partials(spark, sf_dir):
     assert len(hash_exchanges) == 1
 
 
+def test_epoch_shard_plan_single_shuffle(spark, sf_dir):
+    """The shard manifest costs exactly one hash exchange (on the shard
+    id) — the md5 shard/order derivation is map-side and the per-shard
+    row_number rides the same partitioning; no range sort, no second
+    shuffle."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = sampling.epoch_shard_plan(orders, "o_orderkey", 4, seed="epoch0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_dir):
     """A-ES weighted sampling must select its k rows with per-partition
     heaps (TakeOrderedAndProject), never a global sort."""
