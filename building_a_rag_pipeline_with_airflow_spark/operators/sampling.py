@@ -463,6 +463,133 @@ def epoch_shard_plan(
     ).drop("_ord")
 
 
+def mixture_interleave(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+    key: str,
+    seed: str = "epoch0",
+    default_weight: float = 1.0,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic mixture-aware training ORDER: interleave domains so
+    that any prefix of the output order contains each domain at a rate
+    proportional to its weight — the static-order form of
+    examples-proportional mixing (the T5 recipe mixes per batch at
+    sample time; writing the order once makes every epoch's mix exact,
+    auditable, and identical across re-runs). Whereas
+    :func:`mixture_reweight` decides WHICH rows survive, this decides
+    WHEN each surviving row is seen.
+
+    Mechanism — stride scheduling / weighted-fair-queueing virtual time
+    (Waldspurger & Weihl 1995; Demers et al. 1989, both public): domain
+    d's rows are shuffled content-deterministically (md5(key‖seed), the
+    :func:`deterministic_shuffle` contract) to per-domain ranks
+    r = 1..n_d, and row r is scheduled at virtual time
+    ``vtime = (r − 0.5) / w_d``. Sorting by vtime interleaves domains at
+    exactly their weight ratios (a weight-2 domain ships two rows for
+    every one row of a weight-1 domain, from the very first rows — per-
+    domain prefix counts never drift more than one stride from ``t·w_d``).
+    Consumers ``orderBy(vtime)`` when writing, exactly like
+    `deterministic_shuffle`'s range sort; re-seeding re-deals both the
+    within-domain order and the interleave.
+
+    Scale shape — the per-domain rank is the grouped form of
+    :func:`analytics.prefix_sum`, because ``row_number() OVER
+    (PARTITION BY domain)`` would sort a constant FRACTION of the corpus
+    in one task (the quantile_segment class of unscalable window). The
+    range buckets are the HEX PREFIX of the md5 order key itself
+    (``bucket_chars`` hex chars → 16^k contiguous, uniformly-filled
+    ranges of the sort key): content-addressed, so no range-partitioner
+    sampling job, and the per-(bucket, domain) window's hash exchange is
+    the ONLY data-scale shuffle — ``repartitionByRange`` +
+    ``spark_partition_id()`` would shuffle the data twice (the window
+    re-hashes on the partition id). Per-bucket-domain running counts
+    roll into exclusive offsets over a 16^k×#domains-row frame
+    (metadata-scale; bucket hex order IS hash order, so offsets compose
+    exactly), broadcast back. Equal hashes share a prefix, so the rank
+    is exact and relayout-independent. ``key`` should be unique per row
+    (the prefix_sum caveat: duplicate keys make intra-duplicate order
+    nondeterministic); ``bucket_chars`` sizes tasks at ~n/16^k rows —
+    raise it as the corpus grows.
+
+    Weights must be > 0; unlisted domains get ``default_weight``; a NULL
+    domain is rejected loudly per row (it would silently sort under the
+    default weight while every count-based mixture op here refuses it).
+    Returns ``df`` plus ``domain_rank`` (1-based within domain) and
+    ``vtime`` (the global order key, reproducible in any engine)."""
+    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "mixture_interleave: weights must be > 0 (drop a domain by "
+            "filtering it out, not by zero-weighting it)"
+        )
+    if not 1 <= int(bucket_chars) <= 8:
+        raise ValueError(
+            f"mixture_interleave: bucket_chars must be in [1, 8], got "
+            f"{bucket_chars} (16^k buckets; 8 is already 4.3e9 ranges)"
+        )
+    ordk = F.md5(F.concat(F.col(key).cast("string"), F.lit(seed)))
+    d = df.withColumn("_ord", ordk).withColumn(
+        "_bkt", F.substring("_ord", 1, int(bucket_chars))
+    )
+    w_in = (
+        Window.partitionBy("_bkt", strata_col)
+        .orderBy("_ord", key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_run", F.count(F.lit(1)).over(w_in))
+    # totals from the RAW input, not max(_run) off the windowed frame:
+    # column pruning cuts this branch to a (key, domain) scan whose
+    # count(*) partials combine map-side — only 16^k×#domains partial
+    # rows cross the wire, no second data-scale shuffle and no second
+    # window. (max(_run) reads nicer but re-shuffles narrow full rows
+    # and re-runs WindowExec; the pruned branches never canonicalize
+    # equal, so exchange reuse cannot rescue it.)
+    tot = d.groupBy("_bkt", strata_col).agg(F.count("*").alias("_t"))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.select(
+        F.col("_bkt").alias("_obkt"),
+        F.col(strata_col).alias("_ostr"),
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
+    )
+    # eqNullSafe, not a plain equi-join: a NULL stratum must SURVIVE the
+    # join to reach the loud raise_error below — a plain join condition
+    # would silently drop those rows instead, the exact failure mode the
+    # guard exists to prevent
+    out = d.join(
+        F.broadcast(off),
+        (F.col("_bkt") == F.col("_obkt"))
+        & F.col(strata_col).eqNullSafe(F.col("_ostr")),
+    ).drop("_obkt", "_ostr")
+    wexpr: Column = F.lit(float(default_weight))
+    for dom, wt in sorted(weights.items()):
+        wexpr = F.when(F.col(strata_col) == F.lit(dom), F.lit(float(wt))).otherwise(wexpr)
+    wexpr = F.when(
+        F.col(strata_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "mixture_interleave: NULL stratum — rows may not be "
+                "silently ordered under the default weight; fill or "
+                "filter the domain column first"
+            )
+        ).cast("double"),
+    ).otherwise(wexpr)
+    rank = (F.col("_run") + F.col("_off")).cast("bigint")
+    return (
+        out.withColumn("domain_rank", rank)
+        .withColumn(
+            "vtime", (rank.cast("double") - F.lit(0.5)) / wexpr
+        )
+        .drop("_ord", "_pid", "_run", "_off")
+    )
+
+
 def weighted_sample_logw(
     df: DataFrame,
     key: str,

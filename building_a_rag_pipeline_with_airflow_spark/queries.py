@@ -3419,6 +3419,59 @@ def epoch_shard_plan_orders(spark, sf_dir):
     )
 
 
+@q(
+    "mixture_interleave_documents",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id)
+                  AS BIGINT) AS domain_rank
+      FROM documents
+    ),
+    vt AS (
+      SELECT doc_id, lang, domain_rank,
+             (CAST(domain_rank AS DOUBLE) - CAST(0.5 AS DOUBLE))
+             / CAST(CASE lang WHEN 'en' THEN 3.0
+                              WHEN 'de' THEN 1.5
+                              WHEN 'zh' THEN 0.5
+                              ELSE 1.0 END AS DOUBLE) AS v
+      FROM ranked
+    )
+    SELECT doc_id, lang, domain_rank,
+           round(v * 1000000) / 1000000 AS vtime
+    FROM vt ORDER BY v, lang, doc_id LIMIT 60
+    """,
+)
+def mixture_interleave_documents(spark, sf_dir):
+    """Mixture-aware deterministic training order
+    (`sampling.mixture_interleave`): stride-scheduled virtual time
+    interleaves languages at weight ratios (en 3.0, de 1.5, zh 0.5,
+    default 1.0) over a content-deterministic within-domain shuffle —
+    the WHEN companion of `mixture_reweight`'s WHICH. The per-domain
+    rank is the grouped distributed prefix-count (no corpus-scale
+    window); the oracle replays rank, weights, and virtual time in
+    DuckDB and value-checks the first 60 rows of the global order
+    (es/fr share weight 1.0, so cross-domain vtime TIES are exercised
+    and must break identically on (lang, doc_id) in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_interleave(
+        docs, "lang", {"en": 3.0, "de": 1.5, "zh": 0.5}, "doc_id",
+        seed="epoch1",
+    )
+    return (
+        out.orderBy("vtime", "lang", "doc_id")
+        .limit(60)
+        .select(
+            "doc_id",
+            "lang",
+            "domain_rank",
+            (F.round(F.col("vtime") * 1000000) / 1000000).alias("vtime"),
+        )
+    )
+
+
 # Shared survivor-CTE chain for the curation composition oracles: gates
 # (kept1) → canonical-per-cluster near-dup dedup via recursive closure
 # (kept2) → decontamination (kept3) → mixture floor thresholds (kept4 =
@@ -8254,7 +8307,10 @@ _R11_WINDOW = (
 
 # Oracle queries ADDED in r11 after the window above froze queue here
 # (the _NEW_R8.._NEW_R10 mechanism), first in line for the r12 rotation.
-_NEW_R11: "tuple[str, ...]" = ("epoch_shard_plan_orders",)
+_NEW_R11: "tuple[str, ...]" = (
+    "epoch_shard_plan_orders",
+    "mixture_interleave_documents",
+)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

@@ -650,6 +650,23 @@ def test_epoch_shard_plan_single_shuffle(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_mixture_interleave_no_range_sort_and_mapside_totals(spark, sf_dir):
+    """The interleave's rank comes from md5-hex-prefix range buckets:
+    no range-partitioner (its sampling pass would also break the
+    content-addressed contract), exactly two WindowExecs (the bucketed
+    running count + the metadata-scale offsets roll-up), and the totals
+    branch combines map-side (partial_count) so only bucket×domain
+    partials cross the wire."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = sampling.mixture_interleave(docs, "lang", {"en": 2.0}, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Window") == 2
+    assert "partial_count" in plan
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_dir):
     """A-ES weighted sampling must select its k rows with per-partition
     heaps (TakeOrderedAndProject), never a global sort."""

@@ -440,6 +440,58 @@ def test_epoch_shard_plan_partition_positions_and_seed(spark, sf_dir):
         sampling.epoch_shard_plan(orders, "o_orderkey", 0)
 
 
+def test_mixture_interleave_rates_rank_and_guards(spark):
+    """Stride-scheduled interleave: any vtime-ordered prefix carries each
+    domain at its weight ratio; the distributed grouped prefix-count rank
+    equals the plain per-domain window; the whole plan is
+    relayout-invariant; NULL domains and non-positive weights are
+    rejected loudly."""
+    from pyspark.sql import Window as W
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(600)],
+        "id bigint, dom string",
+    )
+    weights = {"a": 1.0, "b": 2.0, "c": 3.0}
+    out = sampling.mixture_interleave(df, "dom", weights, "id", seed="e0")
+    # exact weight-ratio prefix: 120 rows at rates 1:2:3 -> 20/40/60
+    head = (
+        out.orderBy("vtime", "dom", "id").limit(120)
+        .groupBy("dom").count().collect()
+    )
+    assert sorted((r.dom, r["count"]) for r in head) == [
+        ("a", 20), ("b", 40), ("c", 60)
+    ]
+    # grouped prefix-count rank == the plain (unscalable) window rank
+    plain = df.withColumn(
+        "_o", F.md5(F.concat(F.col("id").cast("string"), F.lit("e0")))
+    ).withColumn(
+        "r", F.row_number().over(W.partitionBy("dom").orderBy("_o", "id"))
+    )
+    a = {r.id: r.domain_rank for r in out.collect()}
+    b = {r.id: r.r for r in plain.collect()}
+    assert a == b
+    # relayout-invariant
+    out2 = sampling.mixture_interleave(
+        df.repartition(17), "dom", weights, "id", seed="e0"
+    )
+    assert {r.id: (r.domain_rank, r.vtime) for r in out2.collect()} == {
+        r.id: (r.domain_rank, r.vtime) for r in out.collect()
+    }
+    # guards: NULL stratum raises per row, zero weight raises at plan time
+    import pytest as _pytest
+
+    null_df = spark.createDataFrame(
+        [(1, None), (2, "a")], "id bigint, dom string"
+    )
+    with _pytest.raises(Exception, match="NULL stratum"):
+        sampling.mixture_interleave(null_df, "dom", {"a": 1.0}, "id").collect()
+    with _pytest.raises(ValueError, match="weights must be > 0"):
+        sampling.mixture_interleave(df, "dom", {"a": 0.0}, "id")
+
+
 def test_cluster_safe_split_cluster_atomicity(spark):
     """Every member of a component gets the SAME split (the whole point);
     docs absent from the components frame split by their own id, exactly
