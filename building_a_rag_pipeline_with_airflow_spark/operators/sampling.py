@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def _md5_slice60(s: Column) -> Column:
+    """The module's ONE canonical 60-bit content hash: first 15 hex chars
+    of md5(s) as a non-negative bigint — the slice every deterministic
+    sampler here derives buckets/folds/shards/uniforms from, kept in one
+    place so the DuckDB-reproducibility contract (``CAST('0x' ||
+    substr(md5(s), 1, 15) AS BIGINT)``, same slice as dedup.shingle_id)
+    has exactly one Spark-side spelling."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
 def hash_bucket(key: Column | str, salt: str = "") -> Column:
     """Deterministic bucket in [0, BUCKETS): md5 of the key's string form
     (15 hex chars = 60 bits, same slice as dedup.shingle_id so DuckDB's
@@ -35,10 +45,7 @@ def hash_bucket(key: Column | str, salt: str = "") -> Column:
     BUCKETS. ``salt`` decorrelates independent samples over the same key."""
     c = F.col(key) if isinstance(key, str) else key
     s = F.concat(c.cast("string"), F.lit(salt))
-    return (
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(BUCKETS)
-    ).cast("int")
+    return (_md5_slice60(s) % F.lit(BUCKETS)).cast("int")
 
 
 def hash_sample(
@@ -277,8 +284,7 @@ def hash_uniform(key: Column | str, salt: str = "") -> Column:
     1152921504606846976.0``."""
     c = F.col(key) if isinstance(key, str) else key
     s = F.concat(c.cast("string"), F.lit(salt))
-    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-    return (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return (_md5_slice60(s) + F.lit(1)).cast("double") / F.lit(float(1 << 60))
 
 
 def weighted_sample_topk(
@@ -386,10 +392,7 @@ def assign_folds(
         raise ValueError(f"k must be >= 2, got {k}")
     c = F.col(key)
     s = F.concat(c.cast("string"), F.lit(salt))
-    fold = (
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(int(k))
-    ).cast("int")
+    fold = (_md5_slice60(s) % F.lit(int(k))).cast("int")
     return df.withColumn("fold", fold)
 
 
@@ -450,12 +453,21 @@ def epoch_shard_plan(
     per read."""
     if n_shards < 1:
         raise ValueError(f"epoch_shard_plan: n_shards must be >= 1, got {n_shards}")
-    s = F.concat(F.col(key).cast("string"), F.lit(seed))
+    # a NULL key would hash to a NULL shard — a row belonging to NO
+    # rank's shard, silently absent from training (the manifest must be
+    # a PARTITION of the corpus); reject loudly per the module's
+    # NULL-boundary convention
+    s = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                "epoch_shard_plan: NULL key — the row would land in no "
+                "shard; fill or filter the key column first"
+            )
+        ).cast("string"),
+    ).otherwise(F.concat(F.col(key).cast("string"), F.lit(seed)))
     ordk = F.md5(s)
-    shard = (
-        F.conv(F.substring(ordk, 1, 15), 16, 10).cast("bigint")
-        % F.lit(int(n_shards))
-    ).cast("int")
+    shard = (_md5_slice60(s) % F.lit(int(n_shards))).cast("int")
     out = df.withColumn(shard_col, shard).withColumn("_ord", ordk)
     w = Window.partitionBy(shard_col).orderBy("_ord", key)
     return out.withColumn(
@@ -490,9 +502,13 @@ def mixture_interleave(
     exactly their weight ratios (a weight-2 domain ships two rows for
     every one row of a weight-1 domain, from the very first rows — per-
     domain prefix counts never drift more than one stride from ``t·w_d``).
-    Consumers ``orderBy(vtime)`` when writing, exactly like
-    `deterministic_shuffle`'s range sort; re-seeding re-deals both the
-    within-domain order and the interleave.
+    Consumers write with ``orderBy(vtime, strata_col, key)`` — the
+    tiebreak matters: domains SHARING a weight (two defaults, es/fr
+    both 1.0) produce identical vtime at every rank, and sorting by
+    vtime alone would leave their tie order partition-layout-dependent,
+    the exact ``df.sample`` nondeterminism this module exists to avoid.
+    Re-seeding re-deals both the within-domain order and the
+    interleave.
 
     Scale shape — the per-domain rank is the grouped form of
     :func:`analytics.prefix_sum`, because ``row_number() OVER
@@ -528,7 +544,19 @@ def mixture_interleave(
             f"mixture_interleave: bucket_chars must be in [1, 8], got "
             f"{bucket_chars} (16^k buckets; 8 is already 4.3e9 ranges)"
         )
-    ordk = F.md5(F.concat(F.col(key).cast("string"), F.lit(seed)))
+    # a NULL key would md5 to a NULL bucket, and the offsets equi-join
+    # on _bkt would then silently DROP the row (the same vanishing the
+    # null-safe stratum join below exists to prevent) — reject loudly
+    ordk = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                "mixture_interleave: NULL key — the row would be "
+                "silently dropped at the offsets join; fill or filter "
+                "the key column first"
+            )
+        ).cast("string"),
+    ).otherwise(F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))))
     d = df.withColumn("_ord", ordk).withColumn(
         "_bkt", F.substring("_ord", 1, int(bucket_chars))
     )
@@ -586,7 +614,7 @@ def mixture_interleave(
         .withColumn(
             "vtime", (rank.cast("double") - F.lit(0.5)) / wexpr
         )
-        .drop("_ord", "_pid", "_run", "_off")
+        .drop("_ord", "_bkt", "_run", "_off")
     )
 
 

@@ -438,6 +438,11 @@ def test_epoch_shard_plan_partition_positions_and_seed(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_shards"):
         sampling.epoch_shard_plan(orders, "o_orderkey", 0)
+    # a NULL key must raise, not land in a NULL shard no rank reads
+    # (review finding: the manifest must be a PARTITION of the corpus)
+    null_df = spark.createDataFrame([(None,), (2,)], "id bigint")
+    with _pytest.raises(Exception, match="NULL key"):
+        sampling.epoch_shard_plan(null_df, "id", 4).collect()
 
 
 def test_mixture_interleave_rates_rank_and_guards(spark):
@@ -456,6 +461,9 @@ def test_mixture_interleave_rates_rank_and_guards(spark):
     )
     weights = {"a": 1.0, "b": 2.0, "c": 3.0}
     out = sampling.mixture_interleave(df, "dom", weights, "id", seed="e0")
+    # column contract: input columns + the two documented outputs, no
+    # leaked helpers (review finding: _bkt escaped the drop list)
+    assert out.columns == df.columns + ["domain_rank", "vtime"]
     # exact weight-ratio prefix: 120 rows at rates 1:2:3 -> 20/40/60
     head = (
         out.orderBy("vtime", "dom", "id").limit(120)
@@ -488,6 +496,13 @@ def test_mixture_interleave_rates_rank_and_guards(spark):
     )
     with _pytest.raises(Exception, match="NULL stratum"):
         sampling.mixture_interleave(null_df, "dom", {"a": 1.0}, "id").collect()
+    # a NULL key would md5 to a NULL bucket and vanish at the offsets
+    # join (review finding) — must raise instead of dropping the row
+    null_key = spark.createDataFrame(
+        [(None, "a"), (2, "a")], "id bigint, dom string"
+    )
+    with _pytest.raises(Exception, match="NULL key"):
+        sampling.mixture_interleave(null_key, "dom", {"a": 1.0}, "id").collect()
     with _pytest.raises(ValueError, match="weights must be > 0"):
         sampling.mixture_interleave(df, "dom", {"a": 0.0}, "id")
 
