@@ -174,6 +174,35 @@ r11 notes:
   extension 9.0 s, so consolidation costs about one re-build — what it
   buys over re-building is reading ONLY the stored postings (no corpus
   re-tokenization) plus the manifest swap.
+* r11 LATE additions (same one-story rule — BENCH_r11.json remains the
+  number of record): two headline rows joined after the closing
+  observation below — epoch_shard_plan_orders (~1.6 s cold: one shuffle
+  + per-shard window) and mixture_interleave_documents (~0.9 s cold:
+  grouped prefix-count rank, one data-scale shuffle). Two late solo
+  builder runs also landed 272.7 s / 318.2 s totals — both were ONE
+  all-cold round (the 480 s budget early-stop fired after round 1; the
+  318 was additionally concurrent with a review fleet), with the four
+  session-cached index BUILDS inside the timed round
+  (jaccard_index_pairs 17.7 published ≈ 15 s build + read; targeted
+  warm solos on the same code: jaccard 2.3-2.7, substring_index_spans
+  0.9, line_dedup 3.5-4.0, ngram_jaccard 3.1-4.3 — all at their
+  records, so no plan regressed). Structural fix, not a shrug: the
+  warmup phase now PRE-BUILDS the four session-cached indexes (builds
+  are eager at query-call time) and prints index_warmup_s, so even a
+  1-round session publishes read-cost medians — the roster's stated
+  intent. Expect BENCH_r11.json's from-index rows to read as reads,
+  whatever the host mood.
+* Post-fix solo validation run (still a noisy-host session, 1 round,
+  221.2 s): warmup pre-build 41 s, and the from-index rows now publish
+  as reads even in that 1-round session — jaccard_index_pairs 3.5,
+  substring_index_spans 1.0, bm25_batch 1.6, trigram_from_index 1.2;
+  new rows epoch_shard 1.8 / mixture_interleave 2.0 / rank_eval 1.7.
+  One burst row in that run: line_dedup_documents 36.4 on an untouched
+  plan — immediate solo re-profile read 11.4 cold / 4.0 / 3.8 warm
+  (the record), the documented 5-10x scheduling-spike signature, same
+  class as the r9 184/165/297 record. The host was unstable throughout
+  this session's closing runs; the driver's BENCH_r11.json is the
+  number of record.
 * r11 CLOSING builder-side observation: solo run 141.0 s total vs the
   r10 published 149.5 — net of the new rank_eval row (+1.4) the
   comparable surface reads ~10 s FASTER, spread across the usual
@@ -396,8 +425,10 @@ HEADLINE = [
     "substring_dedup_documents",
     # r10: the from-index twin gets its own number (r9 verdict
     # "what's wrong" #2 — it entered the r9 driver window after the
-    # roster froze). First call builds the session-cached index; the
-    # interleaved median measures the pushed-h_count-predicate reads.
+    # roster froze). The session-cached index is pre-built in the
+    # warmup phase (r11; see main()), so every round — including a
+    # 1-round budget-stopped session — measures the
+    # pushed-h_count-predicate reads.
     "substring_index_spans",
     # r10: the rolling-hash production tier (identical output to the
     # md5 anchor row above; at the registry's k=8 the O(n·k) vs O(n)
@@ -428,6 +459,12 @@ HEADLINE = [
     # plan shape (two bounded per-query windows + hash agg), unlike the
     # three r11 lifecycle rows below which are deliberately NOT benched.
     "rank_eval_ndcg_mrr",
+    # r11 (late adds): the two training-order rows — the shard manifest
+    # (one shuffle + per-shard window) and the stride-scheduled mixture
+    # interleave (grouped prefix-count rank, one data-scale shuffle) —
+    # both new plan shapes, both cheap (~1-2 s at sf0.1).
+    "epoch_shard_plan_orders",
+    "mixture_interleave_documents",
     # jaccard_pairs_consolidated_index / trigram_search_parts_consolidated
     # / duplication_profile_streamed are deliberately NOT benched: their
     # READ plans are identical to the already-benched fresh-index
@@ -531,6 +568,26 @@ def main() -> None:
     # engine, not first-call JIT (this VM has very slow JVM warm-up).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # Build the four session-cached durable indexes BEFORE the timed
+    # rounds (the builds run eagerly at query-function call time): the
+    # roster's stated intent is that interleaved medians measure the
+    # pushed-predicate READS, with the one-time build cost median-ed out
+    # by later rounds — but on a slow host the ~50 s of builds inflate
+    # round 1 past the early-stop threshold, collapsing the bench to ONE
+    # all-cold round (the r11 272.7 s solo reading: jaccard_index_pairs
+    # published 17.7 s of which ~15 s was the build; warm solo 2.3-2.7).
+    # Pre-building keeps the published medians read-cost even in
+    # 1-round sessions; build costs stay measured in scripts/scale_check_*
+    # and are printed here as index_warmup_s.
+    warm_t0 = time.time()
+    for _warm in (
+        "jaccard_index_pairs",
+        "substring_index_spans",
+        "bm25_batch_topk_documents",
+        "trigram_search_parts_from_index",
+    ):
+        REGISTRY[_warm][0](spark, sf_dir)
+    print(json.dumps({"index_warmup_s": round(time.time() - warm_t0, 1)}))
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Interleaved rounds: run the whole headline list once, then repeat.
@@ -649,6 +706,10 @@ def main() -> None:
             "substring_index_spans",
             "substring_dedup_rolling",
             "trigram_search_parts_from_index",
+            # r11 late adds — first bench appearance, keep their numbers
+            # visible in the archived line
+            "epoch_shard_plan_orders",
+            "mixture_interleave_documents",
         }
         by_cost = sorted(
             (n for n in times if n not in pinned), key=lambda n: times[n]
