@@ -197,6 +197,11 @@ r11 notes:
   as reads even in that 1-round session — jaccard_index_pairs 3.5,
   substring_index_spans 1.0, bm25_batch 1.6, trigram_from_index 1.2;
   new rows epoch_shard 1.8 / mixture_interleave 2.0 / rank_eval 1.7.
+  Scale curve for the two order operators
+  (scripts/scale_check_r11_order.py, orders re-keyed 5x/25x): 150k
+  rows 0.77/0.90 s → 3.75M rows 1.38/1.84 s — 25x data at ~2x wall,
+  linear with amortizing overheads, and bucket_chars/n_shards knob
+  changes leave the assignment byte-identical (content-addressed).
   One burst row in that run: line_dedup_documents 36.4 on an untouched
   plan — immediate solo re-profile read 11.4 cold / 4.0 / 3.8 warm
   (the record), the documented 5-10x scheduling-spike signature, same
