@@ -2186,6 +2186,163 @@ def rank_eval_ndcg_mrr(spark, sf_dir):
     return evaluation.rank_quality(results, relevance, k=5).orderBy("q_id")
 
 
+def _rank_eval_lsh_sql() -> str:
+    """Oracle for the ANN rank-quality row: the `_lsh_recall_sql` CTE
+    program (both retrievers replayed in SQL — exact top-5 by rounded
+    cosine and the banded sign-LSH top-5, same inlined seeded
+    hyperplanes) feeding the `rank_eval_ndcg_mrr` math (DCG/NDCG/MRR/AP
+    at the 6dp fixed point), with relevance GRADED by exact position
+    (rel = 6 − exact_rank). Queries with no LSH candidates drop from
+    both sides identically (the rank_quality base contract: base = the
+    result set's own queries)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    pvals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(v)) for v in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {pvals}),
+    sides AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev, (vec_id < 10) AS is_q
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(c.ev, q.ev), 4) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM sides q JOIN sides c ON q.is_q AND NOT c.is_q
+    ),
+    rel AS (
+      SELECT q_id, c_id AS doc_id, CAST(6 - rn AS DOUBLE) AS rel
+      FROM exact WHERE rn <= 5
+    ),
+    bits AS (
+      SELECT s.vec_id, s.is_q, p.pid,
+             CASE WHEN list_dot_product(s.ev, p.pv) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM sides s, planes p
+    ),
+    sigs AS (
+      SELECT vec_id, is_q, string_agg(bit, '' ORDER BY pid) AS sig
+      FROM bits GROUP BY vec_id, is_q
+    ),
+    banded AS (
+      SELECT vec_id, is_q,
+             unnest(['0:' || substr(sig, 1, 4), '1:' || substr(sig, 5, 4)])
+               AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+      FROM banded qb JOIN banded cb USING (band)
+      WHERE qb.is_q AND NOT cb.is_q
+    ),
+    lsh AS (
+      SELECT cand.q_id, cand.c_id,
+             row_number() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY round(list_cosine_similarity(cc.ev, cq.ev), 4) DESC,
+                        cand.c_id
+             ) AS rn
+      FROM cand
+      JOIN sides cq ON cq.vec_id = cand.q_id
+      JOIN sides cc ON cc.vec_id = cand.c_id
+    ),
+    res_k AS (
+      SELECT q_id, c_id AS doc_id, CAST(rn AS INT) AS r
+      FROM lsh WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT res_k.q_id, res_k.r, coalesce(rel.rel, 0.0::DOUBLE) AS g
+      FROM res_k LEFT JOIN rel
+        ON res_k.q_id = rel.q_id AND res_k.doc_id = rel.doc_id
+    ),
+    hits_ch AS (
+      SELECT q_id, r, g,
+             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ch
+      FROM hits
+    ),
+    perq AS (
+      SELECT q_id, sum(g / log2(r + 1.0)) AS dcg,
+             min(CASE WHEN g > 0 THEN r END) AS fh,
+             CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT)
+               AS n_rel_retrieved,
+             sum(CASE WHEN g > 0 THEN ch * 1.0 / r END) AS apnum
+      FROM hits_ch GROUP BY q_id
+    ),
+    pos AS (SELECT * FROM rel WHERE rel > 0),
+    ideal AS (
+      SELECT q_id, sum(rel / log2(rn2 + 1.0)) AS idcg FROM (
+        SELECT q_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, doc_id) AS rn2
+        FROM pos
+      ) t WHERE rn2 <= 5 GROUP BY q_id
+    ),
+    nrel AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM pos GROUP BY q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM res_k)
+    SELECT b.q_id,
+           round(coalesce(p.dcg, 0.0::DOUBLE) * 1000000) / 1000000
+             AS dcg_at_k,
+           round(CASE WHEN i.idcg > 0 AND p.dcg IS NOT NULL
+                      THEN p.dcg / i.idcg
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
+           round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
+             / 1000000 AS mrr_at_k,
+           round(CASE WHEN n.n_rel > 0 AND p.apnum IS NOT NULL
+                      THEN p.apnum / CAST(least(n.n_rel, 5) AS DOUBLE)
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ap_at_k,
+           coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
+             AS n_rel_retrieved,
+           coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
+    FROM base b
+    LEFT JOIN perq p USING (q_id)
+    LEFT JOIN ideal i USING (q_id)
+    LEFT JOIN nrel n USING (q_id)
+    ORDER BY b.q_id
+    """
+
+
+@q("rank_eval_lsh_vs_exact", _rank_eval_lsh_sql())
+def rank_eval_lsh_vs_exact(spark, sf_dir):
+    """Rank quality of the engine's OWN ANN tier: NDCG@5 / MRR@5 / AP@5
+    of the banded sign-LSH retriever against relevance GRADED by the
+    exact retriever's positions (rel = 6 − exact rank) — the measurement
+    `lsh_recall_at_k` cannot make: recall treats the exact top-5 as a
+    SET, so an approximate index that returns all five in reverse order
+    scores recall 1.0 while NDCG sees the inversion. Both retrievers,
+    the grading, and the full rank_quality math are replayed in the
+    oracle, so the end-to-end eval loop (retrieve → grade → score) is
+    value-verified over the engine's operators, not a synthetic table."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    exact = similarity.knn_join(queries, corpus, k=5)
+    rel = exact.select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        (F.lit(6) - F.col("rank")).cast("double").alias("rel"),
+    )
+    res = similarity.lsh_knn_join(queries, corpus, k=5, dim=64).select(
+        "q_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return evaluation.rank_quality(res, rel, k=5).orderBy("q_id")
+
+
 @q("lsh_knn_join", _lsh_knn_oracle())
 def lsh_knn_join_q(spark, sf_dir):
     """Large×large approximate k-NN join (sign-LSH banding + exact re-rank),
@@ -8310,6 +8467,7 @@ _R11_WINDOW = (
 _NEW_R11: "tuple[str, ...]" = (
     "epoch_shard_plan_orders",
     "mixture_interleave_documents",
+    "rank_eval_lsh_vs_exact",
 )
 
 
