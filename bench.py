@@ -470,6 +470,10 @@ HEADLINE = [
     # both new plan shapes, both cheap (~1-2 s at sf0.1).
     "epoch_shard_plan_orders",
     "mixture_interleave_documents",
+    # rank_eval_lsh_vs_exact is deliberately NOT benched (sibling rule):
+    # it composes three already-benched plans — knn_join (exact),
+    # lsh_knn_join (banded), and the rank_eval_ndcg_mrr metric shape —
+    # with no new physical stage of its own.
     # jaccard_pairs_consolidated_index / trigram_search_parts_consolidated
     # / duplication_profile_streamed are deliberately NOT benched: their
     # READ plans are identical to the already-benched fresh-index
