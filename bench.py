@@ -208,6 +208,15 @@ r11 notes:
   class as the r9 184/165/297 record. The host was unstable throughout
   this session's closing runs; the driver's BENCH_r11.json is the
   number of record.
+* FINAL quiet-session validation (host calmed, post-warmup-fix code):
+  2-round medians returned, total 166.2 s — every watch row at its
+  record (jaccard_index_pairs 2.5, substring_index_spans 1.0,
+  line_dedup 3.0, mixture_reweight 2.5, rank_eval 1.3, epoch_shard
+  0.6, mixture_interleave 0.4 warm). The same code read 272.7 s
+  (1 round, all-cold, pre-fix) and 221.2 s (1 round, post-fix) in the
+  noisy window above — the 166.2/272.7 spread on identical plans is
+  the session-noise amplitude to keep in mind when adjudicating
+  BENCH_r11.json, which remains the number of record.
 * r11 CLOSING builder-side observation: solo run 141.0 s total vs the
   r10 published 149.5 — net of the new rank_eval row (+1.4) the
   comparable surface reads ~10 s FASTER, spread across the usual
