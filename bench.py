@@ -597,15 +597,25 @@ def main() -> None:
     # Pre-building keeps the published medians read-cost even in
     # 1-round sessions; build costs stay measured in scripts/scale_check_*
     # and are printed here as index_warmup_s.
-    warm_t0 = time.time()
+    # The warmup counts against the SAME wall-clock budget as the timed
+    # rounds (bench_t0 starts here): the budget exists so the compact
+    # line prints before any harness kill, and an exempt 40-50 s warmup
+    # would quietly stretch the envelope past it. A failed build must
+    # not abort the whole bench (the in-loop failure-isolation rule):
+    # that row then just pays its build in round 1, as before the
+    # warmup existed.
+    bench_t0 = time.time()
     for _warm in (
         "jaccard_index_pairs",
         "substring_index_spans",
         "bm25_batch_topk_documents",
         "trigram_search_parts_from_index",
     ):
-        REGISTRY[_warm][0](spark, sf_dir)
-    print(json.dumps({"index_warmup_s": round(time.time() - warm_t0, 1)}))
+        try:
+            REGISTRY[_warm][0](spark, sf_dir)
+        except Exception as exc:
+            print(f"bench: warmup build {_warm} failed: {exc}", file=sys.stderr)
+    print(json.dumps({"index_warmup_s": round(time.time() - bench_t0, 1)}))
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # Interleaved rounds: run the whole headline list once, then repeat.
@@ -619,7 +629,8 @@ def main() -> None:
     # than fewer rounds). After each full round, stop early when another
     # round would not fit the remaining budget.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
-    bench_t0 = time.time()
+    # bench_t0 started before the index warmup above, so the budget
+    # covers warmup + rounds — the whole session envelope.
     all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     failed: set[str] = set()
     rounds_done = 0

@@ -1960,13 +1960,14 @@ def _lsh_knn_oracle() -> str:
     """
 
 
-def _lsh_recall_sql() -> str:
-    """Oracle for the retrieval-evaluation query: BOTH retrievers are
-    replayed in SQL — exact top-k by rounded cosine (the `knn_join`
-    program) and the banded sign-LSH top-k (the `_lsh_knn_oracle`
-    program, same inlined seeded hyperplanes) — then per-query recall is
-    their overlap. This checks the EVALUATION itself end to end, not a
-    property of it."""
+def _lsh_retriever_ctes() -> str:
+    """The shared SQL retriever program for the sign-LSH evaluation
+    oracles: seeded-hyperplane VALUES (the SAME `similarity._hyperplanes`
+    call the Spark operators use), the query/corpus split (vec_id < 10),
+    the exact cosine ranking (`exact.rn`), and the banded sign-LSH
+    ranking (`lsh.rn`). Verbatim-shared by `_lsh_recall_sql` and
+    `_rank_eval_lsh_sql` (the `_TRIGRAM_SEARCH_ORACLE` verbatim-share
+    rule) so the two evaluations can never grade different retrievers."""
     from building_a_rag_pipeline_with_airflow_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, 8, 42)
@@ -1974,8 +1975,7 @@ def _lsh_recall_sql() -> str:
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(v)) for v in p))
         for i, p in enumerate(planes)
     )
-    return f"""
-    WITH planes(pid, pv) AS (VALUES {pvals}),
+    return f"""planes(pid, pv) AS (VALUES {pvals}),
     sides AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev, (vec_id < 10) AS is_q
       FROM embeddings
@@ -1989,7 +1989,6 @@ def _lsh_recall_sql() -> str:
              ) AS rn
       FROM sides q JOIN sides c ON q.is_q AND NOT c.is_q
     ),
-    etop AS (SELECT q_id, c_id FROM exact WHERE rn <= 5),
     bits AS (
       SELECT s.vec_id, s.is_q, p.pid,
              CASE WHEN list_dot_product(s.ev, p.pv) >= 0
@@ -2021,7 +2020,85 @@ def _lsh_recall_sql() -> str:
       FROM cand
       JOIN sides cq ON cq.vec_id = cand.q_id
       JOIN sides cc ON cc.vec_id = cand.c_id
+    )"""
+
+
+def _rank_eval_metric_sql(base_src: str) -> str:
+    """The shared NDCG@5 / MRR@5 / AP@5 metric program — the SQL replay
+    of `operators.evaluation.rank_quality` at the 6dp fixed point,
+    verbatim-shared by both rank-eval oracles (`rank_eval_ndcg_mrr` and
+    `_rank_eval_lsh_sql`) so the metric math cannot drift between them.
+    Expects upstream CTEs ``res_k(q_id, doc_id, r)`` (the top-5 ranked
+    results) and ``rel(q_id, doc_id, rel)`` (graded labels);
+    ``base_src`` names the CTE whose DISTINCT q_id set defines the
+    evaluated queries (`res` = the pre-cut ranking for the TPC-H row,
+    `res_k` for the LSH row whose retriever emits top-5 only)."""
+    return f"""hits AS (
+      SELECT res_k.q_id, res_k.r, coalesce(rel.rel, 0.0::DOUBLE) AS g
+      FROM res_k LEFT JOIN rel
+        ON res_k.q_id = rel.q_id AND res_k.doc_id = rel.doc_id
     ),
+    hits_ch AS (
+      SELECT q_id, r, g,
+             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY q_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ch
+      FROM hits
+    ),
+    perq AS (
+      SELECT q_id, sum(g / log2(r + 1.0)) AS dcg,
+             min(CASE WHEN g > 0 THEN r END) AS fh,
+             CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT)
+               AS n_rel_retrieved,
+             sum(CASE WHEN g > 0 THEN ch * 1.0 / r END) AS apnum
+      FROM hits_ch GROUP BY q_id
+    ),
+    pos AS (SELECT * FROM rel WHERE rel > 0),
+    ideal AS (
+      SELECT q_id, sum(rel / log2(rn2 + 1.0)) AS idcg FROM (
+        SELECT q_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, doc_id) AS rn2
+        FROM pos
+      ) t WHERE rn2 <= 5 GROUP BY q_id
+    ),
+    nrel AS (
+      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM pos GROUP BY q_id
+    ),
+    base AS (SELECT DISTINCT q_id FROM {base_src})
+    SELECT b.q_id,
+           round(coalesce(p.dcg, 0.0::DOUBLE) * 1000000) / 1000000
+             AS dcg_at_k,
+           round(CASE WHEN i.idcg > 0 AND p.dcg IS NOT NULL
+                      THEN p.dcg / i.idcg
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
+           round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
+             / 1000000 AS mrr_at_k,
+           round(CASE WHEN n.n_rel > 0 AND p.apnum IS NOT NULL
+                      THEN p.apnum / CAST(least(n.n_rel, 5) AS DOUBLE)
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ap_at_k,
+           coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
+             AS n_rel_retrieved,
+           coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
+    FROM base b
+    LEFT JOIN perq p USING (q_id)
+    LEFT JOIN ideal i USING (q_id)
+    LEFT JOIN nrel n USING (q_id)
+    ORDER BY b.q_id"""
+
+
+def _lsh_recall_sql() -> str:
+    """Oracle for the retrieval-evaluation query: BOTH retrievers are
+    replayed in SQL — exact top-k by rounded cosine (the `knn_join`
+    program) and the banded sign-LSH top-k (the `_lsh_knn_oracle`
+    program, same inlined seeded hyperplanes; the shared
+    `_lsh_retriever_ctes` block) — then per-query recall is their
+    overlap. This checks the EVALUATION itself end to end, not a
+    property of it."""
+    return f"""
+    WITH {_lsh_retriever_ctes()},
+    etop AS (SELECT q_id, c_id FROM exact WHERE rn <= 5),
     ltop AS (SELECT q_id, c_id FROM lsh WHERE rn <= 5)
     SELECT e.q_id,
            CAST(count(*) AS BIGINT) AS n_exact,
@@ -2082,7 +2159,7 @@ def lsh_recall_at_k(spark, sf_dir):
 
 @q(
     "rank_eval_ndcg_mrr",
-    """
+    f"""
     WITH res AS (
       SELECT o_custkey AS q_id, o_orderkey AS doc_id,
              row_number() OVER (PARTITION BY o_custkey
@@ -2096,59 +2173,7 @@ def lsh_recall_at_k(spark, sf_dir):
                AS rel
       FROM orders
     ),
-    hits AS (
-      SELECT res_k.q_id, res_k.r, coalesce(rel.rel, 0.0::DOUBLE) AS g
-      FROM res_k LEFT JOIN rel
-        ON res_k.q_id = rel.q_id AND res_k.doc_id = rel.doc_id
-    ),
-    hits_ch AS (
-      SELECT q_id, r, g,
-             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY q_id ORDER BY r
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS ch
-      FROM hits
-    ),
-    perq AS (
-      SELECT q_id, sum(g / log2(r + 1.0)) AS dcg,
-             min(CASE WHEN g > 0 THEN r END) AS fh,
-             CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT)
-               AS n_rel_retrieved,
-             sum(CASE WHEN g > 0 THEN ch * 1.0 / r END) AS apnum
-      FROM hits_ch GROUP BY q_id
-    ),
-    pos AS (SELECT * FROM rel WHERE rel > 0),
-    ideal AS (
-      SELECT q_id, sum(rel / log2(rn + 1.0)) AS idcg FROM (
-        SELECT q_id, rel,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY rel DESC, doc_id) AS rn
-        FROM pos
-      ) t WHERE rn <= 5 GROUP BY q_id
-    ),
-    nrel AS (
-      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM pos GROUP BY q_id
-    ),
-    base AS (SELECT DISTINCT q_id FROM res)
-    SELECT b.q_id,
-           round(coalesce(p.dcg, 0.0::DOUBLE) * 1000000) / 1000000
-             AS dcg_at_k,
-           round(CASE WHEN i.idcg > 0 AND p.dcg IS NOT NULL
-                      THEN p.dcg / i.idcg
-                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
-           round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
-             / 1000000 AS mrr_at_k,
-           round(CASE WHEN n.n_rel > 0 AND p.apnum IS NOT NULL
-                      THEN p.apnum / CAST(least(n.n_rel, 5) AS DOUBLE)
-                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ap_at_k,
-           coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
-             AS n_rel_retrieved,
-           coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
-    FROM base b
-    LEFT JOIN perq p USING (q_id)
-    LEFT JOIN ideal i USING (q_id)
-    LEFT JOIN nrel n USING (q_id)
-    ORDER BY b.q_id
+    {_rank_eval_metric_sql("res")}
     """,
 )
 def rank_eval_ndcg_mrr(spark, sf_dir):
@@ -2187,129 +2212,25 @@ def rank_eval_ndcg_mrr(spark, sf_dir):
 
 
 def _rank_eval_lsh_sql() -> str:
-    """Oracle for the ANN rank-quality row: the `_lsh_recall_sql` CTE
-    program (both retrievers replayed in SQL — exact top-5 by rounded
-    cosine and the banded sign-LSH top-5, same inlined seeded
-    hyperplanes) feeding the `rank_eval_ndcg_mrr` math (DCG/NDCG/MRR/AP
-    at the 6dp fixed point), with relevance GRADED by exact position
-    (rel = 6 − exact_rank). Queries with no LSH candidates drop from
-    both sides identically (the rank_quality base contract: base = the
-    result set's own queries)."""
-    from building_a_rag_pipeline_with_airflow_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(64, 8, 42)
-    pvals = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(v)) for v in p))
-        for i, p in enumerate(planes)
-    )
+    """Oracle for the ANN rank-quality row, composed from the two shared
+    programs (review finding: the hand-inlined copy risked three-way
+    drift): `_lsh_retriever_ctes` (both retrievers, same seeded
+    hyperplanes as `_lsh_recall_sql`) feeding `_rank_eval_metric_sql`
+    (the same DCG/NDCG/MRR/AP math as `rank_eval_ndcg_mrr`), with
+    relevance GRADED by exact position (rel = 6 − exact_rank). Queries
+    with no LSH candidates drop from both sides identically (the
+    rank_quality base contract: base = the result set's own queries)."""
     return f"""
-    WITH planes(pid, pv) AS (VALUES {pvals}),
-    sides AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev, (vec_id < 10) AS is_q
-      FROM embeddings
-    ),
-    exact AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(c.ev, q.ev), 4) DESC,
-                        c.vec_id
-             ) AS rn
-      FROM sides q JOIN sides c ON q.is_q AND NOT c.is_q
-    ),
+    WITH {_lsh_retriever_ctes()},
     rel AS (
       SELECT q_id, c_id AS doc_id, CAST(6 - rn AS DOUBLE) AS rel
       FROM exact WHERE rn <= 5
-    ),
-    bits AS (
-      SELECT s.vec_id, s.is_q, p.pid,
-             CASE WHEN list_dot_product(s.ev, p.pv) >= 0
-                  THEN '1' ELSE '0' END AS bit
-      FROM sides s, planes p
-    ),
-    sigs AS (
-      SELECT vec_id, is_q, string_agg(bit, '' ORDER BY pid) AS sig
-      FROM bits GROUP BY vec_id, is_q
-    ),
-    banded AS (
-      SELECT vec_id, is_q,
-             unnest(['0:' || substr(sig, 1, 4), '1:' || substr(sig, 5, 4)])
-               AS band
-      FROM sigs
-    ),
-    cand AS (
-      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
-      FROM banded qb JOIN banded cb USING (band)
-      WHERE qb.is_q AND NOT cb.is_q
-    ),
-    lsh AS (
-      SELECT cand.q_id, cand.c_id,
-             row_number() OVER (
-               PARTITION BY cand.q_id
-               ORDER BY round(list_cosine_similarity(cc.ev, cq.ev), 4) DESC,
-                        cand.c_id
-             ) AS rn
-      FROM cand
-      JOIN sides cq ON cq.vec_id = cand.q_id
-      JOIN sides cc ON cc.vec_id = cand.c_id
     ),
     res_k AS (
       SELECT q_id, c_id AS doc_id, CAST(rn AS INT) AS r
       FROM lsh WHERE rn <= 5
     ),
-    hits AS (
-      SELECT res_k.q_id, res_k.r, coalesce(rel.rel, 0.0::DOUBLE) AS g
-      FROM res_k LEFT JOIN rel
-        ON res_k.q_id = rel.q_id AND res_k.doc_id = rel.doc_id
-    ),
-    hits_ch AS (
-      SELECT q_id, r, g,
-             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY q_id ORDER BY r
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS ch
-      FROM hits
-    ),
-    perq AS (
-      SELECT q_id, sum(g / log2(r + 1.0)) AS dcg,
-             min(CASE WHEN g > 0 THEN r END) AS fh,
-             CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT)
-               AS n_rel_retrieved,
-             sum(CASE WHEN g > 0 THEN ch * 1.0 / r END) AS apnum
-      FROM hits_ch GROUP BY q_id
-    ),
-    pos AS (SELECT * FROM rel WHERE rel > 0),
-    ideal AS (
-      SELECT q_id, sum(rel / log2(rn2 + 1.0)) AS idcg FROM (
-        SELECT q_id, rel,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY rel DESC, doc_id) AS rn2
-        FROM pos
-      ) t WHERE rn2 <= 5 GROUP BY q_id
-    ),
-    nrel AS (
-      SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM pos GROUP BY q_id
-    ),
-    base AS (SELECT DISTINCT q_id FROM res_k)
-    SELECT b.q_id,
-           round(coalesce(p.dcg, 0.0::DOUBLE) * 1000000) / 1000000
-             AS dcg_at_k,
-           round(CASE WHEN i.idcg > 0 AND p.dcg IS NOT NULL
-                      THEN p.dcg / i.idcg
-                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ndcg_at_k,
-           round(coalesce(1.0::DOUBLE / p.fh, 0.0::DOUBLE) * 1000000)
-             / 1000000 AS mrr_at_k,
-           round(CASE WHEN n.n_rel > 0 AND p.apnum IS NOT NULL
-                      THEN p.apnum / CAST(least(n.n_rel, 5) AS DOUBLE)
-                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS ap_at_k,
-           coalesce(p.n_rel_retrieved, CAST(0 AS BIGINT))
-             AS n_rel_retrieved,
-           coalesce(n.n_rel, CAST(0 AS BIGINT)) AS n_rel
-    FROM base b
-    LEFT JOIN perq p USING (q_id)
-    LEFT JOIN ideal i USING (q_id)
-    LEFT JOIN nrel n USING (q_id)
-    ORDER BY b.q_id
+    {_rank_eval_metric_sql("res_k")}
     """
 
 

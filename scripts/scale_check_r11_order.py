@@ -74,28 +74,38 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        release_checkpoint,
+    )
+
     orders = spark.read.parquet(f"{SRC}/orders.parquet").select(
         "o_orderkey", "o_orderpriority"
     )
     weights = {"1-URGENT": 3.0, "2-HIGH": 1.5}
     for label, times in (("1x", 1), ("5x", 5), ("25x", 25)):
         frame = replicate(orders, times)
-        n = frame.count()
-        t_shard = timed(
-            lambda f=frame: sampling.epoch_shard_plan(
-                f, "o_orderkey", 32, seed="e1"
-            ).groupBy("shard").agg(F.max("pos")).collect()
-        )
-        t_mix = timed(
-            lambda f=frame: sampling.mixture_interleave(
-                f, "o_orderpriority", weights, "o_orderkey",
-                seed="e1", bucket_chars=2,
-            ).agg(F.max("domain_rank"), F.sum("vtime")).collect()
-        )
-        print(
-            f"{label}: rows={n} epoch_shard_plan(32)={t_shard:.2f}s "
-            f"mixture_interleave(chars=2)={t_mix:.2f}s"
-        )
+        try:
+            n = frame.count()
+            t_shard = timed(
+                lambda f=frame: sampling.epoch_shard_plan(
+                    f, "o_orderkey", 32, seed="e1"
+                ).groupBy("shard").agg(F.max("pos")).collect()
+            )
+            t_mix = timed(
+                lambda f=frame: sampling.mixture_interleave(
+                    f, "o_orderpriority", weights, "o_orderkey",
+                    seed="e1", bucket_chars=2,
+                ).agg(F.max("domain_rank"), F.sum("vtime")).collect()
+            )
+            print(
+                f"{label}: rows={n} epoch_shard_plan(32)={t_shard:.2f}s "
+                f"mixture_interleave(chars=2)={t_mix:.2f}s"
+            )
+        finally:
+            # Dataset.unpersist() is a no-op on localCheckpoint'd frames;
+            # without the release the 25x run times under the 1x and 5x
+            # frames' still-pinned blocks — skewing the curve it records
+            release_checkpoint(frame)
     # knob invariance: bucket_chars must not change the assignment
     docs = spark.read.parquet(f"{SRC}/documents.parquet").select(
         "doc_id", "lang"
