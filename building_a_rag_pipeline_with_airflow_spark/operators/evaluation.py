@@ -25,6 +25,91 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram as data: bin predicted probabilities into
+    ``n_bins`` equal-width bins and report, per bin, the count, the mean
+    prediction, the empirical positive rate, and their absolute gap —
+    the standard calibration measurement (Guo et al. 2017's ECE is the
+    n-weighted mean of ``abs_gap``; left as per-bin rows so the consumer
+    picks its summary). The training-data use is classifier-filtered
+    curation: a quality/domain classifier used as a keep/drop gate
+    (`curation.nb_domain_classify`-style scores after a softmax/sigmoid
+    map) filters at a probability THRESHOLD, and a threshold is only
+    meaningful if the probabilities are calibrated — this report is the
+    gate's audit row, beside `rank_quality`'s ordering audit.
+
+    Semantics: ``bin = min(floor(p·n_bins), n_bins−1)`` (p = 1.0 joins
+    the top bin instead of overflowing); the output has a STABLE
+    all-bins schema (one row per bin, zero-filled — the
+    duplication_profile rule) with ``[p_lo, p_hi)`` bounds. NULL or
+    out-of-[0,1] probabilities and NULL or non-{0,1} labels are rejected
+    loudly per row (a silently dropped or clamped row biases exactly the
+    rates this report audits). Means are 4dp fixed-point (the
+    oracle-stability rule for cross-engine float sums); ``abs_gap`` is
+    computed from the unrounded means, then rounded.
+
+    Scale shape: one map-side bin/guard expression + one ``n_bins``-row
+    hash aggregate + a broadcast zero-fill join against
+    ``spark.range(n_bins)`` — no window, no collect, linear scan."""
+    if int(n_bins) < 1:
+        raise ValueError(
+            f"calibration_report: n_bins must be >= 1, got {n_bins}"
+        )
+    nb = int(n_bins)
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    p_ok = F.when(
+        p.isNull() | (p < 0.0) | (p > 1.0),
+        F.raise_error(
+            F.lit(
+                f"calibration_report: {prob_col} must be a probability "
+                "in [0, 1] with no NULLs — fix the score map first"
+            )
+        ).cast("double"),
+    ).otherwise(p)
+    y_ok = F.when(
+        y.isNull() | ~y.isin(0, 1),
+        F.raise_error(
+            F.lit(
+                f"calibration_report: {label_col} must be 0/1 with no "
+                "NULLs — encode the label before auditing"
+            )
+        ).cast("int"),
+    ).otherwise(y)
+    binned = df.select(
+        F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)).alias("bin"),
+        p_ok.alias("_p"),
+        y_ok.alias("_y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("_p").alias("_mp"),
+        F.avg(F.col("_y").cast("double")).alias("_fp"),
+    )
+    bins = df.sparkSession.range(nb).select(F.col("id").cast("int").alias("bin"))
+    fixed4 = lambda c: F.round(c * 10_000) / 10_000  # noqa: E731
+    return (
+        bins.join(agg, "bin", "left")
+        .select(
+            "bin",
+            fixed4(F.col("bin") / F.lit(float(nb))).alias("p_lo"),
+            fixed4((F.col("bin") + 1) / F.lit(float(nb))).alias("p_hi"),
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+            fixed4(F.coalesce("_mp", F.lit(0.0))).alias("mean_pred"),
+            fixed4(F.coalesce("_fp", F.lit(0.0))).alias("frac_pos"),
+            fixed4(
+                F.abs(F.coalesce("_mp", F.lit(0.0)) - F.coalesce("_fp", F.lit(0.0)))
+            ).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
 def rank_quality(
     results: DataFrame,
     relevance: DataFrame,

@@ -2264,6 +2264,59 @@ def rank_eval_lsh_vs_exact(spark, sf_dir):
     return evaluation.rank_quality(res, rel, k=5).orderBy("q_id")
 
 
+@q(
+    "calibration_report_orders",
+    """
+    WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
+    scored AS (
+      SELECT o_totalprice / m AS p,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders, mx
+    ),
+    agg AS (
+      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(p) AS mp,
+             avg(y * 1.0) AS fp
+      FROM scored GROUP BY 1
+    ),
+    bins AS (SELECT CAST(range AS INT) AS bin FROM range(10))
+    SELECT b.bin,
+           round(b.bin / 10.0, 4) AS p_lo,
+           round((b.bin + 1) / 10.0, 4) AS p_hi,
+           coalesce(a.n, CAST(0 AS BIGINT)) AS n,
+           round(coalesce(a.mp, 0.0::DOUBLE) * 10000) / 10000 AS mean_pred,
+           round(coalesce(a.fp, 0.0::DOUBLE) * 10000) / 10000 AS frac_pos,
+           round(abs(coalesce(a.mp, 0.0::DOUBLE)
+                     - coalesce(a.fp, 0.0::DOUBLE)) * 10000) / 10000
+             AS abs_gap
+    FROM bins b LEFT JOIN agg a USING (bin)
+    ORDER BY b.bin
+    """,
+)
+def calibration_report_orders(spark, sf_dir):
+    """Classifier-calibration audit (`evaluation.calibration_report`):
+    the reliability-diagram frame a probability-thresholded curation
+    gate ships with. Instantiated on TPC-H so the whole computation is
+    SQL-reproducible: the 'probability' is totalprice normalized by the
+    corpus max (an in-plan one-row broadcast — exercises the p = 1.0
+    top-bin clamp on the max row) and the label is urgent-ish priority
+    (1-URGENT/2-HIGH). One map expression + a 10-row hash agg +
+    zero-fill; all-bins stable schema with 4dp fixed-point means."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("_m"))
+    scored = orders.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_totalprice") / F.col("_m")).alias("p"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        ).otherwise(0).alias("y"),
+    )
+    return evaluation.calibration_report(scored, "p", "y", n_bins=10)
+
+
 @q("lsh_knn_join", _lsh_knn_oracle())
 def lsh_knn_join_q(spark, sf_dir):
     """Large×large approximate k-NN join (sign-LSH banding + exact re-rank),
@@ -8386,6 +8439,7 @@ _R11_WINDOW = (
 # Oracle queries ADDED in r11 after the window above froze queue here
 # (the _NEW_R8.._NEW_R10 mechanism), first in line for the r12 rotation.
 _NEW_R11: "tuple[str, ...]" = (
+    "calibration_report_orders",
     "epoch_shard_plan_orders",
     "mixture_interleave_documents",
     "rank_eval_lsh_vs_exact",

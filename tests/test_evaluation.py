@@ -95,6 +95,47 @@ def test_rank_quality_k_cut_and_duplicate_labels(spark):
     assert full["ap_at_k"] == 1.0
 
 
+def test_calibration_report_hand_computed(spark):
+    """Hand-computed bins incl. the p = 1.0 top-bin clamp, zero-filled
+    empty bins with a stable all-bins schema, and 4dp fixed means."""
+    df = spark.createDataFrame(
+        [
+            (0.05, 0), (0.05, 1),            # bin 0: mp .05, fp .5
+            (0.25, 1),                        # bin 2: perfect? mp .25 fp 1
+            (1.0, 1),                         # p=1.0 clamps into bin 9
+        ],
+        "p double, y int",
+    )
+    rows = {
+        r["bin"]: r
+        for r in evaluation.calibration_report(df, "p", "y", n_bins=10).collect()
+    }
+    assert sorted(rows) == list(range(10))  # stable all-bins schema
+    b0 = rows[0]
+    assert b0["n"] == 2 and b0["mean_pred"] == 0.05 and b0["frac_pos"] == 0.5
+    assert b0["abs_gap"] == 0.45 and b0["p_lo"] == 0.0 and b0["p_hi"] == 0.1
+    assert rows[2]["n"] == 1 and rows[2]["abs_gap"] == 0.75
+    assert rows[9]["n"] == 1 and rows[9]["mean_pred"] == 1.0  # clamp
+    empty = rows[5]
+    assert empty["n"] == 0 and empty["mean_pred"] == 0.0 and empty["abs_gap"] == 0.0
+
+
+def test_calibration_report_guards(spark):
+    """Out-of-range probabilities and non-binary labels fail loudly —
+    a silently dropped/clamped row biases the rates the report audits."""
+    bad_p = spark.createDataFrame([(1.5, 1)], "p double, y int")
+    with pytest.raises(Exception, match="probability"):
+        evaluation.calibration_report(bad_p, "p", "y").collect()
+    bad_y = spark.createDataFrame([(0.5, 2)], "p double, y int")
+    with pytest.raises(Exception, match="0/1"):
+        evaluation.calibration_report(bad_y, "p", "y").collect()
+    null_p = spark.createDataFrame([(None, 1)], "p double, y int")
+    with pytest.raises(Exception, match="probability"):
+        evaluation.calibration_report(null_p, "p", "y").collect()
+    with pytest.raises(ValueError, match="n_bins"):
+        evaluation.calibration_report(bad_p, "p", "y", n_bins=0)
+
+
 def test_rank_quality_rejects_bad_k(spark):
     df = spark.createDataFrame(
         [("A", "d1", 1)], "q_id string, doc_id string, rank int"
