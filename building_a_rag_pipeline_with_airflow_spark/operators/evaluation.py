@@ -56,6 +56,17 @@ def calibration_report(
     Scale shape: one map-side bin/guard expression + one ``n_bins``-row
     hash aggregate + a broadcast zero-fill join against
     ``spark.range(n_bins)`` — no window, no collect, linear scan."""
+    sums = _calibration_partials(df, prob_col, label_col, n_bins)
+    return _calibration_frame(df.sparkSession, sums, int(n_bins))
+
+
+def _calibration_partials(
+    df: DataFrame, prob_col: str, label_col: str, n_bins: int
+) -> DataFrame:
+    """The guard + bin + per-bin SUMS core shared by the batch report and
+    the streaming gate (mergeable partials: n / sum_p / sum_y — sums
+    fold across micro-batches where the finished means cannot), so
+    stream ≡ batch parity holds by construction."""
     if int(n_bins) < 1:
         raise ValueError(
             f"calibration_report: n_bins must be >= 1, got {n_bins}"
@@ -81,29 +92,39 @@ def calibration_report(
             )
         ).cast("int"),
     ).otherwise(y)
-    binned = df.select(
-        F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)).alias("bin"),
-        p_ok.alias("_p"),
-        y_ok.alias("_y"),
-    )
-    agg = binned.groupBy("bin").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.avg("_p").alias("_mp"),
-        F.avg(F.col("_y").cast("double")).alias("_fp"),
-    )
-    bins = df.sparkSession.range(nb).select(F.col("id").cast("int").alias("bin"))
-    fixed4 = lambda c: F.round(c * 10_000) / 10_000  # noqa: E731
     return (
-        bins.join(agg, "bin", "left")
+        df.select(
+            F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)).alias("bin"),
+            p_ok.alias("_p"),
+            y_ok.alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_p").alias("sum_p"),
+            F.sum(F.col("_y").cast("double")).alias("sum_y"),
+        )
+    )
+
+
+def _calibration_frame(spark, sums: DataFrame, nb: int) -> DataFrame:
+    """Finish (bin, n, sum_p, sum_y) partials into the stable all-bins
+    report frame — shared by the batch report and the streaming fold."""
+    bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
+    fixed4 = lambda c: F.round(c * 10_000) / 10_000  # noqa: E731
+    mp = F.col("sum_p") / F.col("n")
+    fp = F.col("sum_y") / F.col("n")
+    return (
+        bins.join(sums, "bin", "left")
         .select(
             "bin",
             fixed4(F.col("bin") / F.lit(float(nb))).alias("p_lo"),
             fixed4((F.col("bin") + 1) / F.lit(float(nb))).alias("p_hi"),
             F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
-            fixed4(F.coalesce("_mp", F.lit(0.0))).alias("mean_pred"),
-            fixed4(F.coalesce("_fp", F.lit(0.0))).alias("frac_pos"),
+            fixed4(F.coalesce(mp, F.lit(0.0))).alias("mean_pred"),
+            fixed4(F.coalesce(fp, F.lit(0.0))).alias("frac_pos"),
             fixed4(
-                F.abs(F.coalesce("_mp", F.lit(0.0)) - F.coalesce("_fp", F.lit(0.0)))
+                F.abs(F.coalesce(mp, F.lit(0.0)) - F.coalesce(fp, F.lit(0.0)))
             ).alias("abs_gap"),
         )
         .orderBy("bin")

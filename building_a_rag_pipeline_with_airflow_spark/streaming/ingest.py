@@ -989,6 +989,110 @@ def read_duplication_profile(spark: SparkSession, state_path: str) -> DataFrame:
     return _dd._duplication_bands(spark, counts, blist, tot)
 
 
+def streaming_calibration(
+    scored_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    *,
+    prob_col: str = "p",
+    label_col: str = "y",
+    n_bins: int = 10,
+    available_now: bool = True,
+):
+    """Streaming classifier-calibration gate — the SEVENTH member of the
+    gate family (PSI, expectations, embedding-drift, NB, quantile-
+    sketch, duplication-profile are the others): the continuous form of
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.evaluation.calibration_report`,
+    so a probability-thresholded curation gate's reliability audit
+    tracks the stream instead of demanding a corpus rescan (a classifier
+    that was calibrated on last month's distribution quietly isn't on
+    this month's — exactly a drift-family concern).
+
+    Per-bin (n, sum_p, sum_y) are mergeable SUMS (finished means are
+    not), so the gate is the ``streaming_psi`` shape exactly: each
+    micro-batch bins ITS OWN rows through the SAME guard + bin core the
+    batch operator uses (``evaluation._calibration_partials`` — stream ≡
+    batch parity by construction) and writes ≤ n_bins partial rows under
+    its ``_batch_id`` partition (dynamic overwrite → replay-idempotent);
+    per-batch cost is O(batch), state is O(n_bins × batches) —
+    metadata-scale. ``n_bins`` freezes at first invocation into
+    ``<state_path>/meta`` (the frozen-bounds rule: partials binned at
+    different widths must never fold together; a re-invocation with a
+    different n_bins raises). :func:`read_calibration_report` folds the
+    partials into the SAME all-bins frame the batch operator emits."""
+    if int(n_bins) < 1:
+        raise ValueError(
+            f"streaming_calibration: n_bins must be >= 1, got {n_bins}"
+        )
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        evaluation as _ev,
+    )
+
+    spark = scored_stream.sparkSession
+    meta = index_layout.read_meta_or_none(spark, state_path)
+    if meta is not None:
+        if int(meta["n_bins"]) != int(n_bins):
+            raise ValueError(
+                f"streaming_calibration: {state_path} holds partials "
+                f"binned at n_bins={int(meta['n_bins'])} but this "
+                f"invocation asks for {n_bins}; mixed bin widths would "
+                "fold incompatible counts. Use a fresh state_path (and "
+                "checkpoint) to re-bin."
+            )
+    else:
+        index_layout.write_meta(
+            spark.createDataFrame([(int(n_bins),)], "n_bins int"), state_path
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _ev._calibration_partials(batch_df, prob_col, label_col, n_bins)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/partials")
+        )
+
+    return index_layout.start_extender(
+        scored_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_calibration_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streamed per-batch calibration partials into the current
+    reliability frame — identical output schema and values
+    (parity-tested in the gate-family contract) to
+    ``evaluation.calibration_report`` run batch-side over the
+    accumulated stream. One sum over (n_bins × batches) metadata-scale
+    rows plus the SHARED frame finisher; a started gate whose every
+    batch was empty folds to the all-zero-bins frame (the
+    duplication-gate rule)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        evaluation as _ev,
+    )
+
+    meta = index_layout.read_meta(spark, state_path)
+    nb = int(meta["n_bins"])
+    try:
+        praw = spark.read.parquet(f"{state_path}/partials")
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err and "UNABLE_TO_INFER_SCHEMA" not in err:
+            raise
+        praw = spark.createDataFrame(
+            [], "bin int, n bigint, sum_p double, sum_y double"
+        )
+    sums = praw.groupBy("bin").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_p").alias("sum_p"),
+        F.sum("sum_y").alias("sum_y"),
+    )
+    return _ev._calibration_frame(spark, sums, nb)
+
+
 def streaming_expectations(
     rows_stream: DataFrame,
     expectations,

@@ -1,6 +1,6 @@
-"""THE streaming-gate family contract, parameterized over all six gates
-(PSI, expectations, embedding-drift, NB, quantile-sketch,
-duplication-profile) — the
+"""THE streaming-gate family contract, parameterized over all seven
+gates (PSI, expectations, embedding-drift, NB, quantile-sketch,
+duplication-profile, calibration) — the
 `tests/test_index_contract.py`
 pattern applied to the gate family (r7 judge directive #5): every gate
 shares one shape — a baseline/contract/meta FROZEN at first invocation,
@@ -199,6 +199,40 @@ def _duplication_spec(spark, sf_dir):
     )
 
 
+def _calibration_spec(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("_m"))
+    scored = orders.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") / F.col("_m")).alias("p"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        ).otherwise(0).alias("y"),
+    )
+    cols = ("bin", "p_lo", "p_hi", "n", "mean_pred", "frac_pos", "abs_gap")
+    return dict(
+        b1=scored.where(F.col("o_orderkey") % 3 == 1).drop("o_orderkey"),
+        b2=scored.where(F.col("o_orderkey") % 3 == 2).drop("o_orderkey"),
+        schema="p double, y int",
+        start=lambda raw, state, ck: ingest.streaming_calibration(
+            raw, state, ck, n_bins=10
+        ),
+        # mutated bin width over the same state must raise (partials
+        # binned at different widths can never fold)
+        mutated=lambda raw, state, ck: ingest.streaming_calibration(
+            raw, state, ck, n_bins=5
+        ),
+        expected=lambda df: _rows(
+            evaluation.calibration_report(df, "p", "y", n_bins=10), cols
+        ),
+        fold=lambda state: _rows(
+            ingest.read_calibration_report(spark, state), cols
+        ),
+    )
+
+
 SPECS = {
     "psi": _psi_spec,
     "expectations": _expectations_spec,
@@ -206,6 +240,7 @@ SPECS = {
     "nb": _nb_spec,
     "sketch": _sketch_spec,
     "duplication": _duplication_spec,
+    "calibration": _calibration_spec,
 }
 
 
