@@ -2264,9 +2264,10 @@ def rank_eval_lsh_vs_exact(spark, sf_dir):
     return evaluation.rank_quality(res, rel, k=5).orderBy("q_id")
 
 
-@q(
-    "calibration_report_orders",
-    """
+# Shared verbatim by the batch row and its streamed twin (the
+# duplication_profile_streamed oracle-sharing pattern): the driver then
+# value-checks fold ≡ batch independently.
+_CALIBRATION_ORDERS_SQL = """
     WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
     scored AS (
       SELECT o_totalprice / m AS p,
@@ -2293,8 +2294,25 @@ def rank_eval_lsh_vs_exact(spark, sf_dir):
              AS abs_gap
     FROM bins b LEFT JOIN agg a USING (bin)
     ORDER BY b.bin
-    """,
-)
+    """
+
+
+def _calibration_scored_orders(spark, sf_dir):
+    """The shared (p, y) scoring both calibration rows evaluate: price
+    normalized by the corpus max (in-plan one-row broadcast), urgent-ish
+    priority label."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("_m"))
+    return orders.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") / F.col("_m")).alias("p"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        ).otherwise(0).alias("y"),
+    )
+
+
+@q("calibration_report_orders", _CALIBRATION_ORDERS_SQL)
 def calibration_report_orders(spark, sf_dir):
     """Classifier-calibration audit (`evaluation.calibration_report`):
     the reliability-diagram frame a probability-thresholded curation
@@ -2306,15 +2324,53 @@ def calibration_report_orders(spark, sf_dir):
     zero-fill; all-bins stable schema with 4dp fixed-point means."""
     from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
 
-    orders = _t(spark, sf_dir, "orders")
-    mx = orders.agg(F.max("o_totalprice").alias("_m"))
-    scored = orders.crossJoin(F.broadcast(mx)).select(
-        (F.col("o_totalprice") / F.col("_m")).alias("p"),
-        F.when(
-            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
-        ).otherwise(0).alias("y"),
-    )
+    scored = _calibration_scored_orders(spark, sf_dir).drop("o_orderkey")
     return evaluation.calibration_report(scored, "p", "y", n_bins=10)
+
+
+_CAL_STREAM_STATE: dict[str, str] = {}
+
+
+@q("calibration_report_streamed", _CALIBRATION_ORDERS_SQL)
+def calibration_report_streamed(spark, sf_dir):
+    """The streamed twin of `calibration_report_orders` (the SEVENTH
+    streaming gate): the scored orders arrive as TWO micro-batches
+    through `streaming.ingest.streaming_calibration` (per-bin mergeable
+    sum partials under replay-idempotent `_batch_id` partitions, n_bins
+    frozen in meta) and `read_calibration_report` folds them through the
+    shared frame finisher. Shares the batch row's oracle string
+    verbatim, so fold ≡ batch over the accumulated stream is
+    independently value-checked by the driver — the
+    `duplication_profile_streamed` oracle-sharing pattern. State is
+    built once per session (temp dir) and the fold re-read per call."""
+    import os
+    import tempfile
+
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest as _ing
+
+    state = _CAL_STREAM_STATE.get(sf_dir)
+    if state is None or not os.path.isdir(f"{state}/partials"):
+        root = tempfile.mkdtemp(prefix="cal_gate_")
+        state, ck = f"{root}/state", f"{root}/ck"
+        scored = _calibration_scored_orders(spark, sf_dir)
+        scored.where(F.col("o_orderkey") % 2 == 0).drop(
+            "o_orderkey"
+        ).write.parquet(f"{root}/land/d1")
+        schema = spark.read.parquet(f"{root}/land/d1").schema
+
+        def drain():
+            raw = spark.readStream.schema(schema).parquet(f"{root}/land/*")
+            _ing.streaming_calibration(
+                raw, state, ck, n_bins=10
+            ).awaitTermination(300)
+
+        drain()
+        scored.where(F.col("o_orderkey") % 2 == 1).drop(
+            "o_orderkey"
+        ).write.parquet(f"{root}/land/d2")
+        drain()
+        _CAL_STREAM_STATE[sf_dir] = state
+    return _ing.read_calibration_report(spark, state).orderBy("bin")
 
 
 @q("lsh_knn_join", _lsh_knn_oracle())
@@ -8440,6 +8496,7 @@ _R11_WINDOW = (
 # (the _NEW_R8.._NEW_R10 mechanism), first in line for the r12 rotation.
 _NEW_R11: "tuple[str, ...]" = (
     "calibration_report_orders",
+    "calibration_report_streamed",
     "epoch_shard_plan_orders",
     "mixture_interleave_documents",
     "rank_eval_lsh_vs_exact",
