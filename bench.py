@@ -612,7 +612,13 @@ def main() -> None:
         "trigram_search_parts_from_index",
     ):
         try:
-            REGISTRY[_warm][0](spark, sf_dir)
+            # .limit(1).collect() after the call: today each row's index
+            # build runs eagerly at function-call time, but if a build is
+            # ever made lazy (folded into the returned plan) the bare call
+            # would silently become a no-op warmup — the collect forces
+            # the plan, so a lazy regression still builds here instead of
+            # quietly re-inflating round-1 medians (r11 advice).
+            REGISTRY[_warm][0](spark, sf_dir).limit(1).collect()
         except Exception as exc:
             print(f"bench: warmup build {_warm} failed: {exc}", file=sys.stderr)
     print(json.dumps({"index_warmup_s": round(time.time() - bench_t0, 1)}))

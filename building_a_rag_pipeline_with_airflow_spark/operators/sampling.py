@@ -450,7 +450,14 @@ def epoch_shard_plan(
     ``n_streams`` precedent): at corpus scale shard files are sized
     ~100-500 MB, so n_shards grows with the data and tasks stay bounded
     by construction. Run once per epoch at dataset-prep time, never
-    per read."""
+    per read.
+
+    ``key`` should be unique per row (the :func:`mixture_interleave` /
+    `prefix_sum` caveat): duplicate keys share one md5 value, so both
+    the shard assignment collides and ``pos`` AMONG the duplicate rows
+    is partition-layout-dependent (the window's ``(_ord, key)`` tiebreak
+    is itself tied) — dedupe or synthesize a unique key upstream if the
+    relayout-stability contract must hold for every row."""
     if n_shards < 1:
         raise ValueError(f"epoch_shard_plan: n_shards must be >= 1, got {n_shards}")
     # a NULL key would hash to a NULL shard — a row belonging to NO
@@ -546,7 +553,12 @@ def mixture_interleave(
         )
     # a NULL key would md5 to a NULL bucket, and the offsets equi-join
     # on _bkt would then silently DROP the row (the same vanishing the
-    # null-safe stratum join below exists to prevent) — reject loudly
+    # null-safe stratum join below exists to prevent) — reject loudly.
+    # The NULL-stratum guard lives HERE too, not only in the weight
+    # expression: _ord feeds _bkt, _run, and domain_rank, so every
+    # output column depends on this check — a consumer whose projection
+    # prunes vtime (selecting only domain_rank) still trips the raise,
+    # whereas a guard carried only by wexpr would be pruned away with it
     ordk = F.when(
         F.col(key).isNull(),
         F.raise_error(
@@ -554,6 +566,15 @@ def mixture_interleave(
                 "mixture_interleave: NULL key — the row would be "
                 "silently dropped at the offsets join; fill or filter "
                 "the key column first"
+            )
+        ).cast("string"),
+    ).when(
+        F.col(strata_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "mixture_interleave: NULL stratum — rows may not be "
+                "silently ordered under the default weight; fill or "
+                "filter the domain column first"
             )
         ).cast("string"),
     ).otherwise(F.md5(F.concat(F.col(key).cast("string"), F.lit(seed))))
@@ -598,6 +619,10 @@ def mixture_interleave(
     wexpr: Column = F.lit(float(default_weight))
     for dom, wt in sorted(weights.items()):
         wexpr = F.when(F.col(strata_col) == F.lit(dom), F.lit(float(wt))).otherwise(wexpr)
+    # belt-and-braces: the authoritative NULL-stratum raise is anchored
+    # in _ord above (fires for ANY consumed output column); this second
+    # copy keeps vtime self-guarding even if a future refactor rebuilds
+    # it from a frame that bypassed the _ord derivation
     wexpr = F.when(
         F.col(strata_col).isNull(),
         F.raise_error(

@@ -5,6 +5,7 @@ story."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
 
@@ -168,3 +169,110 @@ def test_rank_quality_query_past_k_scores_zero_not_dropped(spark):
         and b["ap_at_k"] == 0.0
     )
     assert b["n_rel_retrieved"] == 0 and b["n_rel"] == 1
+
+
+def _ece(report_rows) -> float:
+    """Guo et al. 2017 ECE: n-weighted mean of the per-bin abs gaps."""
+    tot = sum(r["n"] for r in report_rows)
+    return sum(r["n"] * r["abs_gap"] for r in report_rows) / tot
+
+
+def _overconfident(spark, seed_shift: int = 0):
+    """Deterministic overconfident classifier: in bin i the scores say
+    p_i = (i+0.5)/10 but the true positive rate is p_i^2 — monotone
+    (isotonic's precondition) and badly miscalibrated at mid range.
+    20 rows per bin; positives are the FIRST round(20*p_i^2) rows, so
+    the set is exact, no RNG. ``seed_shift`` permutes nothing material —
+    it exists so fit and eval sets are distinct DataFrames with the
+    identical distribution (the honest holdout shape)."""
+    rows = []
+    for i in range(10):
+        p = (i + 0.5) / 10
+        k = round(20 * p * p)
+        for j in range(20):
+            rows.append((p, 1 if (j + seed_shift) % 20 < k else 0))
+    return spark.createDataFrame(rows, "p double, y int")
+
+
+def test_calibrate_binned_reduces_ece(spark):
+    """The r11-directive pin: post-calibration ECE strictly below
+    pre-calibration on a skewed synthetic, via the binned fit."""
+    fit = _overconfident(spark)
+    ev = _overconfident(spark, seed_shift=3)
+    pre = _ece(evaluation.calibration_report(ev, "p", "y", n_bins=10).collect())
+    applied = evaluation.calibrate_probabilities(
+        ev, fit, "p", "y", method="binned", n_bins=10
+    )
+    post = _ece(
+        evaluation.calibration_report(
+            applied.select(F.col("p_cal").alias("p"), "y"), "p", "y", n_bins=10
+        ).collect()
+    )
+    # identical fit/eval distributions: binned mapping is exact, so the
+    # re-audit reads (near-)zero gaps — strictly below, and tiny
+    assert post < pre
+    assert post <= 1e-3 and pre > 0.05
+
+
+def test_calibrate_isotonic_reduces_ece_and_preserves_order(spark):
+    """Isotonic fit: ECE improves AND score order is preserved exactly
+    (the monotone contract binned calibration cannot make)."""
+    fit = _overconfident(spark)
+    ev = _overconfident(spark, seed_shift=7)
+    pre = _ece(evaluation.calibration_report(ev, "p", "y", n_bins=10).collect())
+    applied = evaluation.calibrate_probabilities(
+        ev, fit, "p", "y", method="isotonic"
+    )
+    post = _ece(
+        evaluation.calibration_report(
+            applied.select(F.col("p_cal").alias("p"), "y"), "p", "y", n_bins=10
+        ).collect()
+    )
+    assert post < pre
+    got = applied.select("p", "p_cal").distinct().orderBy("p").collect()
+    cals = [r["p_cal"] for r in got]
+    assert cals == sorted(cals)  # monotone: rank consumers unaffected
+    assert all(0.0 <= c <= 1.0 for c in cals)
+
+
+def test_calibrate_binned_mapping_and_identity_fallback(spark):
+    """The fitted mapping is the per-bin empirical rate at 6dp; a probe
+    row whose bin was EMPTY on the fit set keeps its raw score."""
+    fit = spark.createDataFrame(
+        [(0.05, 0), (0.05, 1), (0.05, 1), (0.95, 1), (0.95, 0)],
+        "p double, y int",
+    )
+    mapping = {
+        r["bin"]: r
+        for r in evaluation.fit_binned_calibration(fit, "p", "y", 10).collect()
+    }
+    assert set(mapping) == {0, 9}
+    assert mapping[0]["n_fit"] == 3
+    assert mapping[0]["p_cal"] == round(2 / 3, 6)
+    assert mapping[9]["p_cal"] == 0.5
+    probe = spark.createDataFrame(
+        [(0.02, 1), (0.99, 0), (0.55, 1)], "p double, y int"
+    )
+    got = {
+        r["p"]: r["p_cal"]
+        for r in evaluation.calibrate_probabilities(
+            probe, fit, "p", "y", method="binned", n_bins=10
+        ).collect()
+    }
+    assert got[0.02] == round(2 / 3, 6)  # bin 0 -> fitted rate
+    assert got[0.99] == 0.5              # bin 9 -> fitted rate
+    assert got[0.55] == 0.55             # bin 5 empty on fit: identity
+
+
+def test_calibrate_probabilities_guards(spark):
+    """Probe-side scores are re-guarded per row (an out-of-range probe
+    would silently land in no bin), and unknown methods fail fast."""
+    fit = spark.createDataFrame([(0.5, 1), (0.5, 0)], "p double, y int")
+    bad_probe = spark.createDataFrame([(1.5, 0)], "p double, y int")
+    with pytest.raises(Exception, match="probability"):
+        evaluation.calibrate_probabilities(
+            bad_probe, fit, "p", "y", method="binned"
+        ).collect()
+    ok_probe = spark.createDataFrame([(0.5, 0)], "p double, y int")
+    with pytest.raises(ValueError, match="unknown method"):
+        evaluation.calibrate_probabilities(ok_probe, fit, "p", "y", method="platt")
