@@ -237,7 +237,8 @@ def try_tiktoken_udf():
     r8 re-checked — still ModuleNotFoundError; fallback unchanged.
     r9 re-checked — still ModuleNotFoundError; fallback unchanged.
     r10 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r11 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r11 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r12 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:
