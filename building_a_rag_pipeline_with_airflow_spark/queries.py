@@ -8612,6 +8612,128 @@ _NEW_R11: "tuple[str, ...]" = (
     "rank_eval_lsh_vs_exact",
 )
 
+# r12 rotation (r11 judge directive #1): (a) the 7 oracles with NO
+# driver row yet — the five _NEW_R11 entries the r11 window froze out,
+# plus the two NEW r12 lifecycle oracles (`calibrate_binned_orders`,
+# the fit→apply→re-audit calibration row from directive #2, and
+# `duplication_profile_compacted`, the gate-compaction row from
+# directive #3 — both sharing/replaying full value oracles); then
+# (b) the FULL 13-cohort of next-stalest anchors — every oracle whose
+# last driver-green row is r8, exactly the thirteen the r11 rotation
+# displaced with siblings; then (c) 30 of the 50 r9-last-green cohort,
+# selected by green-count asc (all seven single-green and all twelve
+# double-green r9 anchors are IN; eleven of the quadruple-green fill
+# the remainder). 7 + 13 + 30 = 50. The 20 displaced r9 anchors (11
+# quadruple-, 9 quintuple-green) each keep an in-window or
+# recent-green same-family sibling:
+#   chunk_recursive_documents ↔ chunk_semantic_refconst (in-window:
+#   the semantic chunker's stage 1 IS the recursive splitter, the r4
+#   precedent) + chunk_fixed_documents (in-window);
+#   distinct_nation_segments ↔ intersect_nation_segments (r10-green;
+#   the same set-op family, the r4 pairing);
+#   events_hourly ↔ events_props_json (in-window; same events JSON/
+#   window family) + events_sessionize (r10-green);
+#   latest_order_per_customer ↔ asof_join_events_orders (r10-green;
+#   the same latest-per-key ordered carry, generalized — r3 pairing);
+#   minhash_signatures ↔ minhash_lsh_pairs (r11-green; the banding
+#   consumes the signatures — the r3 pairing);
+#   nations_without_suppliers ↔ q22_idle_rich_customers (r10-green;
+#   the left_anti NOT-EXISTS shape);
+#   ngram_jaccard_pairs ↔ jaccard_index_pairs (in-window; the same
+#   pair pipeline in durable-index form) + dedup_clusters_documents
+#   (r10-green; embeds the identical pair pipeline);
+#   orders_date_validation ↔ filter_pushdown_orders (r10-green; the
+#   same date-coercion/dispatch core);
+#   orders_year_quarter ↔ quarter_classification (r10-green; the same
+#   quarter-from-date core);
+#   pagination_orders ↔ filter_pushdown_orders (r10-green; the same
+#   fetch_filtered path);
+#   value_counts_mktsegment ↔ q13_order_count_distribution (r10-green;
+#   count-per-group distribution);
+#   chunk_overlap_adjacent ↔ pairwise_overlap_stats (in-window; the
+#   same overlap measurement) + chunk_stats (r11-green);
+#   doc_quality_scores ↔ gopher_quality_flags (r10-green) +
+#   token_counts_documents (in-window; the shared-tokenization core);
+#   hybrid_topk_cosine ↔ topk_cosine (in-window; the identical
+#   norm-precompute top-k core) + rag_retrieve_context (r11-green);
+#   ivf_topk_cosine ↔ topk_cosine (in-window; identical scoring core)
+#   + lsh_knn_join (r10-green);
+#   lang_id_documents ↔ gopher_quality_flags (r10-green; the
+#   shared-tokenization core — the r4 anchor update);
+#   pivot_priority_status ↔ pivot_priority_by_status (r10-green; the
+#   same PIVOT reshape, operator- vs SQL-form);
+#   q1_pricing_summary ↔ percentiles_by_returnflag (r10-green; the
+#   same lineitem returnflag/status group-agg);
+#   q3_shipping_priority ↔ q18_large_orders (r11-green; the same
+#   join→agg→sort-desc-top-k revenue family);
+#   winnow_fingerprints ↔ simhash_documents (in-window; md5-derived
+#   per-doc fingerprint maps — the r4 pairing).
+# Everything rotating OUT carries a green r9 driver row; all oracles
+# remain value-checked every round by tests/test_oracle_parity.py
+# regardless of window position. (The r11 window stays enumerated
+# above; its 50/50 green rows are CORRECTNESS_r11.json.)
+_R12_WINDOW = (
+    # (a) never driver-checked: the 5 _NEW_R11 + the 2 new-in-r12
+    "calibration_report_orders",
+    "calibration_report_streamed",
+    "epoch_shard_plan_orders",
+    "mixture_interleave_documents",
+    "rank_eval_lsh_vs_exact",
+    "calibrate_binned_orders",
+    "duplication_profile_compacted",
+    # (b) stalest anchors: last driver-green r8 (the full 13-cohort)
+    "chunk_semantic_refconst",
+    "embedding_dup_clusters_lsh",
+    "event_transition_matrix",
+    "expectations_orders",
+    "heavy_hitter_tokens",
+    "jaccard_index_pairs",
+    "q10_returned_revenue",
+    "q12_late_shipment_priority",
+    "q4_priority_exists",
+    "simhash_documents",
+    "tfidf_top_terms_documents",
+    "vocab_coverage_documents",
+    "weighted_sample_documents",
+    # (c) next-stalest: last driver-green r9 — the single-green seven
+    "cluster_safe_split_documents",
+    "html_to_text_documents",
+    "mmr_rerank_embeddings",
+    "rag_sentence_window_context",
+    "substring_dedup_documents",
+    "substring_index_spans",
+    "temperature_mixture_documents",
+    # the double-green twelve
+    "bpe_encode_fixed_documents",
+    "chi2_priority_drift_orders",
+    "corpus_release_report",
+    "js_divergence_docs_by_lang",
+    "km_time_to_purchase",
+    "ks_price_drift_orders",
+    "lsh_recall_at_k",
+    "mad_outlier_prices",
+    "psi_price_drift_orders",
+    "readability_documents",
+    "trigram_search_parts",
+    "weighted_sample_per_lang",
+    # eleven of the quadruple-green cohort fill the window
+    "brand_revenue_topk",
+    "chunk_fixed_documents",
+    "column_profile_orders",
+    "dedup_exact_documents",
+    "events_props_json",
+    "knn_join",
+    "near_dup_embeddings_exact",
+    "pairwise_overlap_stats",
+    "rollup_returnflag_status",
+    "token_counts_documents",
+    "topk_cosine",
+)
+
+# Oracle queries added in r12 AFTER the window above froze (the
+# established queue mechanism) — first in line for the r13 rotation.
+_NEW_R12: "tuple[str, ...]" = ()
+
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
@@ -8770,11 +8892,11 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R11_WINDOW sorts first (this round's
-    driver window — the 4 never-driver-checked r11 oracles, then the
-    full 9-cohort of r7-last-green anchors, then 37 of the 50
-    r8-last-green cohort), then _NEW_R11 (oracles added after the
-    window froze — first in line for r12; empty at freeze time), then
+    entries): the enumerated _R12_WINDOW sorts first (this round's
+    driver window — the 7 never-driver-checked oracles, then the full
+    13-cohort of r8-last-green anchors, then 30 of the 50 r9-last-green
+    cohort by green-count asc), then _NEW_R12 (oracles added after the
+    window froze — first in line for r13; empty at freeze time), then
     the multi-green rotation pool (_DEPRIORITIZED last among oracles),
     then rows-only queries. All oracles are value-checked every round
     by tests/test_oracle_parity.py regardless of window position."""
@@ -8782,8 +8904,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R11_WINDOW,  # the enumerated r11 window first
-            kv[0] not in _NEW_R11,     # new-in-r11 oracles next (r12 queue)
+            kv[0] not in _R12_WINDOW,  # the enumerated r12 window first
+            kv[0] not in _NEW_R12,     # new-in-r12 oracles next (r13 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
