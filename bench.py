@@ -264,6 +264,17 @@ r12 notes:
   honest statement at this scale is "cost ~1 read-equivalent, win
   proportional to folded history". The replay guard adds zero
   read-path cost (one meta column).
+* r12 CLOSING builder-side observation (quiet host, warmup 40.1 s,
+  interleaved medians): total 162.8 s vs the r11 closing 141.0 on a
+  roster that added ONE row (calibrate_binned_orders 1.3 s) — the
+  ~20 s spread is across untouched JVM-only plans (dedup_clusters
+  3.6→5.2, winnow 2.1, pagerank 9.2 vs the same-session solo 7.1-7.4
+  above, embedding_dup_clusters 7.9), the classic session-neighborhood
+  signature, not any plan change (this round touched no benched plan
+  except adding the calibration row). An earlier same-code run that
+  overlapped the test suite's tail read 228.0 s / 1 all-cold round —
+  discarded per the one-story rule; the r12 number of record is
+  whatever BENCH_r12.json publishes (quote it in the r13 note).
 
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
