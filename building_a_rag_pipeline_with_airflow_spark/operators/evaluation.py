@@ -350,12 +350,34 @@ def calibrate_probabilities(
     out-of-range probe score would otherwise silently land in no bin
     (binned) or be clamp-extrapolated (isotonic). The fit-side guards
     run inside the fit itself. ``label_col`` is consumed from ``fit``
-    only; ``df`` needs no labels (it is the production-scored corpus)."""
+    only; ``df`` needs no labels (it is the production-scored corpus).
+    Both methods FIT at call time (the binned mapping is collected
+    driver-side — ≤ n_bins rows by construction; MLlib's isotonic fit
+    is eager anyway) and APPLY lazily; an EMPTY fit set raises loudly —
+    under the identity fallback it would otherwise return the raw
+    scores relabeled as calibrated, the silent no-op failure mode."""
     if method == "binned":
         nb = int(n_bins)
         p_ok = _prob_guard(prob_col, who="calibrate_probabilities")
-        mapping = fit_binned_calibration(fit, prob_col, label_col, nb).select(
-            F.col("bin").alias("_cal_bin"), F.col("p_cal").alias("_cal_p")
+        # the fitted mapping is ≤ n_bins rows BY CONSTRUCTION — collect
+        # it driver-side (metadata-scale) so an EMPTY fit set fails
+        # loudly here instead of silently mapping every probe row
+        # through the identity fallback (a calibration that calibrates
+        # nothing); the isotonic branch's MLlib fit is call-time-eager
+        # too, so both methods fit at call and apply lazily
+        mapping_rows = fit_binned_calibration(
+            fit, prob_col, label_col, nb
+        ).collect()
+        if not mapping_rows:
+            raise ValueError(
+                "calibrate_probabilities: the fit set is empty — every "
+                "bin would fall back to identity and the 'calibrated' "
+                "scores would just be the raw scores; fit on a "
+                "non-empty labeled holdout"
+            )
+        mapping = df.sparkSession.createDataFrame(
+            [(int(r["bin"]), float(r["p_cal"])) for r in mapping_rows],
+            "_cal_bin int, _cal_p double",
         )
         probe = df.withColumn(
             "_cal_bin_probe",
@@ -384,6 +406,12 @@ def calibrate_probabilities(
             .cast("double")
             .alias("_cal_y"),
         )
+        if guarded_fit.isEmpty():
+            raise ValueError(
+                "calibrate_probabilities: the fit set is empty — an "
+                "isotonic fit over zero points is undefined; fit on a "
+                "non-empty labeled holdout"
+            )
         model = IsotonicRegression(
             featuresCol="_cal_feat",
             labelCol="_cal_y",

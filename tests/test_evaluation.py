@@ -276,3 +276,15 @@ def test_calibrate_probabilities_guards(spark):
     ok_probe = spark.createDataFrame([(0.5, 0)], "p double, y int")
     with pytest.raises(ValueError, match="unknown method"):
         evaluation.calibrate_probabilities(ok_probe, fit, "p", "y", method="platt")
+
+
+def test_calibrate_probabilities_empty_fit_raises(spark):
+    """An empty fit set must fail loudly for BOTH methods: under the
+    binned identity fallback it would silently return the raw scores
+    relabeled as calibrated; an isotonic fit over zero points is
+    undefined."""
+    fit = spark.createDataFrame([], "p double, y int")
+    probe = spark.createDataFrame([(0.5, 0)], "p double, y int")
+    for m in ("binned", "isotonic"):
+        with pytest.raises(ValueError, match="fit set is empty"):
+            evaluation.calibrate_probabilities(probe, fit, "p", "y", method=m)
