@@ -1169,7 +1169,17 @@ def compact_gate_state(
             "the live state path — an in-place rewrite would corrupt "
             "concurrent readers (the consolidate_index rule)"
         )
-    meta_df = spark.read.parquet(f"{state_path}/meta")  # must exist
+    try:
+        meta_df = spark.read.parquet(f"{state_path}/meta")
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+        raise ValueError(
+            f"compact_gate_state: {state_path} has no meta — not an "
+            "initialized gate state (every gate writes meta at first "
+            "invocation); nothing to compact"
+        ) from exc
     prev = -1
     if "compacted_through" in meta_df.columns:
         prev = int(meta_df.first()["compacted_through"])

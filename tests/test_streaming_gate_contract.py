@@ -582,3 +582,14 @@ def test_compaction_preserves_count_floor_lower_bound_and_recompacts(
         .select("_batch_id").distinct().collect()
     }
     assert parts == {-1}
+
+
+def test_compact_gate_state_refuses_uninitialized_state(spark, tmp_path):
+    """Compacting a path that is not an initialized gate state (no meta)
+    fails with a clear ValueError, not a raw parquet read error."""
+    bare = tmp_path / "not_a_gate"
+    bare.mkdir()
+    with pytest.raises(ValueError, match="no meta"):
+        ingest.compact_duplication_state(
+            spark, str(bare), str(tmp_path / "out")
+        )
