@@ -535,12 +535,14 @@ HEADLINE = [
     "epoch_shard_plan_orders",
     "mixture_interleave_documents",
     # r12: calibration fit+apply+re-audit (broadcast ≤10-row bin lookup
-    # over the odd-key holdout, then the 10-row report agg) — cheap, and
-    # the only new r12 plan shape. duplication_profile_compacted is
+    # over the odd-key holdout, then the 10-row report agg) and the
+    # threshold decision table (hash agg to a ≤101-row grid + prefix
+    # sums over grid rows only). duplication_profile_compacted is
     # deliberately NOT benched (lifecycle-row rule above): its READ plan
     # is the duplication fold over fewer partitions; the compaction op
     # itself is a one-time maintenance fold, measured in the r12 notes.
     "calibrate_binned_orders",
+    "threshold_curve_orders",
     # rank_eval_lsh_vs_exact is deliberately NOT benched (sibling rule):
     # it composes three already-benched plans — knn_join (exact),
     # lsh_knn_join (banded), and the rank_eval_ndcg_mrr metric shape —

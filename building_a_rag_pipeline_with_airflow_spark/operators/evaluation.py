@@ -425,3 +425,120 @@ def calibrate_probabilities(
         f"calibrate_probabilities: unknown method {method!r} "
         "(expected 'binned' or 'isotonic')"
     )
+
+
+def threshold_curve(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    decimals: int = 4,
+) -> DataFrame:
+    """The keep/drop THRESHOLD curve of a probability-gated filter: for
+    every distinct score on a fixed-point grid, what keeping all rows
+    scoring ≥ that value costs and buys — the decision table that turns
+    :func:`calibration_report`'s audit and
+    :func:`calibrate_probabilities`'s fitted scores into an actual
+    curation cut (a threshold is a point ON this curve; choosing one
+    without the curve is guessing). One row per distinct grid score:
+
+    * ``threshold`` — the grid score (``round(p, decimals)`` fixed
+      point, both engines agree on the integer grid);
+    * ``n_kept`` / ``frac_kept`` — rows with grid score ≥ threshold
+      (the data-budget axis);
+    * ``precision`` — positive fraction of the kept set;
+    * ``recall`` — kept positives over all positives.
+
+    Semantics are ON THE GRID: rows are bucketed by their rounded
+    score, so the curve is exact for grid thresholds (a sub-grid cut is
+    between two adjacent rows — raise ``decimals`` if that matters).
+    Guards are the calibration family's (NULL/out-of-range scores and
+    non-binary labels raise per row). All-zero-positive inputs are
+    legal: recall is 0.0 by convention (0/0 → no positives to recover).
+
+    Scale shape: one map-side round + one hash agg to ≤ 10^decimals + 1
+    grid rows, then the cumulative window runs over THAT metadata-scale
+    frame (decimals ≤ 6 enforced — the grid bound is the contract; an
+    ungridded per-row cumulative would be the corpus-scale window this
+    module never ships). Descending-threshold prefix sums make each
+    row's kept-set counts exact."""
+    if not 0 <= int(decimals) <= 6:
+        raise ValueError(
+            f"threshold_curve: decimals must be in [0, 6], got {decimals} "
+            "(the 10^decimals grid bound is what keeps the cumulative "
+            "window metadata-scale)"
+        )
+    scale = 10 ** int(decimals)
+    p_ok = _prob_guard(prob_col, who="threshold_curve")
+    y_ok = _label_guard(label_col, who="threshold_curve")
+    grid = (
+        df.select(
+            (F.round(p_ok * scale) / scale).alias("threshold"),
+            y_ok.alias("_y"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_pos"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fixed6 = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
+    return (
+        grid.withColumn("n_kept", F.sum("_n").over(w))
+        .withColumn("_kept_pos", F.sum("_pos").over(w))
+        .withColumn("_tot_n", F.sum("_n").over(tot))
+        .withColumn("_tot_pos", F.sum("_pos").over(tot))
+        .select(
+            "threshold",
+            "n_kept",
+            fixed6(F.col("n_kept") / F.col("_tot_n")).alias("frac_kept"),
+            fixed6(F.col("_kept_pos") / F.col("n_kept")).alias("precision"),
+            fixed6(
+                F.when(
+                    F.col("_tot_pos") > 0,
+                    F.col("_kept_pos") / F.col("_tot_pos"),
+                ).otherwise(F.lit(0.0))
+            ).alias("recall"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+
+def select_threshold(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    min_precision: float,
+    decimals: int = 4,
+) -> "float | None":
+    """Pick the keep/drop cut from :func:`threshold_curve`: the LOWEST
+    grid threshold whose kept set still meets ``min_precision`` —
+    lowest because precision constrains and recall pays, so among
+    qualifying cuts the one keeping the most data wins (the standard
+    precision-floor operating-point rule). Returns ``None`` when no
+    grid threshold qualifies (caller decides whether to tighten the
+    classifier or lower the floor — silently returning the top of the
+    grid would keep ~nothing and pretend success). Driver-side pick
+    over the ≤ 10^decimals + 1-row curve (metadata-scale by the grid
+    contract)."""
+    if not 0 < float(min_precision) <= 1:
+        raise ValueError(
+            f"select_threshold: min_precision must be in (0, 1], got "
+            f"{min_precision}"
+        )
+    rows = (
+        threshold_curve(df, prob_col, label_col, decimals=decimals)
+        .where(F.col("precision") >= float(min_precision))
+        .orderBy(F.asc("threshold"))
+        .limit(1)
+        .collect()
+    )
+    return float(rows[0]["threshold"]) if rows else None

@@ -2438,6 +2438,61 @@ def calibrate_binned_orders(spark, sf_dir):
     )
 
 
+_THRESHOLD_CURVE_SQL = """
+    WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
+    scored AS (
+      SELECT round(o_totalprice / m * 100) / 100 AS threshold,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders, mx
+    ),
+    grid AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(pos) AS BIGINT) AS tp FROM grid),
+    cum AS (
+      SELECT threshold,
+             sum(n) OVER (ORDER BY threshold DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_kept,
+             sum(pos) OVER (ORDER BY threshold DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS kept_pos
+      FROM grid
+    )
+    SELECT c.threshold,
+           CAST(c.n_kept AS BIGINT) AS n_kept,
+           round(c.n_kept::DOUBLE / t.tn * 1000000) / 1000000 AS frac_kept,
+           round(c.kept_pos::DOUBLE / c.n_kept * 1000000) / 1000000
+             AS "precision",
+           round(CASE WHEN t.tp > 0 THEN c.kept_pos::DOUBLE / t.tp
+                      ELSE 0.0::DOUBLE END * 1000000) / 1000000 AS recall
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.threshold DESC
+    """
+
+
+@q("threshold_curve_orders", _THRESHOLD_CURVE_SQL)
+def threshold_curve_orders(spark, sf_dir):
+    """The keep/drop DECISION TABLE of the calibration family
+    (`evaluation.threshold_curve`): for every 2dp grid score over the
+    shared scored orders, what keeping all rows scoring ≥ it costs
+    (n_kept / frac_kept) and buys (precision / recall) — the curve a
+    curation gate's threshold is a point on, completing audit
+    (`calibration_report_orders`) → fit (`calibrate_binned_orders`) →
+    cut. One hash agg to ≤101 grid rows, then cumulative sums over that
+    metadata-scale frame only (the grid bound IS the operator's scale
+    contract — decimals ≤ 6 enforced); full DuckDB replay including
+    the descending prefix sums and fixed-point ratios."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    scored = _calibration_scored_orders(spark, sf_dir).drop("o_orderkey")
+    return evaluation.threshold_curve(scored, "p", "y", decimals=2)
+
+
 _CAL_STREAM_STATE: dict[str, str] = {}
 
 
@@ -8732,7 +8787,7 @@ _R12_WINDOW = (
 
 # Oracle queries added in r12 AFTER the window above froze (the
 # established queue mechanism) — first in line for the r13 rotation.
-_NEW_R12: "tuple[str, ...]" = ()
+_NEW_R12: "tuple[str, ...]" = ("threshold_curve_orders",)
 
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's

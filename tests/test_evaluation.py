@@ -330,3 +330,43 @@ def test_calibrate_composes_with_nb_classifier(spark, sf_dir):
             ).collect()
         )
         assert post < pre and post < bound
+
+
+def test_threshold_curve_hand_computed(spark):
+    """Curve over a 4-row grid: descending-threshold cumulative counts,
+    fixed-point ratios, and the operating-point picks — lowest
+    qualifying threshold wins, unreachable floors return None."""
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0), (0.7, 1), (0.5, 0)], "p double, y int"
+    )
+    rows = {
+        r["threshold"]: r
+        for r in evaluation.threshold_curve(df, "p", "y").collect()
+    }
+    assert sorted(rows) == [0.5, 0.7, 0.9]
+    assert rows[0.9]["n_kept"] == 2 and rows[0.9]["precision"] == 0.5
+    assert rows[0.9]["recall"] == 0.5 and rows[0.9]["frac_kept"] == 0.5
+    assert rows[0.7]["n_kept"] == 3
+    assert rows[0.7]["precision"] == round(2 / 3, 6)
+    assert rows[0.7]["recall"] == 1.0
+    assert rows[0.5]["n_kept"] == 4 and rows[0.5]["precision"] == 0.5
+    # lowest threshold meeting the floor keeps the most data
+    assert evaluation.select_threshold(df, "p", "y", min_precision=0.6) == 0.7
+    assert evaluation.select_threshold(df, "p", "y", min_precision=0.5) == 0.5
+    # no grid cut reaches 0.7 precision -> None, never a fake top-cut
+    assert evaluation.select_threshold(df, "p", "y", min_precision=0.7) is None
+
+
+def test_threshold_curve_zero_positives_and_guards(spark):
+    """All-negative input: recall pins to 0.0 (no 0/0 crash under ANSI);
+    the calibration family's guards and the grid bound apply."""
+    neg = spark.createDataFrame([(0.9, 0), (0.1, 0)], "p double, y int")
+    rows = evaluation.threshold_curve(neg, "p", "y").collect()
+    assert all(r["recall"] == 0.0 and r["precision"] == 0.0 for r in rows)
+    bad = spark.createDataFrame([(1.5, 0)], "p double, y int")
+    with pytest.raises(Exception, match="probability"):
+        evaluation.threshold_curve(bad, "p", "y").collect()
+    with pytest.raises(ValueError, match="decimals"):
+        evaluation.threshold_curve(neg, "p", "y", decimals=9)
+    with pytest.raises(ValueError, match="min_precision"):
+        evaluation.select_threshold(neg, "p", "y", min_precision=0.0)
