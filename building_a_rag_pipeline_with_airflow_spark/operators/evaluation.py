@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fixed6(c):
+    """6dp fixed point — the module's oracle-stability convention
+    (DuckDB's scale-then-round and Spark's agree on the integer grid),
+    defined ONCE so operator outputs cannot desynchronize from their
+    oracles copy by copy."""
+    return F.round(c * 1_000_000) / 1_000_000
+
+
+def _fixed4(c):
+    """4dp fixed point (the calibration report's mean convention)."""
+    return F.round(c * 10_000) / 10_000
+
+
 def calibration_report(
     df: DataFrame,
     prob_col: str,
@@ -93,19 +106,21 @@ def _label_guard(label_col: str, who: str = "calibration_report"):
 
 
 def _calibration_partials(
-    df: DataFrame, prob_col: str, label_col: str, n_bins: int
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int,
+    who: str = "calibration_report",
 ) -> DataFrame:
     """The guard + bin + per-bin SUMS core shared by the batch report and
     the streaming gate (mergeable partials: n / sum_p / sum_y — sums
     fold across micro-batches where the finished means cannot), so
     stream ≡ batch parity holds by construction."""
     if int(n_bins) < 1:
-        raise ValueError(
-            f"calibration_report: n_bins must be >= 1, got {n_bins}"
-        )
+        raise ValueError(f"{who}: n_bins must be >= 1, got {n_bins}")
     nb = int(n_bins)
-    p_ok = _prob_guard(prob_col)
-    y_ok = _label_guard(label_col)
+    p_ok = _prob_guard(prob_col, who=who)
+    y_ok = _label_guard(label_col, who=who)
     return (
         df.select(
             F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)).alias("bin"),
@@ -125,7 +140,7 @@ def _calibration_frame(spark, sums: DataFrame, nb: int) -> DataFrame:
     """Finish (bin, n, sum_p, sum_y) partials into the stable all-bins
     report frame — shared by the batch report and the streaming fold."""
     bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
-    fixed4 = lambda c: F.round(c * 10_000) / 10_000  # noqa: E731
+    fixed4 = _fixed4
     mp = F.col("sum_p") / F.col("n")
     fp = F.col("sum_y") / F.col("n")
     return (
@@ -243,7 +258,7 @@ def rank_quality(
             F.count("*").cast("bigint").alias("n_rel"),
         )
     )
-    fixed = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
+    fixed = _fixed6
     return (
         base.join(per_q, q, "left")
         .join(ideal, q, "left")
@@ -301,11 +316,12 @@ def fit_binned_calibration(
 
     Scale shape: one linear scan + an ``n_bins``-row hash aggregate —
     the same partials the report already pays; nothing new shuffles."""
-    fixed6 = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
-    return _calibration_partials(fit, prob_col, label_col, n_bins).select(
+    return _calibration_partials(
+        fit, prob_col, label_col, n_bins, who="fit_binned_calibration"
+    ).select(
         "bin",
         F.col("n").alias("n_fit"),
-        fixed6(F.col("sum_y") / F.col("n")).alias("p_cal"),
+        _fixed6(F.col("sum_y") / F.col("n")).alias("p_cal"),
     )
 
 
@@ -417,7 +433,10 @@ def calibrate_probabilities(
             labelCol="_cal_y",
             predictionCol=out_col,
         ).fit(guarded_fit)
-        probe = df.withColumn(
+        # drop a pre-existing out_col first: the binned path's withColumn
+        # REPLACES it, and MLlib's predictionCol refuses duplicates — the
+        # two documented-equivalent methods must honor the same contract
+        probe = df.drop(out_col).withColumn(
             "_cal_feat", _prob_guard(prob_col, who="calibrate_probabilities")
         )
         return model.transform(probe).drop("_cal_feat")
@@ -489,7 +508,7 @@ def threshold_curve(
     tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    fixed6 = lambda c: F.round(c * 1_000_000) / 1_000_000  # noqa: E731
+    fixed6 = _fixed6
     return (
         grid.withColumn("n_kept", F.sum("_n").over(w))
         .withColumn("_kept_pos", F.sum("_pos").over(w))

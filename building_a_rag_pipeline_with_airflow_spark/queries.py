@@ -1709,8 +1709,12 @@ def duplication_profile_compacted(spark, sf_dir):
 
     from building_a_rag_pipeline_with_airflow_spark.streaming import ingest as _ing
 
+    import os
+
     compacted = _DUP_COMPACT_STATE.get(sf_dir)
-    if compacted is None:
+    # same staleness re-check as the streamed sibling: a long session's
+    # /tmp cleanup can reap the cached dir — rebuild, don't crash
+    if compacted is None or not os.path.isdir(f"{compacted}/totals"):
         duplication_profile_streamed(spark, sf_dir)  # ensure state exists
         compacted = tempfile.mkdtemp(prefix="dup_gate_c_") + "/state"
         _ing.compact_duplication_state(
@@ -2303,17 +2307,24 @@ def rank_eval_lsh_vs_exact(spark, sf_dir):
     return evaluation.rank_quality(res, rel, k=5).orderBy("q_id")
 
 
-# Shared verbatim by the batch row and its streamed twin (the
-# duplication_profile_streamed oracle-sharing pattern): the driver then
-# value-checks fold ≡ batch independently.
-_CALIBRATION_ORDERS_SQL = """
-    WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
+# The SQL replay of `_calibration_scored_orders`, shared by ALL the
+# calibration-family oracles below (the _DUP_PROFILE_SQL fragment rule:
+# one copy, so a future scoring change cannot be applied to one oracle
+# and silently missed in another).
+_CAL_SCORED_CTE = """mx AS (SELECT max(o_totalprice) AS m FROM orders),
     scored AS (
-      SELECT o_totalprice / m AS p,
+      SELECT o_orderkey AS k, o_totalprice / m AS p,
              CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
                   THEN 1 ELSE 0 END AS y
       FROM orders, mx
-    ),
+    )"""
+
+
+# Shared verbatim by the batch row and its streamed twin (the
+# duplication_profile_streamed oracle-sharing pattern): the driver then
+# value-checks fold ≡ batch independently.
+_CALIBRATION_ORDERS_SQL = f"""
+    WITH {_CAL_SCORED_CTE},
     agg AS (
       SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
              CAST(count(*) AS BIGINT) AS n,
@@ -2367,14 +2378,8 @@ def calibration_report_orders(spark, sf_dir):
     return evaluation.calibration_report(scored, "p", "y", n_bins=10)
 
 
-_CALIBRATE_BINNED_SQL = """
-    WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
-    scored AS (
-      SELECT o_orderkey AS k, o_totalprice / m AS p,
-             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
-                  THEN 1 ELSE 0 END AS y
-      FROM orders, mx
-    ),
+_CALIBRATE_BINNED_SQL = f"""
+    WITH {_CAL_SCORED_CTE},
     fitb AS (
       SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
              round(avg(y * 1.0) * 1000000) / 1000000 AS p_cal
@@ -2438,16 +2443,11 @@ def calibrate_binned_orders(spark, sf_dir):
     )
 
 
-_THRESHOLD_CURVE_SQL = """
-    WITH mx AS (SELECT max(o_totalprice) AS m FROM orders),
-    scored AS (
-      SELECT round(o_totalprice / m * 100) / 100 AS threshold,
-             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
-                  THEN 1 ELSE 0 END AS y
-      FROM orders, mx
-    ),
+_THRESHOLD_CURVE_SQL = f"""
+    WITH {_CAL_SCORED_CTE},
     grid AS (
-      SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+      SELECT round(p * 100) / 100 AS threshold,
+             CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS pos
       FROM scored GROUP BY 1
     ),

@@ -1161,14 +1161,23 @@ def compact_gate_state(
     Returns ``compacted_through``."""
     import os
 
-    src = os.path.normpath(os.path.abspath(state_path))
-    dst = os.path.normpath(os.path.abspath(out_path))
-    if src == dst:
+    def _canon(p: str) -> str:
+        # the consolidate_index rule verbatim: resolve local symlinks/..
+        # so aliases of one directory compare equal (abspath alone lets a
+        # symlinked out_path overwrite the live state it is reading); URI
+        # paths keep their trimmed form — realpath would mangle the scheme
+        p = p.rstrip("/")
+        return p if "://" in p else os.path.realpath(p)
+
+    src, dst = _canon(state_path), _canon(out_path)
+    if dst == src or dst.startswith(src + "/"):
         raise ValueError(
-            "compact_gate_state: out_path must be a NEW directory, not "
-            "the live state path — an in-place rewrite would corrupt "
-            "concurrent readers (the consolidate_index rule)"
+            f"compact_gate_state: out_path {out_path!r} must be a fresh "
+            f"directory outside the live state {state_path!r} — a write "
+            "into (or under) its own scan input would destroy the "
+            "partials mid-read (the consolidate_index rule)"
         )
+    dst = out_path.rstrip("/")  # write under the caller's spelling
     try:
         meta_df = spark.read.parquet(f"{state_path}/meta")
     except AnalysisException as exc:
@@ -1205,10 +1214,26 @@ def compact_gate_state(
         aggs = [F.sum(c).cast(types[c]).alias(c) for c in sum_cols]
         base = raw.groupBy(*group_cols).agg(*aggs) if group_cols else raw.agg(*aggs)
         order = [f.name for f in raw.schema.fields if f.name != "_batch_id"]
+        # File count sized from the SOURCE bytes (the compact_parquet
+        # listing idiom, no data scan): the duplication gate's partials
+        # are data-scale, and coalesce(1) would funnel them through one
+        # unbounded task — the exact shape the module's fan-out guards
+        # exist to prevent. The fold can only shrink the data (sums
+        # dedupe), so source bytes are a safe upper bound; metadata-scale
+        # gates land at the n_files=1 floor anyway.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/{sub}")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = 0
+        it = fs.listFiles(jvm_path, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                total += f.getLen()
+        n_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil div
         (
             base.select(*order)
             .withColumn("_batch_id", F.lit(-1))
-            .coalesce(1)
+            .coalesce(int(n_files))
             .write.mode("overwrite")
             .partitionBy("_batch_id")
             .parquet(f"{dst}/{sub}")

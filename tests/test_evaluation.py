@@ -370,3 +370,37 @@ def test_threshold_curve_zero_positives_and_guards(spark):
         evaluation.threshold_curve(neg, "p", "y", decimals=9)
     with pytest.raises(ValueError, match="min_precision"):
         evaluation.select_threshold(neg, "p", "y", min_precision=0.0)
+
+
+def test_calibrate_out_col_replacement_consistent_across_methods(spark):
+    """Both methods REPLACE a pre-existing out_col (binned via
+    withColumn, isotonic by dropping it before MLlib's transform, which
+    refuses duplicate prediction columns) — re-calibrating an
+    already-calibrated frame must not be method-dependent."""
+    fit = spark.createDataFrame(
+        [(0.2, 0), (0.2, 1), (0.8, 1), (0.8, 1)], "p double, y int"
+    )
+    probe = spark.createDataFrame(
+        [(0.25, 1, 99.0)], "p double, y int, p_cal double"
+    )
+    for method in ("binned", "isotonic"):
+        got = evaluation.calibrate_probabilities(
+            probe, fit, "p", "y", method=method
+        ).collect()[0]
+        assert got["p_cal"] != 99.0 and 0.0 <= got["p_cal"] <= 1.0
+
+
+def test_fit_side_guard_errors_name_the_fit_not_the_report(spark):
+    """A bad FIT row must blame the fit path, not 'calibration_report'
+    (a function the caller never invoked) — the who-attribution the
+    guards exist to provide."""
+    bad_fit = spark.createDataFrame([(1.5, 1)], "p double, y int")
+    probe = spark.createDataFrame([(0.5, 0)], "p double, y int")
+    with pytest.raises(Exception, match="fit_binned_calibration"):
+        evaluation.calibrate_probabilities(
+            probe, bad_fit, "p", "y", method="binned"
+        )
+    with pytest.raises(Exception, match="calibrate_probabilities"):
+        evaluation.calibrate_probabilities(
+            probe, bad_fit, "p", "y", method="isotonic"
+        )

@@ -488,7 +488,7 @@ def test_gate_state_compaction_leg(spark, sf_dir, tmp_path, gate):
     before = ctx["fold"](state)
 
     # 4. the write-into-own-layout refusal, first (state untouched)
-    with pytest.raises(ValueError, match="NEW directory"):
+    with pytest.raises(ValueError, match="fresh directory"):
         _COMPACTORS[gate](spark, state, state)
 
     # 1. compaction is exact: compacted fold == uncompacted fold, and
@@ -592,4 +592,24 @@ def test_compact_gate_state_refuses_uninitialized_state(spark, tmp_path):
     with pytest.raises(ValueError, match="no meta"):
         ingest.compact_duplication_state(
             spark, str(bare), str(tmp_path / "out")
+        )
+
+
+def test_compact_gate_state_refuses_symlink_alias_and_nested_out(
+    spark, tmp_path
+):
+    """The in-place guard resolves symlinks and rejects nested out_paths
+    (the consolidate_index _canon rule): an aliased or nested 'new'
+    directory would overwrite the live partials mid-read."""
+    import os
+
+    state = tmp_path / "state"
+    state.mkdir()
+    link = tmp_path / "state_link"
+    os.symlink(state, link)
+    with pytest.raises(ValueError, match="fresh directory"):
+        ingest.compact_duplication_state(spark, str(state), str(link))
+    with pytest.raises(ValueError, match="fresh directory"):
+        ingest.compact_duplication_state(
+            spark, str(state), str(state / "compacted")
         )
