@@ -275,6 +275,14 @@ r12 notes:
   cross-batch duplication factors where the scan term, not the
   scheduler, dominates. The replay guard adds zero read-path cost
   (one meta column).
+* Scale spot-check for the two new r12 eval operators (orders
+  replicated 5×/25× with disjoint keys, localCheckpoint-pinned input,
+  best-of-3 warm, own session): threshold_curve (2dp grid) 0.57 s at
+  5× → 0.64 s at 25× (3.75M rows), calibrate+re-audit 1.13 → 1.19 s —
+  flat, as the shapes predict: the only per-row work is the map-side
+  round/bin + hash agg; the window (threshold) runs over ≤101 grid
+  rows and the apply join broadcasts ≤10 mapping rows regardless of
+  corpus size.
 * r12 CLOSING builder-side observation (quiet host, warmup 40.1 s,
   interleaved medians): total 162.8 s vs the r11 closing 141.0 on a
   roster that added ONE row (calibrate_binned_orders 1.3 s) — the
