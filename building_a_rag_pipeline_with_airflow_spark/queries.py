@@ -2493,6 +2493,30 @@ def threshold_curve_orders(spark, sf_dir):
     return evaluation.threshold_curve(scored, "p", "y", decimals=2)
 
 
+@q("calibrate_isotonic_orders", None)
+def calibrate_isotonic_orders(spark, sf_dir):
+    """The isotonic twin of `calibrate_binned_orders` (same fit/apply
+    split, same post-calibration report frame) — rows-only: the fitted
+    mapping is MLlib `IsotonicRegression`'s PAVA solution (distributed
+    pool-adjacent-violators boundaries), not reproducible by an
+    external SQL oracle; the value-checked story lives in the binned
+    row (verbatim-replayed in DuckDB) plus the pytest pins (ECE
+    strictly improves, order preserved, both methods agree on the
+    empty-fit and out_col contracts). This row keeps the MLlib path
+    exercised at driver level — the `ivf_topk_cosine_kmeans` rule."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    scored = _calibration_scored_orders(spark, sf_dir)
+    fit = scored.where(F.col("o_orderkey") % 2 == 0)
+    probe = scored.where(F.col("o_orderkey") % 2 == 1)
+    applied = evaluation.calibrate_probabilities(
+        probe, fit, "p", "y", method="isotonic"
+    )
+    return evaluation.calibration_report(
+        applied.select(F.col("p_cal").alias("p"), "y"), "p", "y", n_bins=10
+    )
+
+
 _CAL_STREAM_STATE: dict[str, str] = {}
 
 
