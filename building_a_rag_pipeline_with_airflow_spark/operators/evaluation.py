@@ -140,19 +140,18 @@ def _calibration_frame(spark, sums: DataFrame, nb: int) -> DataFrame:
     """Finish (bin, n, sum_p, sum_y) partials into the stable all-bins
     report frame — shared by the batch report and the streaming fold."""
     bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
-    fixed4 = _fixed4
     mp = F.col("sum_p") / F.col("n")
     fp = F.col("sum_y") / F.col("n")
     return (
         bins.join(sums, "bin", "left")
         .select(
             "bin",
-            fixed4(F.col("bin") / F.lit(float(nb))).alias("p_lo"),
-            fixed4((F.col("bin") + 1) / F.lit(float(nb))).alias("p_hi"),
+            _fixed4(F.col("bin") / F.lit(float(nb))).alias("p_lo"),
+            _fixed4((F.col("bin") + 1) / F.lit(float(nb))).alias("p_hi"),
             F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
-            fixed4(F.coalesce(mp, F.lit(0.0))).alias("mean_pred"),
-            fixed4(F.coalesce(fp, F.lit(0.0))).alias("frac_pos"),
-            fixed4(
+            _fixed4(F.coalesce(mp, F.lit(0.0))).alias("mean_pred"),
+            _fixed4(F.coalesce(fp, F.lit(0.0))).alias("frac_pos"),
+            _fixed4(
                 F.abs(F.coalesce(mp, F.lit(0.0)) - F.coalesce(fp, F.lit(0.0)))
             ).alias("abs_gap"),
         )
@@ -258,23 +257,22 @@ def rank_quality(
             F.count("*").cast("bigint").alias("n_rel"),
         )
     )
-    fixed = _fixed6
     return (
         base.join(per_q, q, "left")
         .join(ideal, q, "left")
         .select(
             q,
-            fixed(F.coalesce("_dcg", F.lit(0.0))).alias("dcg_at_k"),
-            fixed(
+            _fixed6(F.coalesce("_dcg", F.lit(0.0))).alias("dcg_at_k"),
+            _fixed6(
                 F.when(
                     (F.col("_idcg") > 0) & F.col("_dcg").isNotNull(),
                     F.col("_dcg") / F.col("_idcg"),
                 ).otherwise(F.lit(0.0))
             ).alias("ndcg_at_k"),
-            fixed(
+            _fixed6(
                 F.coalesce(F.lit(1.0) / F.col("_first_hit"), F.lit(0.0))
             ).alias("mrr_at_k"),
-            fixed(
+            _fixed6(
                 F.when(
                     (F.col("n_rel") > 0) & F.col("_apnum").isNotNull(),
                     F.col("_apnum")
@@ -433,12 +431,15 @@ def calibrate_probabilities(
             labelCol="_cal_y",
             predictionCol=out_col,
         ).fit(guarded_fit)
-        # drop a pre-existing out_col first: the binned path's withColumn
-        # REPLACES it, and MLlib's predictionCol refuses duplicates — the
-        # two documented-equivalent methods must honor the same contract
-        probe = df.drop(out_col).withColumn(
+        # derive the guarded feature FIRST, then drop any pre-existing
+        # out_col: the binned path's withColumn REPLACES it, and MLlib's
+        # predictionCol refuses duplicates — the two documented-equivalent
+        # methods must honor the same contract, including the in-place
+        # out_col == prob_col spelling (dropping before deriving would
+        # unresolve the probability column the guard reads)
+        probe = df.withColumn(
             "_cal_feat", _prob_guard(prob_col, who="calibrate_probabilities")
-        )
+        ).drop(out_col)
         return model.transform(probe).drop("_cal_feat")
     raise ValueError(
         f"calibrate_probabilities: unknown method {method!r} "
@@ -508,7 +509,6 @@ def threshold_curve(
     tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    fixed6 = _fixed6
     return (
         grid.withColumn("n_kept", F.sum("_n").over(w))
         .withColumn("_kept_pos", F.sum("_pos").over(w))
@@ -517,9 +517,9 @@ def threshold_curve(
         .select(
             "threshold",
             "n_kept",
-            fixed6(F.col("n_kept") / F.col("_tot_n")).alias("frac_kept"),
-            fixed6(F.col("_kept_pos") / F.col("n_kept")).alias("precision"),
-            fixed6(
+            _fixed6(F.col("n_kept") / F.col("_tot_n")).alias("frac_kept"),
+            _fixed6(F.col("_kept_pos") / F.col("n_kept")).alias("precision"),
+            _fixed6(
                 F.when(
                     F.col("_tot_pos") > 0,
                     F.col("_kept_pos") / F.col("_tot_pos"),

@@ -300,6 +300,26 @@ def expire_index_versions(
     return deleted
 
 
+def canonical_dir(spark: SparkSession, path: str) -> str:
+    """Canonical comparable form of a directory path for the
+    write-into-own-layout guards (:func:`consolidate_index`,
+    ``streaming.ingest.compact_gate_state``): qualify through the
+    path's Hadoop filesystem — which resolves scheme, authority, and
+    working directory, so ``file:///tmp/x``, ``file:/tmp/x`` and
+    ``/tmp/x`` all compare EQUAL instead of a URI spelling slipping
+    past a string comparison into overwriting the layout it is
+    reading — then, for local file URIs, resolve symlinks/``..`` so
+    filesystem aliases of one directory compare equal too. Non-file
+    schemes (hdfs://, s3a://) keep the qualified URI form: realpath
+    cannot reason about them and object stores have no symlinks."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") or path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    uri = fs.makeQualified(jp).toUri()
+    if uri.getScheme() == "file":
+        return "file://" + os.path.realpath(uri.getPath())
+    return uri.toString().rstrip("/")
+
+
 def consolidate_index(
     spark: SparkSession,
     path: str,
@@ -353,15 +373,7 @@ def consolidate_index(
     operation — run it when extension volume has eroded query latency,
     never per arrival. A new extender (fresh checkpoint) can then grow
     the consolidated index from batch 0 again."""
-    def _canon(p: str) -> str:
-        # local paths (the only kind os.path can reason about) resolve
-        # symlinks/.. so aliases of one directory compare equal; URI
-        # paths (hdfs://, s3a://) keep their trimmed form — realpath
-        # would mangle the scheme
-        p = p.rstrip("/")
-        return p if "://" in p else os.path.realpath(p)
-
-    norm_in, norm_out = _canon(path), _canon(out_path)
+    norm_in, norm_out = canonical_dir(spark, path), canonical_dir(spark, out_path)
     if norm_out == norm_in or norm_out.startswith(norm_in + "/"):
         raise ValueError(
             f"consolidate_index: out_path {out_path!r} must be a fresh "

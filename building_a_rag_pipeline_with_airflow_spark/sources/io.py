@@ -173,6 +173,26 @@ def write_binary_files(df: DataFrame, out_dir: str,
     df.select(name_col, data_col).foreachPartition(_write_partition)
 
 
+def list_parquet_leaf_files(spark, path: str) -> "list[tuple[str, int]]":
+    """Recursive (path, bytes) listing of a parquet directory's LEAF
+    files — file-status only, no data scan. Recursion matters: a
+    multi-key layout (e.g. the IVF store's (cell_id, _batch_id) vectors
+    dir) nests leaves two+ levels deep, where a fixed one-level walk
+    finds zero files and silently skips whatever sizing decision the
+    caller is making. One copy, shared by :func:`compact_parquet` and
+    ``streaming.ingest.compact_gate_state`` so a listing fix cannot be
+    applied to one and missed in the other."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = []
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files.append((f.getPath().toString(), f.getLen()))
+    return files
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -197,18 +217,7 @@ def compact_parquet(
     keep downstream pruning) — otherwise the compacted copy is FLAT."""
     import math
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    # Recursive leaf listing (listFiles(path, true)): a multi-key layout —
-    # e.g. the IVF store's (cell_id, _batch_id) vectors dir — nests leaves
-    # two+ levels deep, where a fixed one-level walk finds zero files and
-    # silently skips compaction.
-    files = []
-    it = fs.listFiles(jvm_path, True)
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            files.append((f.getPath().toString(), f.getLen()))
+    files = list_parquet_leaf_files(spark, path)
     if len(files) < min_files_to_compact:
         return None
     total = sum(sz for _, sz in files)

@@ -1061,7 +1061,10 @@ def streaming_calibration(
         if batch_df.isEmpty():
             return
         (
-            _ev._calibration_partials(batch_df, prob_col, label_col, n_bins)
+            _ev._calibration_partials(
+                batch_df, prob_col, label_col, n_bins,
+                who="streaming_calibration",
+            )
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1159,17 +1162,13 @@ def compact_gate_state(
     NOT for the PSI gate: ``read_psi_trend``'s per-batch view IS the
     product there; folding its partitions would destroy the trend.
     Returns ``compacted_through``."""
-    import os
+    from building_a_rag_pipeline_with_airflow_spark.sources import io
 
-    def _canon(p: str) -> str:
-        # the consolidate_index rule verbatim: resolve local symlinks/..
-        # so aliases of one directory compare equal (abspath alone lets a
-        # symlinked out_path overwrite the live state it is reading); URI
-        # paths keep their trimmed form — realpath would mangle the scheme
-        p = p.rstrip("/")
-        return p if "://" in p else os.path.realpath(p)
-
-    src, dst = _canon(state_path), _canon(out_path)
+    # the consolidate_index guard, shared: Hadoop-qualified + local
+    # realpath canonicalization, so URI spellings (file:///...) and
+    # symlink aliases of the live state cannot slip past the comparison
+    src = index_layout.canonical_dir(spark, state_path)
+    dst = index_layout.canonical_dir(spark, out_path)
     if dst == src or dst.startswith(src + "/"):
         raise ValueError(
             f"compact_gate_state: out_path {out_path!r} must be a fresh "
@@ -1221,14 +1220,12 @@ def compact_gate_state(
         # exist to prevent. The fold can only shrink the data (sums
         # dedupe), so source bytes are a safe upper bound; metadata-scale
         # gates land at the n_files=1 floor anyway.
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/{sub}")
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        total = 0
-        it = fs.listFiles(jvm_path, True)
-        while it.hasNext():
-            f = it.next()
-            if f.getPath().getName().endswith(".parquet"):
-                total += f.getLen()
+        total = sum(
+            sz
+            for _, sz in io.list_parquet_leaf_files(
+                spark, f"{state_path}/{sub}"
+            )
+        )
         n_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil div
         (
             base.select(*order)

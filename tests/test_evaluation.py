@@ -404,3 +404,18 @@ def test_fit_side_guard_errors_name_the_fit_not_the_report(spark):
         evaluation.calibrate_probabilities(
             probe, bad_fit, "p", "y", method="isotonic"
         )
+
+
+def test_calibrate_in_place_out_col_equals_prob_col(spark):
+    """out_col == prob_col (calibrate in place) must work for BOTH
+    methods: the isotonic path derives the guarded feature before
+    dropping the column it replaces."""
+    fit = spark.createDataFrame(
+        [(0.2, 0), (0.2, 1), (0.8, 1), (0.8, 1)], "p double, y int"
+    )
+    probe = spark.createDataFrame([(0.25, 1)], "p double, y int")
+    for method in ("binned", "isotonic"):
+        got = evaluation.calibrate_probabilities(
+            probe, fit, "p", "y", method=method, out_col="p"
+        ).collect()[0]
+        assert 0.0 <= got["p"] <= 1.0 and got["p"] != 0.25

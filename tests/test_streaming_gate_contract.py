@@ -613,3 +613,17 @@ def test_compact_gate_state_refuses_symlink_alias_and_nested_out(
         ingest.compact_duplication_state(
             spark, str(state), str(state / "compacted")
         )
+
+
+def test_compact_gate_state_refuses_uri_alias_of_live_state(spark, tmp_path):
+    """URI and plain spellings of the same directory must compare equal
+    in the in-place guard (Hadoop-qualified canonicalization): a
+    'file:///...' out_path aliasing the live state would otherwise slip
+    past a string comparison and overwrite the partials mid-read."""
+    state = tmp_path / "state"
+    state.mkdir()
+    for alias in (f"file://{state}", f"file:{state}"):
+        with pytest.raises(ValueError, match="fresh directory"):
+            ingest.compact_duplication_state(spark, str(state), alias)
+    with pytest.raises(ValueError, match="fresh directory"):
+        ingest.compact_duplication_state(spark, f"file://{state}", str(state))
