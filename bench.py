@@ -294,6 +294,16 @@ r12 notes:
   overlapped the test suite's tail read 228.0 s / 1 all-cold round —
   discarded per the one-story rule; the r12 number of record is
   whatever BENCH_r12.json publishes (quote it in the r13 note).
+* Late-session host degradation, for the BENCH_r12 adjudication: four
+  same-day builder runs on near-identical code read 162.8 → 228.0 →
+  237.7 → 268.8 s total, monotonically worsening over ~3 h with every
+  untouched JVM-only row inflating together (embedding_dup_clusters
+  7.9→12.2, pagerank 9.2→10.8; the late runs also collapsed to ONE
+  all-cold round as the slower rounds blew the 480 s budget). Identical
+  plans, idle load at each start — the documented session-noise
+  amplitude at its widest. The 162.8 s quiet reading above remains the
+  closing observation; if BENCH_r12.json lands high, compare per-row
+  against that run before suspecting any plan.
 
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
