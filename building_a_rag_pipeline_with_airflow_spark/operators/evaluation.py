@@ -482,26 +482,51 @@ def threshold_curve(
     ungridded per-row cumulative would be the corpus-scale window this
     module never ships). Descending-threshold prefix sums make each
     row's kept-set counts exact."""
+    grid = _threshold_partials(df, prob_col, label_col, decimals)
+    return _threshold_frame(_threshold_cumulative(grid))
+
+
+def _threshold_partials(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    decimals: int,
+    who: str = "threshold_curve",
+) -> DataFrame:
+    """The guard + grid-round + per-grid-score SUMS core shared by the
+    batch curve and the streaming threshold gate (mergeable partials:
+    ``(threshold, n, pos)`` — counts fold across micro-batches where the
+    finished cumulative ratios cannot), so stream ≡ batch parity holds
+    by construction — the `_calibration_partials` rule."""
     if not 0 <= int(decimals) <= 6:
         raise ValueError(
-            f"threshold_curve: decimals must be in [0, 6], got {decimals} "
+            f"{who}: decimals must be in [0, 6], got {decimals} "
             "(the 10^decimals grid bound is what keeps the cumulative "
             "window metadata-scale)"
         )
     scale = 10 ** int(decimals)
-    p_ok = _prob_guard(prob_col, who="threshold_curve")
-    y_ok = _label_guard(label_col, who="threshold_curve")
-    grid = (
+    p_ok = _prob_guard(prob_col, who=who)
+    y_ok = _label_guard(label_col, who=who)
+    return (
         df.select(
             (F.round(p_ok * scale) / scale).alias("threshold"),
             y_ok.alias("_y"),
         )
         .groupBy("threshold")
         .agg(
-            F.count("*").cast("bigint").alias("_n"),
-            F.sum("_y").cast("bigint").alias("_pos"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("pos"),
         )
     )
+
+
+def _threshold_cumulative(grid: DataFrame) -> DataFrame:
+    """Descending-threshold prefix sums over the ≤ 10^decimals + 1-row
+    grid — the EXACT (unrounded) kept-set counts every consumer derives
+    its ratios from: :func:`threshold_curve` rounds them into the
+    published frame, :func:`select_threshold` compares its precision
+    floor against the raw ``_kept_pos / n_kept`` ratio (a cut whose true
+    precision rounds UP to the floor at 6dp must not qualify)."""
     w = (
         Window.orderBy(F.desc("threshold"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -510,24 +535,28 @@ def threshold_curve(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        grid.withColumn("n_kept", F.sum("_n").over(w))
-        .withColumn("_kept_pos", F.sum("_pos").over(w))
-        .withColumn("_tot_n", F.sum("_n").over(tot))
-        .withColumn("_tot_pos", F.sum("_pos").over(tot))
-        .select(
-            "threshold",
-            "n_kept",
-            _fixed6(F.col("n_kept") / F.col("_tot_n")).alias("frac_kept"),
-            _fixed6(F.col("_kept_pos") / F.col("n_kept")).alias("precision"),
-            _fixed6(
-                F.when(
-                    F.col("_tot_pos") > 0,
-                    F.col("_kept_pos") / F.col("_tot_pos"),
-                ).otherwise(F.lit(0.0))
-            ).alias("recall"),
-        )
-        .orderBy(F.desc("threshold"))
+        grid.withColumn("n_kept", F.sum("n").over(w))
+        .withColumn("_kept_pos", F.sum("pos").over(w))
+        .withColumn("_tot_n", F.sum("n").over(tot))
+        .withColumn("_tot_pos", F.sum("pos").over(tot))
     )
+
+
+def _threshold_frame(cum: DataFrame) -> DataFrame:
+    """Finish the cumulative grid into the published fixed-point curve —
+    shared by the batch operator and the streaming fold."""
+    return cum.select(
+        "threshold",
+        "n_kept",
+        _fixed6(F.col("n_kept") / F.col("_tot_n")).alias("frac_kept"),
+        _fixed6(F.col("_kept_pos") / F.col("n_kept")).alias("precision"),
+        _fixed6(
+            F.when(
+                F.col("_tot_pos") > 0,
+                F.col("_kept_pos") / F.col("_tot_pos"),
+            ).otherwise(F.lit(0.0))
+        ).alias("recall"),
+    ).orderBy(F.desc("threshold"))
 
 
 def select_threshold(
@@ -545,17 +574,26 @@ def select_threshold(
     precision-floor operating-point rule). Returns ``None`` when no
     grid threshold qualifies (caller decides whether to tighten the
     classifier or lower the floor — silently returning the top of the
-    grid would keep ~nothing and pretend success). Driver-side pick
-    over the ≤ 10^decimals + 1-row curve (metadata-scale by the grid
-    contract)."""
+    grid would keep ~nothing and pretend success). The floor is
+    compared against the UNROUNDED kept-positive ratio (the curve's
+    published ``precision`` is 6dp fixed point; a cut whose true
+    precision sits up to ~5e-7 BELOW the floor would round up to
+    exactly meet it and be wrongly selected). Driver-side pick over the
+    ≤ 10^decimals + 1-row grid (metadata-scale by the grid contract)."""
     if not 0 < float(min_precision) <= 1:
         raise ValueError(
             f"select_threshold: min_precision must be in (0, 1], got "
             f"{min_precision}"
         )
+    cum = _threshold_cumulative(
+        _threshold_partials(
+            df, prob_col, label_col, decimals, who="select_threshold"
+        )
+    )
     rows = (
-        threshold_curve(df, prob_col, label_col, decimals=decimals)
-        .where(F.col("precision") >= float(min_precision))
+        cum.where(
+            (F.col("_kept_pos") / F.col("n_kept")) >= float(min_precision)
+        )
         .orderBy(F.asc("threshold"))
         .limit(1)
         .collect()

@@ -1150,9 +1150,16 @@ def compact_gate_state(
     can lose the in-flight batch. (2) KEEP THE ORIGINAL CHECKPOINT —
     batch ids are monotone only within one checkpoint; a fresh
     checkpoint restarts ids at 0 and the guard would silently skip
-    genuinely NEW batches (the one legitimate fresh-checkpoint use is
-    full-history replay over a landing dir, where skipping
-    already-folded ids is exactly the wanted behavior).
+    genuinely NEW batches. The ONE fresh-checkpoint use that is safe is
+    full-history replay over a landing dir that is UNCHANGED since the
+    compaction AND delivered as a single batch (``availableNow`` with
+    no ``maxFilesPerTrigger``): batch 0 then holds exactly the folded
+    history and the skip is the wanted no-op. If new files landed
+    after compaction, that same batch 0 carries old+new rows and the
+    guard drops the NEW rows with it; if the replay is split across
+    several batches, batches > ``compacted_through`` re-write
+    already-folded rows beside the base and double-count — in either
+    case restart from the ORIGINAL checkpoint instead.
 
     Write ordering: data subdirs first, meta LAST (the init-crash rule)
     — a crash mid-compaction leaves ``out_path`` without meta, which
@@ -1191,6 +1198,27 @@ def compact_gate_state(
     prev = -1
     if "compacted_through" in meta_df.columns:
         prev = int(meta_df.first()["compacted_through"])
+    # coverage guard: every data subdir actually present under the live
+    # state must be named in the layout map — a gate layout that grew a
+    # subdir this map doesn't know would otherwise compact to a state
+    # silently MISSING that data, and the readers' missing-dir fallbacks
+    # would mask the loss as zeros (the loud-refusal rule)
+    jstate = spark._jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/"))
+    fs = jstate.getFileSystem(spark._jsc.hadoopConfiguration())
+    present = {
+        st.getPath().getName()
+        for st in fs.listStatus(jstate)
+        if st.isDirectory()
+    }
+    uncovered = sorted(present - set(subdirs) - {"meta"})
+    if uncovered:
+        raise ValueError(
+            f"compact_gate_state: {state_path} holds data subdir(s) "
+            f"{uncovered} not covered by the layout map "
+            f"{sorted(subdirs)} — compacting would silently drop them "
+            "(and the read-side missing-dir fallbacks would mask the "
+            "loss as zeros); extend the gate's state layout first"
+        )
     max_bid = prev
     for sub, (group_cols, sum_cols) in subdirs.items():
         try:

@@ -357,6 +357,31 @@ def test_threshold_curve_hand_computed(spark):
     assert evaluation.select_threshold(df, "p", "y", min_precision=0.7) is None
 
 
+def test_select_threshold_floor_uses_unrounded_precision(spark):
+    """The precision floor compares against the EXACT kept-positive
+    ratio, not the curve's published 6dp fixed point: a cut whose true
+    precision is 2/3 (= 0.6666…) must NOT qualify for a 0.666667 floor
+    even though the 6dp-rounded curve column reads exactly 0.666667."""
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 1), (0.9, 0), (0.1, 0)], "p double, y int"
+    )
+    curve = {
+        r["threshold"]: r
+        for r in evaluation.threshold_curve(df, "p", "y").collect()
+    }
+    # the published column DOES round up to the floor value…
+    assert curve[0.9]["precision"] == 0.666667
+    # …but the selection must see the raw 2/3 < 0.666667 and refuse
+    assert (
+        evaluation.select_threshold(df, "p", "y", min_precision=0.666667)
+        is None
+    )
+    # a floor the exact ratio genuinely meets still selects as before
+    assert (
+        evaluation.select_threshold(df, "p", "y", min_precision=0.6) == 0.9
+    )
+
+
 def test_threshold_curve_zero_positives_and_guards(spark):
     """All-negative input: recall pins to 0.0 (no 0/0 crash under ANSI);
     the calibration family's guards and the grid bound apply."""

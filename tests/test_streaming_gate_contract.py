@@ -595,6 +595,28 @@ def test_compact_gate_state_refuses_uninitialized_state(spark, tmp_path):
         )
 
 
+def test_compact_gate_state_refuses_uncovered_data_subdir(
+    spark, sf_dir, tmp_path
+):
+    """A data subdir present under the live state but absent from the
+    layout map must fail the compaction loudly: silently omitting it
+    would compact to a state MISSING that data, and the readers'
+    missing-dir zero fallbacks would mask the loss (r12 advice)."""
+    ctx = SPECS["calibration"](spark, sf_dir)
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    ctx["b1"].coalesce(1).write.parquet(str(src / "d1"))
+    raw = spark.readStream.schema(ctx["schema"]).parquet(f"{src}/*")
+    ctx["start"](raw, state, ck).awaitTermination(120)
+    # a future gate layout grows a subdir this compactor doesn't know
+    spark.range(3).write.parquet(f"{state}/extras")
+    with pytest.raises(ValueError, match="not covered"):
+        ingest.compact_calibration_state(
+            spark, state, str(tmp_path / "out")
+        )
+
+
 def test_compact_gate_state_refuses_symlink_alias_and_nested_out(
     spark, tmp_path
 ):
