@@ -1109,6 +1109,126 @@ def read_calibration_report(spark: SparkSession, state_path: str) -> DataFrame:
     return _ev._calibration_frame(spark, sums, nb)
 
 
+def streaming_threshold_curve(
+    scored_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    *,
+    prob_col: str = "p",
+    label_col: str = "y",
+    decimals: int = 4,
+    available_now: bool = True,
+):
+    """Streaming keep/drop threshold-curve gate — the EIGHTH member of
+    the gate family: the continuous form of
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.evaluation.threshold_curve`,
+    so the DECISION TABLE a probability-thresholded curation gate cuts
+    on tracks the stream instead of demanding a corpus rescan (the
+    calibration gate audits whether the scores mean what they say; this
+    one keeps the cost/benefit curve of any cut over them current —
+    together they are the streaming end of audit → fit → cut).
+
+    This gate exists because — unlike the per-query rank metrics, whose
+    non-membership in the family is a documented negative result
+    (SURVEY.md) — the curve's per-grid-score ``(n, pos)`` counts ARE
+    mergeable sums: each micro-batch rounds ITS OWN rows onto the fixed
+    grid through the SAME guard + grid core the batch operator uses
+    (``evaluation._threshold_partials`` — stream ≡ batch parity by
+    construction) and writes ≤ 10^decimals + 1 partial rows under its
+    ``_batch_id`` partition (dynamic overwrite → replay-idempotent);
+    the cumulative prefix sums — which do NOT merge — run only at read
+    time over the folded grid. Per-batch cost is O(batch); state is
+    O(grid × batches) — metadata-scale by the decimals ≤ 6 contract.
+    ``decimals`` freezes at first invocation into ``<state_path>/meta``
+    (the frozen-bounds rule: partials rounded onto different grids must
+    never fold together; a re-invocation with different decimals
+    raises). :func:`read_threshold_curve` folds the partials into the
+    SAME frame the batch operator emits. Compactable via
+    :func:`compact_threshold_state` (sums fold exactly)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        evaluation as _ev,
+    )
+
+    if not 0 <= int(decimals) <= 6:
+        raise ValueError(
+            f"streaming_threshold_curve: decimals must be in [0, 6], got "
+            f"{decimals} (the 10^decimals grid bound is the state-size "
+            "contract)"
+        )
+    spark = scored_stream.sparkSession
+    meta = index_layout.read_meta_or_none(spark, state_path)
+    compacted_through = -1
+    if meta is not None:
+        if int(meta["decimals"]) != int(decimals):
+            raise ValueError(
+                f"streaming_threshold_curve: {state_path} holds partials "
+                f"on a decimals={int(meta['decimals'])} grid but this "
+                f"invocation asks for {decimals}; mixed grids would fold "
+                "incompatible counts. Use a fresh state_path (and "
+                "checkpoint) to re-grid."
+            )
+        compacted_through = int(meta.asDict().get("compacted_through", -1))
+    else:
+        index_layout.write_meta(
+            spark.createDataFrame([(int(decimals),)], "decimals int"),
+            state_path,
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard (compact_gate_state's invariant): skip batches
+        # already folded into the _batch_id = -1 base partition
+        if batch_id <= compacted_through:
+            return
+        if batch_df.isEmpty():
+            return
+        (
+            _ev._threshold_partials(
+                batch_df, prob_col, label_col, decimals,
+                who="streaming_threshold_curve",
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/partials")
+        )
+
+    return index_layout.start_extender(
+        scored_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_threshold_curve(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streamed per-grid-score partials into the current
+    keep/drop decision table — identical output schema and values
+    (parity-tested in the gate-family contract) to
+    ``evaluation.threshold_curve`` run batch-side over the accumulated
+    stream. One sum over (grid × batches) metadata-scale rows, then the
+    SHARED cumulative + frame finishers; a started gate whose every
+    batch was empty folds to the empty curve (exactly what the batch
+    operator emits over zero rows — there is no fixed bin set to
+    zero-fill, unlike the calibration report)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        evaluation as _ev,
+    )
+
+    index_layout.read_meta(spark, state_path)  # refuses uninitialized state
+    try:
+        praw = spark.read.parquet(f"{state_path}/partials")
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err and "UNABLE_TO_INFER_SCHEMA" not in err:
+            raise
+        praw = spark.createDataFrame(
+            [], "threshold double, n bigint, pos bigint"
+        )
+    grid = praw.groupBy("threshold").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos"),
+    )
+    return _ev._threshold_frame(_ev._threshold_cumulative(grid))
+
+
 def compact_gate_state(
     spark: SparkSession,
     state_path: str,
@@ -1284,6 +1404,7 @@ _DUPLICATION_STATE_LAYOUT = {
     "totals": ((), ("n_windows",)),
 }
 _CALIBRATION_STATE_LAYOUT = {"partials": (("bin",), ("n", "sum_p", "sum_y"))}
+_THRESHOLD_STATE_LAYOUT = {"partials": (("threshold",), ("n", "pos"))}
 
 
 def compact_duplication_state(
@@ -1296,7 +1417,8 @@ def compact_duplication_state(
     by hash-sum and the exact totals rows by sum; the count-floor
     lower-bound semantics are untouched (the floor applied per batch at
     write time; summing the survivors is exactly what the uncompacted
-    fold does)."""
+    fold does). Use :func:`gate_state_report` to decide WHEN (batches
+    or files past a budget)."""
     return compact_gate_state(
         spark, state_path, out_path, subdirs=_DUPLICATION_STATE_LAYOUT
     )
@@ -1308,9 +1430,70 @@ def compact_calibration_state(
     """:func:`compact_gate_state` for the calibration gate — its state
     is metadata-scale (n_bins × batches), so this is file-count hygiene
     rather than a read-cost fix, sharing the duplication gate's
-    mechanics and replay guard."""
+    mechanics and replay guard. Use :func:`gate_state_report` to decide
+    WHEN (batches or files past a budget)."""
     return compact_gate_state(
         spark, state_path, out_path, subdirs=_CALIBRATION_STATE_LAYOUT
+    )
+
+
+def gate_state_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-subdir health report of a gate's state directory — the WHEN
+    for the ``compact_*_state`` family (the `sources.io.layout_report`
+    precedent, at gate-state grain): one row per subdir with the batch-
+    partition count, whether the ``_batch_id = -1`` compaction base is
+    present, and the file/byte footprint, so an operator can cron
+    "compact when n_batches > N" (or alert on file-count pressure)
+    instead of guessing.
+
+    Works on METADATA only: batch ids come from partition directory
+    names and footprint from the filesystem listing — no data scan, so
+    the report costs O(#batches + #files) regardless of state size (the
+    duplication gate's data-scale partials are never read). ``meta``
+    reports its file footprint with ``n_batches = 0``; an uninitialized
+    path (no meta) raises like every gate reader."""
+    from building_a_rag_pipeline_with_airflow_spark.sources import io
+
+    index_layout.read_meta(spark, state_path)  # refuses uninitialized state
+    jstate = spark._jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/"))
+    fs = jstate.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    for st in fs.listStatus(jstate):
+        if not st.isDirectory():
+            continue
+        sub = st.getPath().getName()
+        batch_ids = {
+            int(c.getPath().getName().split("=", 1)[1])
+            for c in fs.listStatus(st.getPath())
+            if c.isDirectory() and c.getPath().getName().startswith("_batch_id=")
+        }
+        files = io.list_parquet_leaf_files(spark, f"{state_path}/{sub}")
+        rows.append(
+            (
+                sub,
+                len(batch_ids - {-1}),
+                -1 in batch_ids,
+                len(files),
+                int(sum(sz for _, sz in files)),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "subdir string, n_batches int, has_base boolean, "
+        "n_files int, n_bytes bigint",
+    )
+
+
+def compact_threshold_state(
+    spark: SparkSession, state_path: str, out_path: str
+) -> int:
+    """:func:`compact_gate_state` for the threshold-curve gate — its
+    per-grid-score (n, pos) counts are plain sums, so the fold is exact
+    and the state is metadata-scale (grid × batches): this is file-count
+    hygiene, same mechanics and replay guard as the calibration gate.
+    Use :func:`gate_state_report` to decide WHEN (batches > N)."""
+    return compact_gate_state(
+        spark, state_path, out_path, subdirs=_THRESHOLD_STATE_LAYOUT
     )
 
 

@@ -235,6 +235,41 @@ def _calibration_spec(spark, sf_dir):
     )
 
 
+def _threshold_spec(spark, sf_dir):
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    orders = schemas.load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("_m"))
+    scored = orders.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") / F.col("_m")).alias("p"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        ).otherwise(0).alias("y"),
+    )
+    cols = ("threshold", "n_kept", "frac_kept", "precision", "recall")
+    return dict(
+        b1=scored.where(F.col("o_orderkey") % 3 == 1).drop("o_orderkey"),
+        b2=scored.where(F.col("o_orderkey") % 3 == 2).drop("o_orderkey"),
+        b3=scored.where(F.col("o_orderkey") % 3 == 0).drop("o_orderkey"),
+        schema="p double, y int",
+        start=lambda raw, state, ck: ingest.streaming_threshold_curve(
+            raw, state, ck, decimals=2
+        ),
+        # mutated grid over the same state must raise (partials rounded
+        # onto different grids can never fold)
+        mutated=lambda raw, state, ck: ingest.streaming_threshold_curve(
+            raw, state, ck, decimals=3
+        ),
+        expected=lambda df: _rows(
+            evaluation.threshold_curve(df, "p", "y", decimals=2), cols
+        ),
+        fold=lambda state: _rows(
+            ingest.read_threshold_curve(spark, state), cols
+        ),
+    )
+
+
 SPECS = {
     "psi": _psi_spec,
     "expectations": _expectations_spec,
@@ -243,6 +278,7 @@ SPECS = {
     "sketch": _sketch_spec,
     "duplication": _duplication_spec,
     "calibration": _calibration_spec,
+    "threshold": _threshold_spec,
 }
 
 
@@ -449,6 +485,7 @@ def test_duplication_gate_fold_on_all_empty_stream_is_all_zeros(
 _COMPACTORS = {
     "duplication": lambda spark, s, o: ingest.compact_duplication_state(spark, s, o),
     "calibration": lambda spark, s, o: ingest.compact_calibration_state(spark, s, o),
+    "threshold": lambda spark, s, o: ingest.compact_threshold_state(spark, s, o),
 }
 
 
@@ -593,6 +630,42 @@ def test_compact_gate_state_refuses_uninitialized_state(spark, tmp_path):
         ingest.compact_duplication_state(
             spark, str(bare), str(tmp_path / "out")
         )
+
+
+def test_gate_state_report_metadata_grain(spark, sf_dir, tmp_path):
+    """gate_state_report: one row per state subdir with batch count,
+    base-partition flag, and file footprint — and it tracks compaction
+    (base appears, batch partitions reset to the uncompacted tail).
+    Uninitialized paths raise like every gate reader."""
+    ctx = SPECS["threshold"](spark, sf_dir)
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    def run(st, ckpt):
+        raw = spark.readStream.schema(ctx["schema"]).parquet(f"{src}/*")
+        ctx["start"](raw, st, ckpt).awaitTermination(120)
+
+    with pytest.raises(Exception):
+        ingest.gate_state_report(spark, str(tmp_path / "nope"))
+    ctx["b1"].coalesce(1).write.parquet(str(src / "d1"))
+    run(state, ck)
+    ctx["b2"].coalesce(1).write.parquet(str(src / "d2"))
+    run(state, ck)
+    rep = {r["subdir"]: r for r in ingest.gate_state_report(spark, state).collect()}
+    assert rep["partials"]["n_batches"] == 2
+    assert not rep["partials"]["has_base"]
+    assert rep["partials"]["n_files"] >= 2 and rep["partials"]["n_bytes"] > 0
+    assert rep["meta"]["n_batches"] == 0
+    # the cron decision this report exists for: batches > 1 -> compact
+    compacted = str(tmp_path / "state_c")
+    ingest.compact_threshold_state(spark, state, compacted)
+    rep2 = {
+        r["subdir"]: r
+        for r in ingest.gate_state_report(spark, compacted).collect()
+    }
+    assert rep2["partials"]["n_batches"] == 0
+    assert rep2["partials"]["has_base"]
 
 
 def test_compact_gate_state_refuses_uncovered_data_subdir(
