@@ -9080,6 +9080,119 @@ _R12_WINDOW = (
 # established queue mechanism) — first in line for the r13 rotation.
 _NEW_R12: "tuple[str, ...]" = ("threshold_curve_orders",)
 
+# r13 rotation (r12 judge directive #1): (a) the 3 oracles with NO
+# driver row yet — `threshold_curve_orders` (the one owed oracle, the
+# _NEW_R12 queue) plus the two NEW r13 oracles
+# (`classifier_gated_curation`, the train→calibrate→threshold→gate
+# capstone from directive #2, and `threshold_curve_streamed`, the 8th
+# streaming gate from directive #4 — both full value oracles); then
+# (b) the FULL 20-cohort of stalest anchors — every oracle whose last
+# driver-green row is r9, exactly the twenty the r12 rotation
+# displaced with siblings; then (c) 27 of the 50 r10-last-green
+# cohort, selected by green-count asc (all four single-green, both
+# double-green, and all ten triple-green r10 anchors are IN; the
+# alphabetically-first eleven of the quadruple-green fill the
+# remainder). 3 + 20 + 27 = 50. The 16 displaced r10 anchors (all
+# quadruple-green) each keep an in-window or recent-green same-family
+# sibling:
+#   ntile_customer_value ↔ quantile_segment_customer_value (r11-green;
+#   the same customer-value quantile segmentation);
+#   pack_training_sequences ↔ epoch_shard_plan_orders +
+#   mixture_interleave_documents (r12-green; the training-order
+#   construction family);
+#   percentiles_by_returnflag ↔ q1_pricing_summary (in-window; the
+#   same lineitem returnflag/status group-agg);
+#   pivot_priority_by_status ↔ pivot_priority_status (in-window; the
+#   same PIVOT reshape, SQL- vs operator-form);
+#   q13_order_count_distribution ↔ value_counts_mktsegment (in-window;
+#   count-per-group distribution);
+#   q15_top_supplier ↔ q2_min_cost_supplier (r11-green; the same
+#   min/max-subquery-over-join shape);
+#   q17_small_quantity_revenue ↔ q20_volume_part_suppliers (r11-green;
+#   the same per-part avg-quantity correlated-subquery family);
+#   q19_disjunctive_revenue ↔ q14_promo_revenue (r11-green; the same
+#   lineitem×part conditional-agg join);
+#   q22_idle_rich_customers ↔ nations_without_suppliers (in-window;
+#   the left_anti NOT-EXISTS shape);
+#   q7_volume_shipping / q8_market_share / q9_profit_by_nation_year ↔
+#   q5_region_revenue (r11-green; the multi-join revenue/profit rollup
+#   family; q8's conditional share numerator also ↔ q14, r11-green);
+#   rolling_revenue_7d ↔ trend_by_event_type (r11-green; the same
+#   date-bucketed rolling-window family) + decayed_user_value
+#   (in-window);
+#   stratified_sample_customers ↔ weighted_sample_per_lang (r12-green;
+#   the same per-stratum deterministic-hash sampling core) +
+#   cv_folds_orders (in-window);
+#   topk_orders ↔ brand_revenue_topk (r12-green; sort-desc-take-k);
+#   union_distinct_values ↔ intersect_nation_segments (in-window; the
+#   same set-op family).
+# Everything rotating OUT carries a green r10 driver row; all oracles
+# remain value-checked every round by tests/test_oracle_parity.py
+# regardless of window position. (The r12 window stays enumerated
+# above; its 50/50 green rows are CORRECTNESS_r12.json.)
+_R13_WINDOW = (
+    # (a) never driver-checked: the _NEW_R12 queue + the 2 new-in-r13
+    "threshold_curve_orders",
+    "classifier_gated_curation",
+    "threshold_curve_streamed",
+    # (b) stalest anchors: last driver-green r9 (the full 20-cohort)
+    "chunk_overlap_adjacent",
+    "chunk_recursive_documents",
+    "distinct_nation_segments",
+    "doc_quality_scores",
+    "events_hourly",
+    "hybrid_topk_cosine",
+    "ivf_topk_cosine",
+    "lang_id_documents",
+    "latest_order_per_customer",
+    "minhash_signatures",
+    "nations_without_suppliers",
+    "ngram_jaccard_pairs",
+    "orders_date_validation",
+    "orders_year_quarter",
+    "pagination_orders",
+    "pivot_priority_status",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "value_counts_mktsegment",
+    "winnow_fingerprints",
+    # (c) next-stalest: last driver-green r10 — the single-green four
+    "cross_encoder_rerank_documents",
+    "duplication_profile_documents",
+    "substring_dedup_rolling",
+    "trigram_search_parts_from_index",
+    # the double-green two
+    "binary_quant_topk",
+    "bloom_prefilter_supplier_revenue",
+    # the triple-green ten
+    "benford_price_profile",
+    "bigram_lm_ppl_documents",
+    "bm25_topk_documents",
+    "cohort_retention_weekly",
+    "cooccur_recommend_parts",
+    "corr_lineitem_metrics",
+    "cumulative_new_users_daily",
+    "cv_folds_orders",
+    "decayed_user_value",
+    "embedding_dup_clusters",
+    # eleven of the quadruple-green cohort fill the window
+    "asof_join_events_orders",
+    "chunk_semantic_documents",
+    "cube_priority_segment",
+    "decontaminate_documents",
+    "dedup_clusters_documents",
+    "embedding_norms",
+    "gopher_quality_flags",
+    "intersect_nation_segments",
+    "interval_join_purchase_follow",
+    "lsh_knn_join",
+    "mixture_reweight_documents",
+)
+
+# Oracle queries added in r13 AFTER the window above froze (the
+# established queue mechanism) — first in line for the r14 rotation.
+_NEW_R13: "tuple[str, ...]" = ()
+
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
@@ -9238,11 +9351,11 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R12_WINDOW sorts first (this round's
-    driver window — the 7 never-driver-checked oracles, then the full
-    13-cohort of r8-last-green anchors, then 30 of the 50 r9-last-green
-    cohort by green-count asc), then _NEW_R12 (oracles added after the
-    window froze — first in line for r13; empty at freeze time), then
+    entries): the enumerated _R13_WINDOW sorts first (this round's
+    driver window — the 3 never-driver-checked oracles, then the full
+    20-cohort of r9-last-green anchors, then 27 of the 50 r10-last-green
+    cohort by green-count asc), then _NEW_R13 (oracles added after the
+    window froze — first in line for r14; empty at freeze time), then
     the multi-green rotation pool (_DEPRIORITIZED last among oracles),
     then rows-only queries. All oracles are value-checked every round
     by tests/test_oracle_parity.py regardless of window position."""
@@ -9250,8 +9363,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R12_WINDOW,  # the enumerated r12 window first
-            kv[0] not in _NEW_R12,     # new-in-r12 oracles next (r13 queue)
+            kv[0] not in _R13_WINDOW,  # the enumerated r13 window first
+            kv[0] not in _NEW_R13,     # new-in-r13 oracles next (r14 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )
