@@ -561,6 +561,19 @@ HEADLINE = [
     # itself is a one-time maintenance fold, measured in the r12 notes.
     "calibrate_binned_orders",
     "threshold_curve_orders",
+    # r13: the classifier-gated curation capstone (NB train+score ->
+    # margin->probability -> binned calibration fit -> precision-floor
+    # threshold -> keep/drop composition): a genuinely new composition
+    # shape — its fit-mapping and threshold picks are driver-side
+    # metadata collects over a narrow lazily-checkpointed scored frame
+    # (without the cut the NB re-ran 4x: 6.3 s -> ~3.8 s warm at sf0.1,
+    # measured). threshold_curve_streamed is deliberately NOT benched
+    # (lifecycle-row rule): its READ plan is the threshold_curve fold
+    # over the same ≤101-row grid, already benched via
+    # threshold_curve_orders; the one-time stream build is a
+    # maintenance op, and its correctness is the driver's sf0.01 row
+    # (shares _THRESHOLD_CURVE_SQL verbatim).
+    "classifier_gated_curation",
     # rank_eval_lsh_vs_exact is deliberately NOT benched (sibling rule):
     # it composes three already-benched plans — knn_join (exact),
     # lsh_knn_join (banded), and the rank_eval_ndcg_mrr metric shape —
@@ -827,6 +840,8 @@ def main() -> None:
             # visible in the archived line
             "epoch_shard_plan_orders",
             "mixture_interleave_documents",
+            # r13 new row — first bench appearance
+            "classifier_gated_curation",
         }
         by_cost = sorted(
             (n for n in times if n not in pinned), key=lambda n: times[n]

@@ -2794,8 +2794,17 @@ def classifier_gated_curation(spark, sf_dir):
     )
     rest = lab.where(F.col("doc_id") % 5 >= 3)
     nb = curation.nb_domain_classify(train, rest, label_col="_cls", alpha=0.05)
-    scored = curation.margin_to_probability(nb, positive="pos").join(
-        rest.select("doc_id", "lang", "y"), "doc_id"
+    # Narrow (id, pred, margin, p, lang, y) lazy checkpoint between the
+    # classifier and the gate: classifier_gate's fit-mapping and
+    # threshold-pick collects plus the returned gate plan reference this
+    # frame four times, and without the cut each reference re-runs the
+    # whole NB train+score (measured 6.3 s -> ~2 s warm at sf0.1). The
+    # pinned blocks are output-small (7 narrow columns per scored doc —
+    # the phash/CC returned-labels precedent), never payload-sized.
+    scored = (
+        curation.margin_to_probability(nb, positive="pos")
+        .join(rest.select("doc_id", "lang", "y"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     fit = scored.where(F.col("doc_id") % 5 == 3)
     prod = scored.where(F.col("doc_id") % 5 == 4)
