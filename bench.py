@@ -305,6 +305,47 @@ r12 notes:
   closing observation; if BENCH_r12.json lands high, compare per-row
   against that run before suspecting any plan.
 
+r13 notes:
+
+* One-story rule: the r12 number of record is BENCH_r12.json's
+  153.9 s (adjudicated host-side by the r12 verdict: +3.9% spread
+  thin across ~60 untouched JVM-only plans, no concentration).
+* SOLO ANCHOR TABLE published (r12 judge directive #3):
+  SOLO_ANCHOR_r13.json at the repo root — every headline row's
+  best-of-3 warm SOLO (1 untimed warm pass + 3 timed back-to-back
+  runs, keep the min; noise only inflates) in ONE quiet session on
+  r13 code, generated by scripts/solo_anchor.py. Anchor total
+  150.1 s over 123 rows, zero errors. Future rounds classify a
+  >0.5 s interleaved-median mover in one lookup against this table
+  instead of re-litigating scattered ledger notes; re-anchor a row
+  only when its plan actually changes. Known anchor-vs-interleaved
+  spread, same hour, same code: embedding_dup_clusters 10.4 anchor
+  vs 6.5 interleaved (back-to-back runs of the O(n²) job share GC
+  pressure that interleaving spreads out) and pagerank 7.9 anchor
+  vs 7.5 interleaved — both inside their documented bands; the
+  anchor's value is row-over-ROUND comparison on one methodology,
+  not agreement with the interleaved number.
+* pagerank_supplier_cosupply: 7.5 s interleaved / 7.9 s solo anchor
+  this round — inside the 6.2-8.9 band on the unchanged plan; the
+  r12 rule stands (>9 s triggers a plan profile).
+* NEW headline row classifier_gated_curation (3.8 s interleaved,
+  3.6 s solo anchor at sf0.1): NB train+score (the benched
+  nb_lang_classify shape at binary labels) + algebraic-sigmoid map +
+  binned-calibration fit + precision-floor threshold pick + gated
+  production slice — the fit/threshold stages are driver-side
+  metadata collects over a narrow lazily-checkpointed scored frame;
+  without the cut the NB re-ran 4x (6.3 s, measured; the
+  phash/r8 recompute rule applied at the caller).
+* r13 CLOSING builder-side observation (quiet host, warmup 43.3 s,
+  2-round early-stop medians): total 167.8 s with
+  curate_corpus_e2e_s reading 118.2 at the session tail — solo
+  re-profile minutes later on identical code: 42.6 cold /
+  27.2 / 28.3 warm (normal band). The 118 s is the documented
+  session-tail host degradation, not a plan change (this round's
+  diff touches no curation stage the composition runs). The r13
+  number of record is whatever BENCH_r13.json publishes; adjudicate
+  per-row against SOLO_ANCHOR_r13.json first.
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
