@@ -336,6 +336,19 @@ r13 notes:
   metadata collects over a narrow lazily-checkpointed scored frame;
   without the cut the NB re-ran 4x (6.3 s, measured; the
   phash/r8 recompute rule applied at the caller).
+* Scale spot-check for the two new r13 operator families
+  (scripts/scale_check_r13.py at sf0.1, best-of-3 warm, own session,
+  fold ≡ batch asserted at every checkpoint): (a) streaming
+  threshold-curve gate — the scored orders split into 2/4/8/16
+  micro-batches, read_threshold_curve fold flat at 0.44-1.08 s
+  (state is ≤101 grid rows × batches, metadata-scale as contracted;
+  compacted fold 0.40-0.64 s, compact_once 0.69-1.33 s — file
+  hygiene, not read cost, is the payoff here); (b) capstone at
+  1×/5×/25× replicated documents (disjoint ids, checkpoint-pinned
+  scored frame): score stage 0.18 → 0.39 s (the data-scale scan),
+  gate stages FLAT 1.56 → 1.72 s — the calibration mapping, curve,
+  pick, and verdict join are metadata-scale regardless of corpus
+  size, exactly the split the operator docstrings claim.
 * r13 CLOSING builder-side observation (quiet host, warmup 43.3 s,
   2-round early-stop medians): total 167.8 s with
   curate_corpus_e2e_s reading 118.2 at the session tail — solo
