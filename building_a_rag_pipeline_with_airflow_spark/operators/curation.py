@@ -739,9 +739,14 @@ def classifier_gate(
     broadcast join + map — linear scan, no shuffle."""
     from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
 
-    applied_fit = evaluation.calibrate_probabilities(
-        fit, fit, prob_col, label_col,
-        method="binned", n_bins=n_bins, out_col=cal_col,
+    # fit the binned mapping ONCE (≤ n_bins rows, loud empty-fit raise)
+    # and apply it to both frames through the one shared apply — fitting
+    # inside each calibrate call would scan the fit set once per frame
+    mapping_rows = evaluation._fit_binned_mapping_rows(
+        fit, prob_col, label_col, int(n_bins)
+    )
+    applied_fit = evaluation._apply_binned_mapping(
+        fit, mapping_rows, prob_col, int(n_bins), cal_col
     )
     thr = evaluation.select_threshold(
         applied_fit, cal_col, label_col,
@@ -755,9 +760,8 @@ def classifier_gate(
             "the classifier (threshold_curve shows the reachable "
             "operating points)"
         )
-    applied = evaluation.calibrate_probabilities(
-        df, fit, prob_col, label_col,
-        method="binned", n_bins=n_bins, out_col=cal_col,
+    applied = evaluation._apply_binned_mapping(
+        df, mapping_rows, prob_col, int(n_bins), cal_col
     )
     scale = 10 ** int(decimals)
     return (

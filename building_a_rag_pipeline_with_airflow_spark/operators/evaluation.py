@@ -371,43 +371,11 @@ def calibrate_probabilities(
     under the identity fallback it would otherwise return the raw
     scores relabeled as calibrated, the silent no-op failure mode."""
     if method == "binned":
-        nb = int(n_bins)
-        p_ok = _prob_guard(prob_col, who="calibrate_probabilities")
-        # the fitted mapping is ≤ n_bins rows BY CONSTRUCTION — collect
-        # it driver-side (metadata-scale) so an EMPTY fit set fails
-        # loudly here instead of silently mapping every probe row
-        # through the identity fallback (a calibration that calibrates
-        # nothing); the isotonic branch's MLlib fit is call-time-eager
-        # too, so both methods fit at call and apply lazily
-        mapping_rows = fit_binned_calibration(
-            fit, prob_col, label_col, nb
-        ).collect()
-        if not mapping_rows:
-            raise ValueError(
-                "calibrate_probabilities: the fit set is empty — every "
-                "bin would fall back to identity and the 'calibrated' "
-                "scores would just be the raw scores; fit on a "
-                "non-empty labeled holdout"
-            )
-        mapping = df.sparkSession.createDataFrame(
-            [(int(r["bin"]), float(r["p_cal"])) for r in mapping_rows],
-            "_cal_bin int, _cal_p double",
+        mapping_rows = _fit_binned_mapping_rows(
+            fit, prob_col, label_col, int(n_bins)
         )
-        probe = df.withColumn(
-            "_cal_bin_probe",
-            F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)),
-        )
-        return (
-            probe.join(
-                F.broadcast(mapping),
-                probe["_cal_bin_probe"] == mapping["_cal_bin"],
-                "left",
-            )
-            .withColumn(
-                out_col,
-                F.coalesce(F.col("_cal_p"), F.col(prob_col).cast("double")),
-            )
-            .drop("_cal_bin_probe", "_cal_bin", "_cal_p")
+        return _apply_binned_mapping(
+            df, mapping_rows, prob_col, int(n_bins), out_col
         )
     if method == "isotonic":
         from pyspark.ml.regression import IsotonicRegression
@@ -444,6 +412,66 @@ def calibrate_probabilities(
     raise ValueError(
         f"calibrate_probabilities: unknown method {method!r} "
         "(expected 'binned' or 'isotonic')"
+    )
+
+
+def _fit_binned_mapping_rows(
+    fit: DataFrame, prob_col: str, label_col: str, n_bins: int
+) -> list:
+    """Fit + driver-side collect of the binned mapping (≤ n_bins rows BY
+    CONSTRUCTION — metadata-scale), raising loudly on an empty fit set:
+    under the identity fallback an empty mapping would silently return
+    the raw scores relabeled as calibrated. Shared by
+    :func:`calibrate_probabilities` and ``curation.classifier_gate``
+    (which applies ONE fit to both its holdout and production frames —
+    fitting per-apply would scan the fit set once per frame)."""
+    mapping_rows = fit_binned_calibration(
+        fit, prob_col, label_col, n_bins
+    ).collect()
+    if not mapping_rows:
+        raise ValueError(
+            "calibrate_probabilities: the fit set is empty — every "
+            "bin would fall back to identity and the 'calibrated' "
+            "scores would just be the raw scores; fit on a "
+            "non-empty labeled holdout"
+        )
+    return mapping_rows
+
+
+def _apply_binned_mapping(
+    df: DataFrame,
+    mapping_rows: list,
+    prob_col: str,
+    n_bins: int,
+    out_col: str,
+) -> DataFrame:
+    """Apply a collected binned mapping: broadcast ≤ n_bins-row hash
+    join on the bin id — map-side, ZERO shuffle — with the documented
+    identity fallback for bins absent from the fit. The ONE apply
+    implementation (the `_calibration_partials` shared-core rule), so
+    the gate's verdict column and the calibrated report can never bin
+    or fall back differently."""
+    nb = int(n_bins)
+    p_ok = _prob_guard(prob_col, who="calibrate_probabilities")
+    mapping = df.sparkSession.createDataFrame(
+        [(int(r["bin"]), float(r["p_cal"])) for r in mapping_rows],
+        "_cal_bin int, _cal_p double",
+    )
+    probe = df.withColumn(
+        "_cal_bin_probe",
+        F.least(F.floor(p_ok * nb).cast("int"), F.lit(nb - 1)),
+    )
+    return (
+        probe.join(
+            F.broadcast(mapping),
+            probe["_cal_bin_probe"] == mapping["_cal_bin"],
+            "left",
+        )
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_cal_p"), F.col(prob_col).cast("double")),
+        )
+        .drop("_cal_bin_probe", "_cal_bin", "_cal_p")
     )
 
 
