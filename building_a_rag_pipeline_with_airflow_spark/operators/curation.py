@@ -690,7 +690,13 @@ def margin_to_probability(
     Monotone in the signed margin, so ranking consumers see the same
     order either way — and the map is intentionally NOT calibrated
     (NB margins are notoriously overconfident): it is exactly the raw
-    score :func:`classifier_gate` exists to calibrate before cutting."""
+    score :func:`classifier_gate` exists to calibrate before cutting.
+
+    BINARY classifiers only: with two classes the runner-up gap IS the
+    positive-vs-rest log-odds magnitude; with more classes the margin
+    is the gap to the nearest competitor, not to the positive class —
+    collapse the labels to positive/other before training if a
+    positive-class score is what the gate needs."""
     s = F.when(
         F.col(pred_col) == F.lit(positive), F.col(margin_col).cast("double")
     ).otherwise(-F.col(margin_col).cast("double"))
@@ -718,8 +724,9 @@ def classifier_gate(
     point at a precision floor on that holdout's OWN calibrated scores,
     and stamp every production row with the keep/drop verdict.
 
-    1. FIT: ``evaluation.calibrate_probabilities(method='binned')`` on
-       ``fit`` — the ≤``n_bins``-row empirical-rate mapping;
+    1. FIT: the binned method of ``evaluation.calibrate_probabilities``
+       on ``fit`` — the ≤``n_bins``-row empirical-rate mapping, fitted
+       ONCE through the shared core and applied to both frames;
     2. CUT: ``evaluation.select_threshold`` over the holdout's
        calibrated scores — the LOWEST ``decimals``-grid threshold whose
        kept set meets ``min_precision`` (unrounded-ratio comparison).
