@@ -444,3 +444,124 @@ def test_calibrate_in_place_out_col_equals_prob_col(spark):
             probe, fit, "p", "y", method=method, out_col="p"
         ).collect()[0]
         assert 0.0 <= got["p"] <= 1.0 and got["p"] != 0.25
+
+
+# ---------------------------------------------------------------------
+# Randomized differential check of the threshold family against a pure-
+# Python reference (seeded — deterministic across runs): the hand-
+# computed cases above pin small exact curves; this cross-validates the
+# grid rounding, cumulative counts, and fixed-point ratios over wider,
+# messier inputs (boundary scores 0/1, grid-half-boundary values, heavy
+# ties, all-positive / all-negative extremes) than fixtures enumerate.
+# The reference replicates Spark's F.round semantics exactly:
+# BigDecimal.valueOf(double) == Decimal(repr(double)), HALF_UP.
+
+
+def _round_half_up_int(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _fix6(x: float) -> float:
+    return _round_half_up_int(x * 1_000_000) / 1_000_000
+
+
+def _reference_curve(rows, decimals):
+    scale = 10 ** decimals
+    grid = {}
+    for p, y in rows:
+        t = _round_half_up_int(p * scale) / scale
+        n, pos = grid.get(t, (0, 0))
+        grid[t] = (n + 1, pos + y)
+    tot_n = sum(n for n, _ in grid.values())
+    tot_pos = sum(pos for _, pos in grid.values())
+    out, n_kept, kept_pos = [], 0, 0
+    for t in sorted(grid, reverse=True):
+        n, pos = grid[t]
+        n_kept += n
+        kept_pos += pos
+        out.append(
+            (
+                t,
+                n_kept,
+                _fix6(n_kept / tot_n),
+                _fix6(kept_pos / n_kept),
+                _fix6(kept_pos / tot_pos) if tot_pos > 0 else 0.0,
+            )
+        )
+    return out
+
+
+def _random_scored(rng, n):
+    """Messy (p, y) rows: uniforms, exact grid-half boundaries (x.xx5 —
+    the HALF_UP stress), hard 0.0/1.0 edges, and heavy ties."""
+    rows = []
+    for _ in range(n):
+        kind = rng.random()
+        if kind < 0.5:
+            p = rng.random()
+        elif kind < 0.7:
+            p = (rng.randrange(0, 100) + 0.5) / 100  # 2dp half-boundary
+        elif kind < 0.85:
+            p = rng.choice([0.0, 1.0, 0.25, 0.25, 0.75])  # edges + ties
+        else:
+            p = rng.randrange(0, 1001) / 1000
+        rows.append((float(p), rng.randrange(0, 2)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_threshold_curve_matches_python_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows = _random_scored(rng, 300)
+    if seed == 7:  # degenerate label extremes on one seed
+        rows = [(p, 0) for p, _ in rows[:150]] + rows[150:]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = [
+        (r["threshold"], r["n_kept"], r["frac_kept"], r["precision"], r["recall"])
+        for r in evaluation.threshold_curve(df, "p", "y", decimals=2)
+        .orderBy(F.desc("threshold"))
+        .collect()
+    ]
+    assert got == _reference_curve(rows, 2)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_select_threshold_floor_property(spark, seed):
+    """For random data and a sweep of floors: a returned cut's EXACT
+    kept-positive ratio meets the floor, no lower grid threshold also
+    meets it (lowest-qualifying rule), and None is returned iff no grid
+    cut qualifies."""
+    import random
+
+    rng = random.Random(seed)
+    rows = _random_scored(rng, 200)
+    df = spark.createDataFrame(rows, "p double, y int")
+    ref = _reference_curve(rows, 2)
+    exact = []  # (threshold, exact kept ratio) via integer counts
+    n_kept, kept_pos = 0, 0
+    scale = 100
+    grid = {}
+    for p, y in rows:
+        t = _round_half_up_int(p * scale) / scale
+        n, pos = grid.get(t, (0, 0))
+        grid[t] = (n + 1, pos + y)
+    for t in sorted(grid, reverse=True):
+        n, pos = grid[t]
+        n_kept += n
+        kept_pos += pos
+        exact.append((t, kept_pos / n_kept))
+    for floor in (0.3, 0.5, 0.62, 0.8, 0.95, 1.0):
+        got = evaluation.select_threshold(
+            df, "p", "y", min_precision=floor, decimals=2
+        )
+        qualifying = [t for t, r in exact if r >= floor]
+        if not qualifying:
+            assert got is None, (floor, got)
+        else:
+            assert got == min(qualifying), (floor, got, min(qualifying))
