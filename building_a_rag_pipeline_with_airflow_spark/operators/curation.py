@@ -258,22 +258,32 @@ def curate_corpus(
     id_col: str = "doc_id",
     strata_col: str = "source",
     near_dup_threshold: float = 0.5,
+    classifier_gate_kw: "dict | None" = None,
     **gate_kw,
 ) -> "tuple[DataFrame, DataFrame]":
     """The full curation pipeline as one composition — the production
     entry point tying the stage operators together:
 
     1. :func:`gopher_quality_flags` — drop gated docs (map-only);
-    2. near-dup clustering — keep one canonical doc per component
+    2. OPTIONAL :func:`classifier_gate` — drop docs a CALIBRATED
+       classifier flags at a precision floor (``classifier_gate_kw``:
+       ``scores`` = (id, p) raw classifier scores covering EVERY
+       surviving doc exactly once — an unscored or double-scored doc
+       raises, it is an audit hole; ``fit`` = labeled (p, y) holdout;
+       ``min_precision`` (+ optional n_bins/decimals) pass through;
+       ``drop_flagged`` (default True) drops the positive class —
+       set False for keep-positive gates like a quality classifier);
+    3. near-dup clustering — keep one canonical doc per component
        (:func:`~.dedup.dedup_clusters`);
-    3. :func:`decontaminate` against ``benchmark`` (skipped when None);
-    4. :func:`~.sampling.mixture_reweight` to the target domain mix
+    4. :func:`decontaminate` against ``benchmark`` (skipped when None);
+    5. :func:`~.sampling.mixture_reweight` to the target domain mix
        (skipped when None).
 
     Order matters at scale and is deliberate: the cheap projection gate
-    runs FIRST so the shuffle-bearing dedup/decontamination stages see
-    only surviving rows, and mixture sampling runs LAST so the final mix
-    is computed over what actually remains.
+    runs FIRST, the classifier stage next (one broadcast bin-lookup
+    join — map-side), so the shuffle-bearing dedup/decontamination
+    stages see only surviving rows, and mixture sampling runs LAST so
+    the final mix is computed over what actually remains.
 
     Returns ``(kept_docs, audit)`` where ``audit`` is one row per stage
     with rows_in/rows_out — the lineage record a dataset card needs.
@@ -311,6 +321,55 @@ def curate_corpus(
     ).localCheckpoint(eager=True)
     n1 = kept.count()
     stages.append(("quality_gates", n0, n1))
+
+    if classifier_gate_kw is not None:
+        cfg = dict(classifier_gate_kw)
+        scores = cfg.pop("scores")
+        cfit = cfg.pop("fit")
+        prob_col = cfg.pop("prob_col", "p")
+        label_col = cfg.pop("label_col", "y")
+        drop_flagged = cfg.pop("drop_flagged", True)
+        # loud coverage contract: every surviving doc must be scored
+        # exactly once — a missing score would silently pass the doc
+        # around the gate, a duplicated score would fan the corpus out
+        sc = scores.select(
+            F.col(id_col), F.col(prob_col).alias("_clf_p")
+        )
+        dup = sc.groupBy(id_col).count().where(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                "curate_corpus: classifier scores carry duplicate ids — "
+                "a duplicated score would fan the corpus out through "
+                "the gate join; dedupe the score table first"
+            )
+        scored = kept.join(sc, id_col, "left")
+        if scored.where(F.col("_clf_p").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "curate_corpus: some surviving docs have no classifier "
+                "score — an unscored doc would silently bypass the "
+                "gate; score the whole corpus (or pre-filter it) first"
+            )
+        gated, _thr = classifier_gate(
+            scored,
+            cfit.select(
+                F.col(prob_col).alias("_clf_p"),
+                F.col(label_col).alias("_clf_y"),
+            ),
+            "_clf_p",
+            "_clf_y",
+            cal_col="_clf_p_cal",
+            keep_col="_clf_keep",
+            **cfg,
+        )
+        sel = ~F.col("_clf_keep") if drop_flagged else F.col("_clf_keep")
+        prev = kept
+        kept = gated.where(sel).select(*prev.columns).localCheckpoint(
+            eager=True
+        )
+        release_checkpoint(prev)
+        n1b = kept.count()
+        stages.append(("classifier_gate", n1, n1b))
+        n1 = n1b
 
     clusters = dedup_clusters(
         kept, text_col, id_col, threshold=near_dup_threshold

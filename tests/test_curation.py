@@ -113,3 +113,67 @@ def test_margin_to_probability_algebraic_sigmoid(spark):
     assert got["b"] == 0.5 - 0.5 * (3.0 / 4.0)
     assert got["c"] == 0.5
     assert 0.0 < got["e"] < got["b"] < got["c"] < got["a"] < got["d"] < 1.0
+
+
+def test_curate_corpus_classifier_gate_stage(spark, sf_dir):
+    """The classifier stage inside curate_corpus: flagged docs drop
+    between quality_gates and near_dup_dedup (audit rows hand off
+    exactly), the coverage contract raises on unscored and on
+    double-scored docs, and drop_flagged=False inverts the verdict."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fit = _miscalibrated_fit(spark)
+    # deterministic raw scores over EVERY doc: high (bin 8, calibrated
+    # 0.2 -> dropped nothing at the 0.7 cut) for doc_id % 3 == 0, low
+    # (bin 3, calibrated 0.9 -> flagged) otherwise
+    scores = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 0.85).otherwise(0.35).alias("p"),
+    )
+    kept, audit = curation.curate_corpus(
+        docs,
+        classifier_gate_kw={
+            "scores": scores, "fit": fit,
+            "min_precision": 0.7, "n_bins": 10, "decimals": 2,
+        },
+    )
+    rows = {r.stage: r for r in audit.collect()}
+    assert list(rows) == [
+        "quality_gates", "classifier_gate", "near_dup_dedup",
+        "decontamination", "mixture_reweight",
+    ]
+    assert rows["classifier_gate"].rows_in == rows["quality_gates"].rows_out
+    assert rows["near_dup_dedup"].rows_in == rows["classifier_gate"].rows_out
+    # flagged (calibrated >= 0.7 at the 2dp grid) = the low-raw-score
+    # docs (bins 3 and 6 both calibrate above the cut): only doc_id % 3
+    # == 0 survivors remain
+    assert rows["classifier_gate"].rows_out < rows["classifier_gate"].rows_in
+    assert kept.where(F.col("doc_id") % 3 != 0).count() == 0
+    # drop_flagged=False keeps the flagged side instead
+    kept2, audit2 = curation.curate_corpus(
+        docs,
+        classifier_gate_kw={
+            "scores": scores, "fit": fit, "drop_flagged": False,
+            "min_precision": 0.7, "n_bins": 10, "decimals": 2,
+        },
+    )
+    assert kept2.where(F.col("doc_id") % 3 == 0).count() == 0
+    # coverage contract: a missing score raises loudly
+    with pytest.raises(ValueError, match="no classifier score"):
+        curation.curate_corpus(
+            docs,
+            classifier_gate_kw={
+                "scores": scores.where(F.col("doc_id") % 7 != 0),
+                "fit": fit, "min_precision": 0.7, "decimals": 2,
+            },
+        )
+    # ... and so does a double-scored doc
+    with pytest.raises(ValueError, match="duplicate ids"):
+        curation.curate_corpus(
+            docs,
+            classifier_gate_kw={
+                "scores": scores.unionByName(scores.limit(1)),
+                "fit": fit, "min_precision": 0.7, "decimals": 2,
+            },
+        )
