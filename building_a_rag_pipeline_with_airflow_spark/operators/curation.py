@@ -272,7 +272,10 @@ def curate_corpus(
        raises, it is an audit hole; ``fit`` = labeled (p, y) holdout;
        ``min_precision`` (+ optional n_bins/decimals) pass through;
        ``drop_flagged`` (default True) drops the positive class —
-       set False for keep-positive gates like a quality classifier);
+       set False for keep-positive gates like a quality classifier.
+       The coverage contract costs one id-grouped aggregate over the
+       score table plus one null probe of the join — the default IS
+       the stage's honest cost, the `table_diff` PK-check rule);
     3. near-dup clustering — keep one canonical doc per component
        (:func:`~.dedup.dedup_clusters`);
     4. :func:`decontaminate` against ``benchmark`` (skipped when None);
