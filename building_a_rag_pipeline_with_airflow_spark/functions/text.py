@@ -239,7 +239,8 @@ def try_tiktoken_udf():
     r10 re-checked — still ModuleNotFoundError; fallback unchanged.
     r11 re-checked — still ModuleNotFoundError; fallback unchanged.
     r12 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r13 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r13 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r14 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:

@@ -805,17 +805,27 @@ def classifier_gate(
     Returns ``(df + cal_col + keep_col, threshold)``. ``df`` needs no
     labels (production corpus); ``fit`` provides them. Scale shape: the
     fit/cut side is label-budget-scale; the production side is one
-    broadcast join + map — linear scan, no shuffle."""
+    broadcast join + map — linear scan, no shuffle.
+
+    ``keep_col`` semantics: True means the row is IN the thresholded
+    POSITIVE set (calibrated score at/above the cut) — i.e. the rows
+    the classifier FLAGS. Whether that set is retained or dropped is
+    the caller's polarity decision: a relevance gate keeps them, a
+    boilerplate gate (``curate_corpus``'s default ``drop_flagged=True``)
+    drops them. The name is the curve's convention (``n_kept`` counts
+    at-or-above-threshold rows), not a retention promise."""
     from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
 
     # fit the binned mapping ONCE (≤ n_bins rows, loud empty-fit raise)
     # and apply it to both frames through the one shared apply — fitting
-    # inside each calibrate call would scan the fit set once per frame
+    # inside each calibrate call would scan the fit set once per frame;
+    # who= threads this operator's name into the shared helpers' raises
     mapping_rows = evaluation._fit_binned_mapping_rows(
-        fit, prob_col, label_col, int(n_bins)
+        fit, prob_col, label_col, int(n_bins), who="classifier_gate"
     )
     applied_fit = evaluation._apply_binned_mapping(
-        fit, mapping_rows, prob_col, int(n_bins), cal_col
+        fit, mapping_rows, prob_col, int(n_bins), cal_col,
+        who="classifier_gate",
     )
     thr = evaluation.select_threshold(
         applied_fit, cal_col, label_col,
@@ -830,7 +840,8 @@ def classifier_gate(
             "operating points)"
         )
     applied = evaluation._apply_binned_mapping(
-        df, mapping_rows, prob_col, int(n_bins), cal_col
+        df, mapping_rows, prob_col, int(n_bins), cal_col,
+        who="classifier_gate",
     )
     scale = 10 ** int(decimals)
     return (

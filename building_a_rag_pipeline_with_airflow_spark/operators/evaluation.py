@@ -292,6 +292,8 @@ def fit_binned_calibration(
     prob_col: str,
     label_col: str,
     n_bins: int = 10,
+    *,
+    who: str = "fit_binned_calibration",
 ) -> DataFrame:
     """Histogram-binning calibration FIT (Zadrozny & Elkan 2001, the
     public recipe): the mapping table that turns a raw score into a
@@ -313,9 +315,13 @@ def fit_binned_calibration(
     loop closes over one shared binning.
 
     Scale shape: one linear scan + an ``n_bins``-row hash aggregate —
-    the same partials the report already pays; nothing new shuffles."""
+    the same partials the report already pays; nothing new shuffles.
+    ``who`` names the calling operator in guard diagnostics (threaded
+    from ``curation.classifier_gate`` so a bad score/label surfaces as
+    the operator the user actually invoked — the ``_threshold_partials``
+    rule)."""
     return _calibration_partials(
-        fit, prob_col, label_col, n_bins, who="fit_binned_calibration"
+        fit, prob_col, label_col, n_bins, who=who
     ).select(
         "bin",
         F.col("n").alias("n_fit"),
@@ -416,7 +422,11 @@ def calibrate_probabilities(
 
 
 def _fit_binned_mapping_rows(
-    fit: DataFrame, prob_col: str, label_col: str, n_bins: int
+    fit: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int,
+    who: str = "calibrate_probabilities",
 ) -> list:
     """Fit + driver-side collect of the binned mapping (≤ n_bins rows BY
     CONSTRUCTION — metadata-scale), raising loudly on an empty fit set:
@@ -424,13 +434,16 @@ def _fit_binned_mapping_rows(
     the raw scores relabeled as calibrated. Shared by
     :func:`calibrate_probabilities` and ``curation.classifier_gate``
     (which applies ONE fit to both its holdout and production frames —
-    fitting per-apply would scan the fit set once per frame)."""
+    fitting per-apply would scan the fit set once per frame). ``who``
+    names the calling operator in the empty-fit raise and the guard
+    diagnostics, so a failure through the gate reads ``classifier_gate:
+    ...``, not the helper it happened to share."""
     mapping_rows = fit_binned_calibration(
-        fit, prob_col, label_col, n_bins
+        fit, prob_col, label_col, n_bins, who=who
     ).collect()
     if not mapping_rows:
         raise ValueError(
-            "calibrate_probabilities: the fit set is empty — every "
+            f"{who}: the fit set is empty — every "
             "bin would fall back to identity and the 'calibrated' "
             "scores would just be the raw scores; fit on a "
             "non-empty labeled holdout"
@@ -444,15 +457,17 @@ def _apply_binned_mapping(
     prob_col: str,
     n_bins: int,
     out_col: str,
+    who: str = "calibrate_probabilities",
 ) -> DataFrame:
     """Apply a collected binned mapping: broadcast ≤ n_bins-row hash
     join on the bin id — map-side, ZERO shuffle — with the documented
     identity fallback for bins absent from the fit. The ONE apply
     implementation (the `_calibration_partials` shared-core rule), so
     the gate's verdict column and the calibrated report can never bin
-    or fall back differently."""
+    or fall back differently. ``who`` threads the calling operator's
+    name into the score guard's diagnostics."""
     nb = int(n_bins)
-    p_ok = _prob_guard(prob_col, who="calibrate_probabilities")
+    p_ok = _prob_guard(prob_col, who=who)
     mapping = df.sparkSession.createDataFrame(
         [(int(r["bin"]), float(r["p_cal"])) for r in mapping_rows],
         "_cal_bin int, _cal_p double",

@@ -2730,7 +2730,18 @@ _CLASSIFIER_GATE_SQL = """
       FROM tgrid
     ),
     pick AS (
-      SELECT min(threshold) AS thr FROM cum
+      -- coalesce(NULL, error(...)) fails LOUDLY when no grid threshold
+      -- reaches the floor, mirroring classifier_gate's ValueError: the
+      -- Spark side raises on an unreachable floor, so a silent NULL
+      -- here (pc >= NULL -> nothing flagged, everything retained)
+      -- would let the two sides diverge on the same drifted corpus.
+      -- DuckDB short-circuits coalesce, so error() never fires when a
+      -- qualifying threshold exists.
+      SELECT coalesce(
+               min(threshold),
+               error('classifier_gate: no grid threshold reaches the '
+                     || 'precision floor')) AS thr
+      FROM cum
       WHERE kept_pos::DOUBLE / n_kept >= 0.9::DOUBLE
     ),
     prod AS (

@@ -177,3 +177,28 @@ def test_curate_corpus_classifier_gate_stage(spark, sf_dir):
                 "fit": fit, "min_precision": 0.7, "decimals": 2,
             },
         )
+
+
+def test_classifier_gate_error_attribution(spark):
+    """Failures raised through classifier_gate's shared fit/apply
+    helpers name THIS operator, not calibrate_probabilities (the
+    `who` threading — a misattributed diagnostic sends the user to an
+    operator they never called): empty fit set and an out-of-range
+    production score both read `classifier_gate: ...`."""
+    prod = spark.createDataFrame([(0.5,)], "p double")
+    empty_fit = spark.createDataFrame([], "p double, y int")
+    with pytest.raises(ValueError, match=r"classifier_gate: the fit set"):
+        curation.classifier_gate(
+            prod, empty_fit, "p", "y", min_precision=0.5
+        )
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    bad_prod = spark.createDataFrame([(1.5,)], "p double")
+    with pytest.raises(
+        (PythonException, SparkRuntimeException, Exception),
+        match="classifier_gate",
+    ):
+        curation.classifier_gate(
+            bad_prod, _miscalibrated_fit(spark), "p", "y",
+            min_precision=0.7, decimals=2,
+        )[0].collect()
