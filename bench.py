@@ -359,6 +359,46 @@ r13 notes:
   number of record is whatever BENCH_r13.json publishes; adjudicate
   per-row against SOLO_ANCHOR_r13.json first.
 
+r14 notes:
+
+* SOLO-ANCHOR MAINTENANCE PROTOCOL (r13 judge directive #3, the r14+
+  rule of record): re-anchor ONLY rows whose physical plan actually
+  changed that round — one quiet session, the same
+  1-untimed-warm + best-of-3 method scripts/solo_anchor.py documents —
+  and APPEND the re-anchored rows to the anchor file with the old and
+  new values side by side (never rewrite unchanged rows: a
+  fully-regenerated table re-samples every row's noise and decays the
+  anchor into a second interleaved ledger). Rows whose plans are
+  untouched keep their existing anchor verbatim, whatever the current
+  session would read. A NEW headline row gets its first anchor the
+  round it lands, in the same quiet session as any re-anchors.
+* r14 re-anchor audit: ZERO rows owed — this round's diff (classifier
+  gate error attribution, the audit_checksum opt-in, the 5-stage
+  composition oracle, the rotation tables) touches no benched row's
+  plan; classifier_gated_curation's Spark plan is byte-untouched (only
+  its DuckDB oracle string gained the loud-fail pick).
+  SOLO_ANCHOR_r13.json remains the anchor table of record.
+* Curation tail swap: the per-round end-to-end composition timing now
+  runs curate_corpus_gated_audit (JSON key curate_corpus_gated_e2e_s)
+  — the 5-stage gates → classifier gate → dedup → decontamination →
+  mixture lineage with per-stage id_xor audit — superseding the
+  4-stage curate_corpus_audit tail (a strict subset; its stages remain
+  individually benched as headline rows). Cost delta ~+4 s on the
+  ~28 s composition (the NB score pass is the benched nb_lang_classify
+  shape; the gate stages are metadata-scale). Round-over-round: compare
+  gated-vs-gated from r14 on; the last 4-stage reading is r13's
+  curate_corpus_e2e_s.
+* Capstone scale check at the REAL deployment shape (r13 judge
+  directive #4; scripts/scale_check_r14.py at sf0.1, best-of-3 warm,
+  own session): the labeled holdout FIXED at 1× (1000 docs, natural
+  4.9% positive rate — never rebalanced) while production replicates
+  1×/5×/25× (disjoint ids): score stage 0.08 → 0.19 s (the data-scale
+  scan), fit+threshold-pick FLAT 1.02/0.79/0.86 s (they only ever see
+  the fixed holdout), production stamp 0.36/0.27/0.29 s (broadcast
+  bin-lookup + map), threshold 1.0 and flagged = 42×mult at every
+  scale — the 0.9 precision floor stays reachable at skew, no
+  empty-bin or unreachable-floor path triggered.
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
@@ -819,13 +859,21 @@ def main() -> None:
         times[name] = sorted(runs)[(len(runs) - 1) // 2]
 
     # one end-to-end curation composition timing per round (tail note —
-    # deliberately not a headline row, see the budget rationale above)
+    # deliberately not a headline row, see the budget rationale above).
+    # r14+: the GATED 5-stage composition supersedes the 4-stage
+    # curate_corpus_audit here — same four stages plus the classifier
+    # gate and the per-stage id_xor audit, so one tail run covers the
+    # whole release lineage (~+4 s on the ~28 s composition; see the
+    # r14 notes).
     try:
         t0 = time.time()
-        REGISTRY["curate_corpus_audit"][0](spark, sf_dir).collect()
+        REGISTRY["curate_corpus_gated_audit"][0](spark, sf_dir).collect()
         curate_e2e = round(time.time() - t0, 2)
     except Exception as exc:
-        print(f"bench: curate_corpus_audit tail run failed: {exc}", file=sys.stderr)
+        print(
+            f"bench: curate_corpus_gated_audit tail run failed: {exc}",
+            file=sys.stderr,
+        )
         curate_e2e = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
@@ -872,7 +920,11 @@ def main() -> None:
 
     # curation tail line + compact line must BOTH fit the driver's
     # ~2000-char stdout tail; keep the pair under budget
-    print(json.dumps({"curate_corpus_e2e_s": curate_e2e}, separators=(",", ":")))
+    print(
+        json.dumps(
+            {"curate_corpus_gated_e2e_s": curate_e2e}, separators=(",", ":")
+        )
+    )
     budget = 1880
     line = compact_line({n: round(t, 2) for n, t in times.items()})
     if len(line) > budget:
