@@ -60,7 +60,8 @@ these, not the interleaved swings.
 
 Curation composition (judge directive #7): the full `curate_corpus`
 end-to-end cost is measured ONCE per bench run and printed as its own tail
-line ("curate_corpus_e2e_s") right before the compact line — visible every
+line ("curate_corpus_e2e_s" through r13; "curate_corpus_gated_e2e_s" — the
+5-stage gated lineage — since r14) right before the compact line — visible every
 round without spending 3 interleaved headline slots (~30 s/run, the budget
 rationale above the headline list stands). The r8 `release_cycle_report`
 capstone stays OUT of HEADLINE for the same budget rule: it runs the

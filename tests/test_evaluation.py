@@ -416,19 +416,23 @@ def test_calibrate_out_col_replacement_consistent_across_methods(spark):
 
 
 def test_fit_side_guard_errors_name_the_fit_not_the_report(spark):
-    """A bad FIT row must blame the fit path, not 'calibration_report'
-    (a function the caller never invoked) — the who-attribution the
-    guards exist to provide."""
+    """A bad FIT row must blame the operator the caller INVOKED, never
+    'calibration_report' (a function they never called) — the
+    who-attribution the guards exist to provide. Since r14 the binned
+    path threads the public entry point's name through the shared
+    fit/apply helpers (so classifier_gate failures read
+    'classifier_gate', pinned in test_curation.py), which means BOTH
+    methods here blame 'calibrate_probabilities'; a direct
+    fit_binned_calibration call keeps its own name."""
     bad_fit = spark.createDataFrame([(1.5, 1)], "p double, y int")
     probe = spark.createDataFrame([(0.5, 0)], "p double, y int")
+    for method in ("binned", "isotonic"):
+        with pytest.raises(Exception, match="calibrate_probabilities"):
+            evaluation.calibrate_probabilities(
+                probe, bad_fit, "p", "y", method=method
+            )
     with pytest.raises(Exception, match="fit_binned_calibration"):
-        evaluation.calibrate_probabilities(
-            probe, bad_fit, "p", "y", method="binned"
-        )
-    with pytest.raises(Exception, match="calibrate_probabilities"):
-        evaluation.calibrate_probabilities(
-            probe, bad_fit, "p", "y", method="isotonic"
-        )
+        evaluation.fit_binned_calibration(bad_fit, "p", "y").collect()
 
 
 def test_calibrate_in_place_out_col_equals_prob_col(spark):
