@@ -77,3 +77,30 @@ def test_entry_smoke(spark):
     assert "rank" in df.columns and "score" in df.columns
     # oracle keys must be a subset of query keys
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_invariants():
+    """The rotation window the driver actually checks (the FIRST 50
+    all_queries() entries) must be exactly the enumerated round window:
+    50 unique registered names, every one oracle-bearing (a rows-only
+    entry in the window would burn a correctness slot on a weaker
+    check). Guards the rotation mechanism itself — a typo'd window name
+    or a rows-only slip would otherwise surface one round late in
+    CORRECTNESS_r{N}.json."""
+    from building_a_rag_pipeline_with_airflow_spark.queries import (
+        _NEW_R14,
+        _R14_WINDOW,
+        all_queries,
+    )
+
+    window = _R14_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    missing = [n for n in window if n not in REGISTRY]
+    assert not missing, f"window names not in registry: {missing}"
+    rows_only = [n for n in window if REGISTRY[n][1] is None]
+    assert not rows_only, f"rows-only entries in the window: {rows_only}"
+    first50 = list(all_queries())[:50]
+    assert set(first50) == set(window)
+    # the post-freeze queue only ever holds oracle-bearing names
+    assert all(n in REGISTRY and REGISTRY[n][1] is not None for n in _NEW_R14)
