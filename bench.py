@@ -400,6 +400,19 @@ r14 notes:
   scale — the 0.9 precision floor stays reachable at skew, no
   empty-bin or unreachable-floor path triggered.
 
+* r14 CLOSING builder-side observation (quiet host, full 3-round
+  interleaved medians): total 146.6 s over 123 rows; the 61-row
+  common roster vs BENCH_r13's published compact line reads 121.6 →
+  113.8 s (−6%, spread across untouched JVM-only plans — the quiet-host
+  side of the session-noise band, nothing concentrated), with zero
+  >0.5 s upward movers (largest: ivf_topk_cosine +0.26 s, inside its
+  band). curate_corpus_gated_e2e_s first reading: 27.73 s (vs the
+  r13 4-stage tail's 27.2-28.3 warm band +  the predicted ~+4 s NB/gate
+  increment netting against this session's quieter dedup stages). The
+  r14 number of record is whatever BENCH_r14.json publishes;
+  adjudicate per-row against SOLO_ANCHOR_r13.json (still the anchor
+  table of record — zero plans changed).
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
