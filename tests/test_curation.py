@@ -245,3 +245,134 @@ def test_release_corpus_with_classifier_gate(spark, sf_dir, tmp_path):
     # the released id set matches the audit's final fingerprint
     xor = released.agg(F.bit_xor("doc_id")).collect()[0][0] or 0
     assert int(xor) == audit["mixture_reweight"].id_xor
+
+
+# ---------------------------------------------------------------------
+# Randomized differential check of classifier_gate against a pure-Python
+# reference (seeded — deterministic across runs): the hand-computed pins
+# above fix small exact cases; this cross-validates bin assignment, the
+# 6dp fixed-point bin rates, identity fallback for unfit bins, the
+# lowest-qualifying threshold pick on the EXACT ratio, and the
+# grid-rounded stamp over messier inputs (grid-half boundaries, 0/1
+# edges, heavy ties) than fixtures enumerate. Rounding replicates
+# Spark's F.round semantics: BigDecimal.valueOf(double) HALF_UP.
+
+
+def _rhu(x: float) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _ref_gate(fit_rows, prod_ps, min_precision, n_bins=10, decimals=2):
+    """Pure-Python classifier_gate: returns (thr_or_None, [keep bools])."""
+    import math
+
+    def bin_of(p):
+        return min(int(math.floor(p * n_bins)), n_bins - 1)
+
+    agg = {}
+    for p, y in fit_rows:
+        n, s = agg.get(bin_of(p), (0, 0))
+        agg[bin_of(p)] = (n + 1, s + y)
+    mapping = {b: _rhu(s / n * 1_000_000) / 1_000_000 for b, (n, s) in agg.items()}
+
+    def cal(p):
+        return mapping.get(bin_of(p), p)
+
+    scale = 10 ** decimals
+    grid = {}
+    for p, y in fit_rows:
+        t = _rhu(cal(p) * scale) / scale
+        n, s = grid.get(t, (0, 0))
+        grid[t] = (n + 1, s + y)
+    thr, n_kept, kept_pos = None, 0, 0
+    for t in sorted(grid, reverse=True):
+        n, s = grid[t]
+        n_kept += n
+        kept_pos += s
+        if kept_pos / n_kept >= min_precision:
+            thr = t  # keep scanning down: LOWEST qualifying cut wins
+    if thr is None:
+        return None, None
+    return thr, [(_rhu(cal(p) * scale) / scale) >= thr for p in prod_ps]
+
+
+def _messy_p(rng):
+    kind = rng.random()
+    if kind < 0.5:
+        return rng.random()
+    if kind < 0.7:
+        return (rng.randrange(0, 100) + 0.5) / 100  # 2dp half-boundary
+    if kind < 0.85:
+        return rng.choice([0.0, 1.0, 0.25, 0.25, 0.75])  # edges + ties
+    return rng.randrange(0, 1001) / 1000
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_classifier_gate_matches_python_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    fit_rows = [(float(_messy_p(rng)), rng.randrange(0, 2)) for _ in range(120)]
+    prod_ps = [float(_messy_p(rng)) for _ in range(80)]
+    fit = spark.createDataFrame(fit_rows, "p double, y int")
+    prod = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prod_ps)], "row_id int, p double"
+    )
+    for floor in (0.3, 0.6, 0.9, 0.999):
+        ref_thr, ref_keep = _ref_gate(fit_rows, prod_ps, floor)
+        if ref_thr is None:
+            with pytest.raises(ValueError, match="min_precision"):
+                curation.classifier_gate(
+                    prod, fit, "p", "y",
+                    min_precision=floor, n_bins=10, decimals=2,
+                )
+            continue
+        gated, thr = curation.classifier_gate(
+            prod, fit, "p", "y", min_precision=floor, n_bins=10, decimals=2
+        )
+        assert thr == ref_thr, f"seed={seed} floor={floor}"
+        got = {r["row_id"]: r["keep"] for r in gated.collect()}
+        assert got == dict(enumerate(ref_keep)), f"seed={seed} floor={floor}"
+
+
+def test_classifier_gate_stamp_is_broadcast_map(spark, sf_dir):
+    """The production stamp's plan shape at scale: the ≤n_bins mapping
+    joins as a BroadcastHashJoin and the production side is NEVER
+    hash-partition shuffled — the data-scale path is one scan + map
+    (the operator's 100 TB contract, pinned like the rerank plan)."""
+    import contextlib
+    import io as _io
+
+    fit = _miscalibrated_fit(spark)
+    prod = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", ((F.col("doc_id") % 100) / 100.0).alias("p")
+    )
+    gated, _thr = curation.classifier_gate(
+        prod, fit, "p", "y", min_precision=0.7, n_bins=10, decimals=2
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gated.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_curate_corpus_checksum_empty_survivor_set(spark, sf_dir):
+    """audit_checksum over a stage that drops EVERYTHING: decontaminating
+    against the corpus itself empties the released set, and the xor
+    fingerprint of an empty survivor set is 0 on both engines (the
+    coalesce the oracle mirrors), not NULL or a crash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept, audit = curation.curate_corpus(
+        docs, benchmark=docs, audit_checksum=True
+    )
+    rows = {r.stage: r for r in audit.collect()}
+    assert rows["decontamination"].rows_out == 0
+    assert rows["decontamination"].id_xor == 0
+    assert rows["mixture_reweight"].id_xor == 0
+    assert kept.count() == 0
