@@ -372,7 +372,11 @@ r14 notes:
   anchor into a second interleaved ledger). Rows whose plans are
   untouched keep their existing anchor verbatim, whatever the current
   session would read. A NEW headline row gets its first anchor the
-  round it lands, in the same quiet session as any re-anchors.
+  round it lands, in the same quiet session as any re-anchors. The
+  protocol is EXECUTABLE: ``python scripts/solo_anchor.py <N> --only
+  rowA,rowB`` re-measures just those rows, carries everything else
+  verbatim from the latest anchor table, and stamps each re-anchored
+  row with reanchored_r + prev_solo_best3 (old/new side by side).
 * r14 re-anchor audit: ZERO rows owed — this round's diff (classifier
   gate error attribution, the audit_checksum opt-in, the 5-stage
   composition oracle, the rotation tables) touches no benched row's

@@ -15,11 +15,24 @@ future round classifies a >0.5 s interleaved-median mover in one
 lookup: if its solo anchor is flat on unchanged code, the move is
 session noise; re-anchor only when the plan actually changes.
 
-Run solo on a quiet host: ``python scripts/solo_anchor.py [round_no]``.
+MAINTENANCE MODE (the r14 protocol, bench.py r14 notes): a full
+regeneration re-samples every row's noise and decays the anchor into a
+second interleaved ledger, so from r14 on rounds re-anchor ONLY the
+rows whose plans actually changed::
+
+    python scripts/solo_anchor.py 15 --only rowA,rowB
+
+carries every other row VERBATIM from the latest existing
+``SOLO_ANCHOR_r*.json`` and stamps each re-measured row with
+``reanchored_r`` and ``prev_solo_best3`` — the old and new values side
+by side, append-don't-rewrite. A NEW headline row (no prior anchor)
+gets ``prev_solo_best3: null``. Run solo on a quiet host either way:
+``python scripts/solo_anchor.py [round_no] [--only a,b,...]``.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -29,9 +42,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # noqa: E402  (the one roster, never a copy)
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_anchor_path() -> "str | None":
+    files = glob.glob(os.path.join(REPO, "SOLO_ANCHOR_r*.json"))
+    if not files:
+        return None
+    return max(
+        files,
+        key=lambda p: int(
+            os.path.basename(p).split("_r")[1].split(".")[0]
+        ),
+    )
+
 
 def main() -> None:
-    round_no = sys.argv[1] if len(sys.argv) > 1 else "13"
+    args = list(sys.argv[1:])
+    only: "list[str] | None" = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = [s for s in args[i + 1].split(",") if s]
+        del args[i : i + 2]
+    round_no = args[0] if args else "14"
+
+    prior: "dict | None" = None
+    if only is not None:
+        unknown = sorted(set(only) - set(HEADLINE))
+        if unknown:
+            print(
+                f"solo_anchor: --only names not in HEADLINE: {unknown}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        prior_path = _latest_anchor_path()
+        if prior_path is None:
+            print(
+                "solo_anchor: --only needs an existing anchor table to "
+                "carry forward; run a full pass first",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        prior = json.load(open(prior_path))
+        roster = [n for n in HEADLINE if n in set(only)]
+    else:
+        roster = list(HEADLINE)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from building_a_rag_pipeline_with_airflow_spark import get_spark
     from building_a_rag_pipeline_with_airflow_spark.queries import REGISTRY
@@ -59,7 +115,7 @@ def main() -> None:
 
     anchors: dict[str, dict] = {}
     t_session = time.time()
-    for name in HEADLINE:
+    for name in roster:
         fn, _ = REGISTRY[name]
         try:
             fn(spark, sf_dir).collect()  # untimed warm pass (plan/JIT)
@@ -73,25 +129,48 @@ def main() -> None:
             anchors[name] = {"solo_best3": -1.0, "error": str(exc)[:200]}
             print(f"solo_anchor: {name} failed: {exc}", file=sys.stderr)
 
-    out = {
-        "round": round_no,
-        "sf_dir": sf_dir,
-        "methodology": (
+    if prior is not None:
+        merged = dict(prior["queries"])  # unchanged rows carried VERBATIM
+        for name, a in anchors.items():
+            stamped = dict(a)
+            stamped["reanchored_r"] = round_no
+            stamped["prev_solo_best3"] = merged.get(name, {}).get(
+                "solo_best3"
+            )
+            merged[name] = stamped
+        queries_out = merged
+        methodology = (
+            "MAINTENANCE pass (bench.py r14 protocol): only the listed "
+            "rows re-measured (1 untimed warm + 3 timed back-to-back "
+            "runs, anchor = min) in ONE quiet session; every other row "
+            "carried verbatim from the prior anchor table; re-anchored "
+            "rows carry reanchored_r + prev_solo_best3"
+        )
+    else:
+        queries_out = anchors
+        methodology = (
             "per query: 1 untimed warm pass + 3 timed back-to-back runs "
             "in ONE quiet session, anchor = min of the 3 (noise only "
             "inflates); rows run consecutively in HEADLINE order"
-        ),
+        )
+
+    out = {
+        "round": round_no,
+        "sf_dir": sf_dir,
+        "methodology": methodology,
+        "reanchored_only": only,
         "session_wall_s": round(time.time() - t_session, 1),
         "anchor_total_s": round(
-            sum(a["solo_best3"] for a in anchors.values() if a["solo_best3"] >= 0),
+            sum(
+                a["solo_best3"]
+                for a in queries_out.values()
+                if a["solo_best3"] >= 0
+            ),
             1,
         ),
-        "queries": anchors,
+        "queries": queries_out,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"SOLO_ANCHOR_r{round_no}.json",
-    )
+    path = os.path.join(REPO, f"SOLO_ANCHOR_r{round_no}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"solo_anchor_total_s": out["anchor_total_s"],
