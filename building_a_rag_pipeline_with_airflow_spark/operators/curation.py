@@ -315,15 +315,34 @@ def curate_corpus(
     spark = df.sparkSession
     stages: list[tuple] = []
 
-    def _set_xor(frame: DataFrame) -> "int | None":
-        # order-independent fingerprint of the surviving id set; one
-        # single-row aggregate over the stage's checkpointed frame
+    if audit_checksum:
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            xor_key = F.col(id_col).cast("bigint")
+        else:
+            # generic ids (string/UUID/decimal): the module's canonical
+            # portable 60-bit md5 slice — a bigint cast would raise
+            # CAST_INVALID_INPUT under ANSI (mid-pipeline, after the
+            # gates already ran) or silently zero every fingerprint
+            # with ANSI off, the exact degeneracy the checksum exists
+            # to catch
+            from building_a_rag_pipeline_with_airflow_spark.operators.sampling import (
+                _md5_slice60,
+            )
+
+            xor_key = _md5_slice60(F.col(id_col).cast("string"))
+
+    def _stage_stats(frame: DataFrame) -> "tuple[int, int | None]":
+        # stage row count + (optionally) the order-independent xor
+        # fingerprint of the surviving id set, in ONE aggregate — two
+        # separate actions would scan the stage's checkpointed output
+        # twice (and at the 100 TB storage-checkpoint shape, re-read it)
         if not audit_checksum:
-            return None
+            return frame.count(), None
         row = frame.agg(
-            F.bit_xor(F.col(id_col).cast("bigint")).alias("x")
+            F.count(F.lit(1)).alias("n"), F.bit_xor(xor_key).alias("x")
         ).collect()[0]
-        return int(row["x"]) if row["x"] is not None else 0
+        return int(row["n"]), (int(row["x"]) if row["x"] is not None else 0)
 
     # Each stage output is CHECKPOINTED, not just counted: the stage
     # counts force materialization anyway, and without truncation stage
@@ -340,8 +359,8 @@ def curate_corpus(
     kept = df.join(
         gates.where(F.col("keep")).select(id_col), id_col, "left_semi"
     ).localCheckpoint(eager=True)
-    n1 = kept.count()
-    stages.append(("quality_gates", n0, n1, _set_xor(kept)))
+    n1, x1 = _stage_stats(kept)
+    stages.append(("quality_gates", n0, n1, x1))
 
     if classifier_gate_kw is not None:
         cfg = dict(classifier_gate_kw)
@@ -388,8 +407,8 @@ def curate_corpus(
             eager=True
         )
         release_checkpoint(prev)
-        n1b = kept.count()
-        stages.append(("classifier_gate", n1, n1b, _set_xor(kept)))
+        n1b, x1b = _stage_stats(kept)
+        stages.append(("classifier_gate", n1, n1b, x1b))
         n1 = n1b
 
     clusters = dedup_clusters(
@@ -399,8 +418,8 @@ def curate_corpus(
     prev = kept
     kept = kept.join(dupes, id_col, "left_anti").localCheckpoint(eager=True)
     release_checkpoint(prev)
-    n2 = kept.count()
-    stages.append(("near_dup_dedup", n1, n2, _set_xor(kept)))
+    n2, x2 = _stage_stats(kept)
+    stages.append(("near_dup_dedup", n1, n2, x2))
 
     if benchmark is not None:
         contaminated = (
@@ -413,8 +432,8 @@ def curate_corpus(
             eager=True
         )
         release_checkpoint(prev)
-    n3 = kept.count()
-    stages.append(("decontamination", n2, n3, _set_xor(kept)))
+    n3, x3 = _stage_stats(kept)
+    stages.append(("decontamination", n2, n3, x3))
 
     if mixture_weights is not None:
         sampled, _plan = mixture_reweight(
@@ -423,8 +442,8 @@ def curate_corpus(
         prev = kept
         kept = sampled.localCheckpoint(eager=True)
         release_checkpoint(prev)
-    n4 = kept.count()
-    stages.append(("mixture_reweight", n3, n4, _set_xor(kept)))
+    n4, x4 = _stage_stats(kept)
+    stages.append(("mixture_reweight", n3, n4, x4))
 
     if audit_checksum:
         audit = spark.createDataFrame(

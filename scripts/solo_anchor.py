@@ -46,15 +46,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _latest_anchor_path() -> "str | None":
-    files = glob.glob(os.path.join(REPO, "SOLO_ANCHOR_r*.json"))
-    if not files:
-        return None
-    return max(
-        files,
-        key=lambda p: int(
-            os.path.basename(p).split("_r")[1].split(".")[0]
-        ),
-    )
+    import re
+
+    rounds = {}
+    for f in glob.glob(os.path.join(REPO, "SOLO_ANCHOR_r*.json")):
+        m = re.fullmatch(r"SOLO_ANCHOR_r(\d+)\.json", os.path.basename(f))
+        if m:  # stray copies (e.g. _backup suffixes) are not tables
+            rounds[int(m.group(1))] = f
+    return rounds[max(rounds)] if rounds else None
 
 
 def main() -> None:
@@ -130,21 +129,51 @@ def main() -> None:
             print(f"solo_anchor: {name} failed: {exc}", file=sys.stderr)
 
     if prior is not None:
-        merged = dict(prior["queries"])  # unchanged rows carried VERBATIM
+        # roster hygiene: carry only rows still in HEADLINE (a retired
+        # row's stale timing would inflate anchor_total_s forever), and
+        # WARN about headline rows with no anchor at all — a new row the
+        # operator forgot to list stays visible instead of silently
+        # unanchored
+        merged = {
+            n: v for n, v in prior["queries"].items() if n in set(HEADLINE)
+        }
         for name, a in anchors.items():
+            if a["solo_best3"] < 0 and name in merged:
+                # a failed re-measure must NOT overwrite a good anchor:
+                # keep the prior row, record the failure beside it
+                kept_row = dict(merged[name])
+                kept_row["reanchor_failed_r"] = round_no
+                kept_row["reanchor_error"] = a.get("error", "")[:200]
+                merged[name] = kept_row
+                print(
+                    f"solo_anchor: {name} re-measure failed; prior "
+                    "anchor kept",
+                    file=sys.stderr,
+                )
+                continue
             stamped = dict(a)
             stamped["reanchored_r"] = round_no
             stamped["prev_solo_best3"] = merged.get(name, {}).get(
                 "solo_best3"
             )
             merged[name] = stamped
+        unanchored = sorted(set(HEADLINE) - set(merged))
+        if unanchored:
+            print(
+                f"solo_anchor: HEADLINE rows with NO anchor (new rows "
+                f"missing from --only?): {unanchored}",
+                file=sys.stderr,
+            )
         queries_out = merged
         methodology = (
             "MAINTENANCE pass (bench.py r14 protocol): only the listed "
             "rows re-measured (1 untimed warm + 3 timed back-to-back "
-            "runs, anchor = min) in ONE quiet session; every other row "
-            "carried verbatim from the prior anchor table; re-anchored "
-            "rows carry reanchored_r + prev_solo_best3"
+            "runs, anchor = min) in ONE quiet session; every other "
+            "CURRENT-HEADLINE row carried verbatim from the prior anchor "
+            "table (retired rows dropped); re-anchored rows carry "
+            "reanchored_r + prev_solo_best3; anchor_total_s therefore "
+            "mixes sessions — it describes the roster, per-ROW deltas "
+            "are the comparison unit"
         )
     else:
         queries_out = anchors

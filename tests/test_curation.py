@@ -195,7 +195,7 @@ def test_classifier_gate_error_attribution(spark):
 
     bad_prod = spark.createDataFrame([(1.5,)], "p double")
     with pytest.raises(
-        (PythonException, SparkRuntimeException, Exception),
+        (PythonException, SparkRuntimeException),
         match="classifier_gate",
     ):
         curation.classifier_gate(
@@ -376,3 +376,28 @@ def test_curate_corpus_checksum_empty_survivor_set(spark, sf_dir):
     assert rows["decontamination"].id_xor == 0
     assert rows["mixture_reweight"].id_xor == 0
     assert kept.count() == 0
+
+
+def test_curate_corpus_checksum_string_ids(spark):
+    """audit_checksum over a NON-numeric id column: the fingerprint key
+    falls back to the canonical portable 60-bit md5 slice instead of a
+    bigint cast (which would raise CAST_INVALID_INPUT under ANSI
+    mid-pipeline, or silently zero every fingerprint with ANSI off) —
+    verified against a hand-computed xor of the surviving ids."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "the and " + " ".join(
+            f"w{i}tok{j}" for j in range(38))) for i in range(4)],
+        "doc_id string, text string",
+    )
+    kept, audit = curation.curate_corpus(
+        docs, near_dup_threshold=0.99, audit_checksum=True
+    )
+    surviving = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert surviving  # the gates keep these 40-word docs
+    expect = 0
+    for s in surviving:
+        expect ^= int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    rows = {r.stage: r for r in audit.collect()}
+    assert rows["mixture_reweight"].id_xor == expect
