@@ -2647,104 +2647,107 @@ def gate_state_health_report(spark, sf_dir):
 # literals are ::DOUBLE-pinned (DuckDB evaluates bare decimals in exact
 # decimal arithmetic). The threshold pick uses the UNROUNDED kept-
 # positive ratio, mirroring `evaluation.select_threshold`.
-_CLASSIFIER_GATE_SQL = """
-    WITH lab0 AS (
-      SELECT doc_id, lang, text,
-             CASE WHEN list_contains(
-                    string_split_regex(lower(trim(text)), '\\s+'), 'dup')
-                  THEN 1 ELSE 0 END AS y
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    train AS (
-      SELECT doc_id, CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl, text
-      FROM lab0 WHERE doc_id % 5 <= 2
-    ),
-    sc AS (SELECT doc_id, lang, y, text FROM lab0 WHERE doc_id % 5 >= 3),
-    lab_tok AS (
-      SELECT lbl, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
-      FROM (SELECT lbl,
+def _nb_gate_chain_ctes(
+    pre: str, lab: str, sc_where: str, prob_extra: str, floor: str
+) -> str:
+    """The NB-train → algebraic-sigmoid → binned-calibration-fit →
+    precision-floor-pick CTE chain, ONE text shared by the capstone
+    oracle (`_CLASSIFIER_GATE_SQL`: unprefixed, scores the mod-5 ≥ 3
+    slice, carries lang for the audit) and the gated-composition oracle
+    (`_CURATE_CLF_STAGE_CTES`: clf_-prefixed, scores EVERY doc) — the
+    shared-core rule applied to oracle SQL, so the smoothing constant,
+    token hashing, sigmoid, binning, grid round, and the loud
+    unreachable-floor error() can never drift between the two chains.
+    ``lab`` names a CTE with (doc_id, text, y[, ...]); ``sc_where``
+    selects the scored population; ``prob_extra`` appends label-side
+    columns to the score table; ``floor`` is the precision-floor
+    literal. Decimal literals stay ::DOUBLE-pinned (DuckDB evaluates
+    bare decimals in exact decimal arithmetic); the sigmoid is the
+    ALGEBRAIC form (`curation.margin_to_probability` documents why
+    exp-based softmax would break bit parity)."""
+    p = pre
+    return f"""    {p}lab_tok AS (
+      SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      FROM (SELECT y,
                    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM train)
+            FROM {lab} WHERE doc_id % 5 <= 2)
     ),
-    sc_tok AS (
+    {p}sc_tok AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
       FROM (SELECT doc_id,
                    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM sc)
+            FROM {lab} WHERE {sc_where})
     ),
-    cls_tok AS (
+    {p}cls_tok AS (
       SELECT lbl, b, CAST(count(*) AS BIGINT) AS n_lb
-      FROM lab_tok GROUP BY lbl, b
+      FROM {p}lab_tok GROUP BY lbl, b
     ),
-    cls_tot AS (
-      SELECT lbl, CAST(count(*) AS DOUBLE) AS n_l FROM lab_tok GROUP BY lbl
+    {p}cls_tot AS (
+      SELECT lbl, CAST(count(*) AS DOUBLE) AS n_l FROM {p}lab_tok GROUP BY lbl
     ),
-    prior AS (
+    {p}prior AS (
       SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
              CAST(count(*) AS DOUBLE) AS n_docs
-      FROM lab0 WHERE doc_id % 5 <= 2 GROUP BY 1
+      FROM {lab} WHERE doc_id % 5 <= 2 GROUP BY 1
     ),
-    prior2 AS (
-      SELECT lbl, ln(n_docs / (SELECT sum(n_docs) FROM prior)) AS log_prior
-      FROM prior
+    {p}prior2 AS (
+      SELECT lbl, ln(n_docs / (SELECT sum(n_docs) FROM {p}prior)) AS log_prior
+      FROM {p}prior
     ),
-    buckets AS (SELECT DISTINCT b FROM sc_tok),
-    grid AS (
-      SELECT buckets.b, cls_tot.lbl,
+    {p}buckets AS (SELECT DISTINCT b FROM {p}sc_tok),
+    {p}grid AS (
+      SELECT {p}buckets.b, {p}cls_tot.lbl,
              ln((coalesce(n_lb, 0) + 0.05::DOUBLE)
                 / (n_l + 0.05::DOUBLE * 1024)) AS log_p
-      FROM buckets CROSS JOIN cls_tot
-      LEFT JOIN cls_tok
-        ON cls_tok.b = buckets.b AND cls_tok.lbl = cls_tot.lbl
+      FROM {p}buckets CROSS JOIN {p}cls_tot
+      LEFT JOIN {p}cls_tok
+        ON {p}cls_tok.b = {p}buckets.b AND {p}cls_tok.lbl = {p}cls_tot.lbl
     ),
-    per_class AS (
+    {p}per_class AS (
       SELECT s.doc_id, g.lbl,
-             round(sum(g.log_p) + max(p.log_prior), 6) AS score
-      FROM sc_tok s
-      JOIN grid g ON s.b = g.b
-      JOIN prior2 p ON p.lbl = g.lbl
+             round(sum(g.log_p) + max(pp.log_prior), 6) AS score
+      FROM {p}sc_tok s
+      JOIN {p}grid g ON s.b = g.b
+      JOIN {p}prior2 pp ON pp.lbl = g.lbl
       GROUP BY s.doc_id, g.lbl
     ),
-    ranked AS (
+    {p}ranked AS (
       SELECT doc_id, lbl, score,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lbl ASC) AS rk,
              lead(score) OVER (PARTITION BY doc_id
                                ORDER BY score DESC, lbl ASC) AS nxt
-      FROM per_class
+      FROM {p}per_class
     ),
-    nb AS (
-      SELECT doc_id, lbl AS pred,
-             round(coalesce(score - nxt, 0.0), 6) AS margin
-      FROM ranked WHERE rk = 1
+    {p}prob AS MATERIALIZED (
+      SELECT r.doc_id{prob_extra},
+             0.5::DOUBLE + 0.5::DOUBLE * r.s / (1.0::DOUBLE + abs(r.s)) AS p
+      FROM (SELECT doc_id,
+                   CASE WHEN lbl = 'pos'
+                        THEN round(coalesce(score - nxt, 0.0), 6)
+                        ELSE -round(coalesce(score - nxt, 0.0), 6) END AS s
+            FROM {p}ranked WHERE rk = 1) r
+      JOIN {lab} l USING (doc_id)
     ),
-    prob AS (
-      SELECT n.doc_id, s.lang, s.y,
-             0.5::DOUBLE + 0.5::DOUBLE
-               * (CASE WHEN n.pred = 'pos' THEN n.margin ELSE -n.margin END)
-               / (1.0::DOUBLE
-                  + abs(CASE WHEN n.pred = 'pos' THEN n.margin
-                             ELSE -n.margin END)) AS p
-      FROM nb n JOIN sc s USING (doc_id)
-    ),
-    fitb AS (
+    {p}fitb AS (
       SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
              round(avg(y * 1.0) * 1000000) / 1000000 AS p_cal
-      FROM prob WHERE doc_id % 5 = 3 GROUP BY 1
+      FROM {p}prob WHERE doc_id % 5 = 3 GROUP BY 1
     ),
-    fit_cal AS (
+    {p}fit_cal AS (
       SELECT coalesce(f.p_cal, pr.p) AS pc, pr.y
-      FROM prob pr
-      LEFT JOIN fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
+      FROM {p}prob pr
+      LEFT JOIN {p}fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
       WHERE pr.doc_id % 5 = 3
     ),
-    tgrid AS (
+    {p}tgrid AS (
       SELECT round(pc * 100) / 100 AS threshold,
              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      FROM fit_cal GROUP BY 1
+      FROM {p}fit_cal GROUP BY 1
     ),
-    cum AS (
+    {p}cum AS (
       SELECT threshold,
              sum(n) OVER (ORDER BY threshold DESC
                           ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2752,9 +2755,9 @@ _CLASSIFIER_GATE_SQL = """
              sum(pos) OVER (ORDER BY threshold DESC
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS kept_pos
-      FROM tgrid
+      FROM {p}tgrid
     ),
-    pick AS (
+    {p}pick AS (
       -- coalesce(NULL, error(...)) fails LOUDLY when no grid threshold
       -- reaches the floor, mirroring classifier_gate's ValueError: the
       -- Spark side raises on an unreachable floor, so a silent NULL
@@ -2766,10 +2769,24 @@ _CLASSIFIER_GATE_SQL = """
                min(threshold),
                error('classifier_gate: no grid threshold reaches the '
                      || 'precision floor')) AS thr
-      FROM cum
-      WHERE kept_pos::DOUBLE / n_kept >= 0.9::DOUBLE
+      FROM {p}cum
+      WHERE kept_pos::DOUBLE / n_kept >= {floor}::DOUBLE
     ),
-    prod AS (
+"""
+
+
+_CLASSIFIER_GATE_SQL = (
+    """
+    WITH lab0 AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN list_contains(
+                    string_split_regex(lower(trim(text)), '\\s+'), 'dup')
+                  THEN 1 ELSE 0 END AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+"""
+    + _nb_gate_chain_ctes("", "lab0", "doc_id % 5 >= 3", ", l.lang, l.y", "0.9")
+    + """    prod AS (
       SELECT pr.lang, coalesce(f.p_cal, pr.p) AS pc
       FROM prob pr
       LEFT JOIN fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
@@ -2790,6 +2807,7 @@ _CLASSIFIER_GATE_SQL = """
            (SELECT thr FROM pick) AS threshold
     FROM gated GROUP BY lang ORDER BY lang
     """
+)
 
 
 @q("classifier_gated_curation", _CLASSIFIER_GATE_SQL)
@@ -4314,117 +4332,22 @@ _CURATE_CTES = _CURATE_HEAD_CTES + _curate_tail_ctes("kept1")
 # coverage contract: each gates survivor carries exactly one score),
 # then kept1g = gates survivors minus the flagged set (drop_flagged).
 # clf_-prefixed so the chain coexists with the curate CTE names; the
-# NB/sigmoid/binning text is the value-green capstone's, differing only
-# in the scored population (ALL docs, not the mod-5 ≥ 3 slice — a
-# per-doc score depends only on the doc's own token buckets, so shared
-# docs score identically either way).
-_CURATE_CLF_STAGE_CTES = """    clf_lab AS MATERIALIZED (
+# NB/sigmoid/binning text comes from the SAME `_nb_gate_chain_ctes`
+# generator as the capstone oracle (one text, no drift possible),
+# differing only in the scored population (ALL docs, not the mod-5 ≥ 3
+# slice — a per-doc score depends only on the doc's own token buckets,
+# so shared docs score identically either way).
+_CURATE_CLF_STAGE_CTES = (
+    """    clf_lab AS MATERIALIZED (
       SELECT doc_id, text,
              CASE WHEN list_contains(
                     string_split_regex(lower(trim(text)), '\\s+'), 'dup')
                   THEN 1 ELSE 0 END AS y
       FROM documents WHERE length(trim(text)) > 0
     ),
-    clf_lab_tok AS (
-      SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
-             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
-      FROM (SELECT y,
-                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM clf_lab WHERE doc_id % 5 <= 2)
-    ),
-    clf_sc_tok AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
-      FROM (SELECT doc_id,
-                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-            FROM clf_lab)
-    ),
-    clf_cls_tok AS (
-      SELECT lbl, b, CAST(count(*) AS BIGINT) AS n_lb
-      FROM clf_lab_tok GROUP BY lbl, b
-    ),
-    clf_cls_tot AS (
-      SELECT lbl, CAST(count(*) AS DOUBLE) AS n_l FROM clf_lab_tok GROUP BY lbl
-    ),
-    clf_prior AS (
-      SELECT CASE WHEN y = 1 THEN 'pos' ELSE 'neg' END AS lbl,
-             CAST(count(*) AS DOUBLE) AS n_docs
-      FROM clf_lab WHERE doc_id % 5 <= 2 GROUP BY 1
-    ),
-    clf_prior2 AS (
-      SELECT lbl, ln(n_docs / (SELECT sum(n_docs) FROM clf_prior)) AS log_prior
-      FROM clf_prior
-    ),
-    clf_buckets AS (SELECT DISTINCT b FROM clf_sc_tok),
-    clf_grid AS (
-      SELECT clf_buckets.b, clf_cls_tot.lbl,
-             ln((coalesce(n_lb, 0) + 0.05::DOUBLE)
-                / (n_l + 0.05::DOUBLE * 1024)) AS log_p
-      FROM clf_buckets CROSS JOIN clf_cls_tot
-      LEFT JOIN clf_cls_tok
-        ON clf_cls_tok.b = clf_buckets.b AND clf_cls_tok.lbl = clf_cls_tot.lbl
-    ),
-    clf_per_class AS (
-      SELECT s.doc_id, g.lbl,
-             round(sum(g.log_p) + max(p.log_prior), 6) AS score
-      FROM clf_sc_tok s
-      JOIN clf_grid g ON s.b = g.b
-      JOIN clf_prior2 p ON p.lbl = g.lbl
-      GROUP BY s.doc_id, g.lbl
-    ),
-    clf_ranked AS (
-      SELECT doc_id, lbl, score,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, lbl ASC) AS rk,
-             lead(score) OVER (PARTITION BY doc_id
-                               ORDER BY score DESC, lbl ASC) AS nxt
-      FROM clf_per_class
-    ),
-    clf_prob AS MATERIALIZED (
-      SELECT r.doc_id, l.y,
-             0.5::DOUBLE + 0.5::DOUBLE * r.s / (1.0::DOUBLE + abs(r.s)) AS p
-      FROM (SELECT doc_id,
-                   CASE WHEN lbl = 'pos'
-                        THEN round(coalesce(score - nxt, 0.0), 6)
-                        ELSE -round(coalesce(score - nxt, 0.0), 6) END AS s
-            FROM clf_ranked WHERE rk = 1) r
-      JOIN clf_lab l USING (doc_id)
-    ),
-    clf_fitb AS (
-      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
-             round(avg(y * 1.0) * 1000000) / 1000000 AS p_cal
-      FROM clf_prob WHERE doc_id % 5 = 3 GROUP BY 1
-    ),
-    clf_fit_cal AS (
-      SELECT coalesce(f.p_cal, pr.p) AS pc, pr.y
-      FROM clf_prob pr
-      LEFT JOIN clf_fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
-      WHERE pr.doc_id % 5 = 3
-    ),
-    clf_tgrid AS (
-      SELECT round(pc * 100) / 100 AS threshold,
-             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      FROM clf_fit_cal GROUP BY 1
-    ),
-    clf_cum AS (
-      SELECT threshold,
-             sum(n) OVER (ORDER BY threshold DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS n_kept,
-             sum(pos) OVER (ORDER BY threshold DESC
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS kept_pos
-      FROM clf_tgrid
-    ),
-    clf_pick AS (
-      SELECT coalesce(
-               min(threshold),
-               error('classifier_gate: no grid threshold reaches the '
-                     || 'precision floor')) AS thr
-      FROM clf_cum
-      WHERE kept_pos::DOUBLE / n_kept >= 0.9::DOUBLE
-    ),
-    clf_flagged AS MATERIALIZED (
+"""
+    + _nb_gate_chain_ctes("clf_", "clf_lab", "TRUE", ", l.y", "0.9")
+    + """    clf_flagged AS MATERIALIZED (
       SELECT pr.doc_id
       FROM clf_prob pr
       LEFT JOIN clf_fitb f ON least(CAST(floor(pr.p * 10) AS INT), 9) = f.bin
@@ -4436,6 +4359,7 @@ _CURATE_CLF_STAGE_CTES = """    clf_lab AS MATERIALIZED (
       WHERE doc_id NOT IN (SELECT doc_id FROM clf_flagged)
     ),
 """
+)
 
 _CURATE_GATED_CTES = (
     _CURATE_HEAD_CTES + _CURATE_CLF_STAGE_CTES + _curate_tail_ctes("kept1g")
