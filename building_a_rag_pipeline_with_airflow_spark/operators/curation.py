@@ -340,8 +340,23 @@ def curate_corpus(
         if not audit_checksum:
             return frame.count(), None
         row = frame.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(xor_key).alias("x")
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(xor_key).alias("x"),
+            # bit_xor skips NULLs, so a NULL-id row would be counted in
+            # rows_out yet invisible to the fingerprint — two survivor
+            # sets differing only in NULL-id rows would fingerprint
+            # identically. The checksum therefore REQUIRES non-null ids;
+            # the check rides the same single aggregate (zero extra scan)
+            F.count(xor_key).alias("n_id"),
         ).collect()[0]
+        if int(row["n_id"]) != int(row["n"]):
+            raise ValueError(
+                "curate_corpus: audit_checksum=True needs non-null "
+                f"{id_col!r} on every row ({int(row['n']) - int(row['n_id'])} "
+                "NULL ids in a stage output) — bit_xor skips NULLs, so "
+                "the fingerprint could not see those rows; drop or key "
+                "them first"
+            )
         return int(row["n"]), (int(row["x"]) if row["x"] is not None else 0)
 
     # Each stage output is CHECKPOINTED, not just counted: the stage
@@ -882,17 +897,48 @@ def classifier_gate(
             "the classifier (threshold_curve shows the reachable "
             "operating points)"
         )
-    applied = evaluation._apply_binned_mapping(
-        df, mapping_rows, prob_col, int(n_bins), cal_col,
-        who="classifier_gate",
-    )
-    scale = 10 ** int(decimals)
     return (
-        applied.withColumn(
-            keep_col,
-            (F.round(F.col(cal_col) * scale) / scale) >= F.lit(float(thr)),
+        stamp_with_gate(
+            df, mapping_rows, float(thr), prob_col,
+            n_bins=int(n_bins), decimals=int(decimals),
+            cal_col=cal_col, keep_col=keep_col, who="classifier_gate",
         ),
         float(thr),
+    )
+
+
+def stamp_with_gate(
+    df: DataFrame,
+    mapping_rows: list,
+    threshold: float,
+    prob_col: str,
+    *,
+    n_bins: int = 10,
+    decimals: int = 4,
+    cal_col: str = "p_cal",
+    keep_col: str = "keep",
+    who: str = "classifier_gate",
+) -> DataFrame:
+    """The gate's production STAMP as its own composable step: apply an
+    already-fitted binned calibration mapping (broadcast ≤``n_bins``-row
+    lookup — map-side, zero shuffle) and set ``keep_col`` by comparing
+    the GRID-ROUNDED calibrated score against ``threshold`` — exactly
+    :func:`classifier_gate` step 3, factored out so the batch gate and
+    the streaming stamp (`streaming.ingest.streaming_classifier_stamp`)
+    share ONE expression and cannot round, bin, or fall back differently
+    (the `_calibration_partials` shared-core rule applied to the stamp).
+    The stamp is a pure function of ``(row, mapping, threshold,
+    decimals)`` — stateless given frozen inputs, which is what makes the
+    streaming form replay-idempotent without any fold."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    applied = evaluation._apply_binned_mapping(
+        df, mapping_rows, prob_col, int(n_bins), cal_col, who=who
+    )
+    scale = 10 ** int(decimals)
+    return applied.withColumn(
+        keep_col,
+        (F.round(F.col(cal_col) * scale) / scale) >= F.lit(float(threshold)),
     )
 
 

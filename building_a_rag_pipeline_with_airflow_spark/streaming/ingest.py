@@ -2308,3 +2308,198 @@ def read_sketch_report(
         base, read_sketch_sample(spark, state_path), meta["value_col"],
         n_bins, eps,
     )
+
+
+def streaming_classifier_stamp(
+    scores_stream: DataFrame,
+    fit: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    *,
+    id_col: str = "doc_id",
+    prob_col: str = "p",
+    label_col: str = "y",
+    min_precision: float,
+    n_bins: int = 10,
+    decimals: int = 4,
+    available_now: bool = True,
+):
+    """Streaming classifier-gate STAMP: documents arriving on the
+    landing stream, already scored by the trained classifier, get the
+    calibrated keep/drop verdict of
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.curation.classifier_gate`
+    as they arrive — the continuous-curation end of the capstone: train
+    once, calibrate once, pick the operating point once, then gate the
+    stream forever against that frozen decision.
+
+    This is deliberately NOT a ninth streaming gate (the SURVEY
+    negative-result bar, satisfied by construction): the gate family
+    folds mergeable per-batch partials into an evolving statistic; the
+    stamp has NO fold and no evolving state at all. A row's verdict is
+    a pure function of ``(row, frozen mapping, frozen threshold,
+    decimals)`` — exactly the `streaming_cluster_safe_split` shape
+    (frozen decision inputs, stateless per-row assignment, replay-
+    idempotent narrow output), with the gate's fitted mapping playing
+    the component map's role.
+
+    Why the decision freezes: re-fitting the calibration or re-picking
+    the threshold mid-stream would gate late arrivals against a
+    DIFFERENT operating point than early ones — the audited
+    precision-floor guarantee would hold for no batch at all. So at
+    first invocation the mapping is fitted and the threshold picked
+    ONCE, through the SAME shared helpers the batch gate uses
+    (``evaluation._fit_binned_mapping_rows`` → ``select_threshold``,
+    with the gate's loud unreachable-floor raise), the ≤``n_bins``-row
+    mapping is written to ``<state_path>/mapping`` and ``(id_col,
+    prob_col, n_bins, decimals, min_precision, threshold)`` freeze in
+    ``<state_path>/meta`` (mapping first, meta LAST — meta presence is
+    the initialized marker, the family's crash-safe write order). Every
+    later invocation re-derives mapping + threshold from the PROVIDED
+    fit frame and raises on any mismatch with the frozen state (the
+    mutated-state rule): re-calibrating means a NEW stamp under a fresh
+    state_path — an intentional, visible re-gating, never silent drift.
+
+    Each micro-batch is stamped by
+    :func:`~building_a_rag_pipeline_with_airflow_spark.operators.curation.stamp_with_gate`
+    — the ONE stamp expression the batch gate itself runs (broadcast
+    mapping lookup + grid-rounded threshold compare), so stream ≡ batch
+    verdict-for-verdict by construction (parity-tested per batch) — and
+    writes narrow ``(id, cal, keep)`` rows under a replay-idempotent
+    ``_batch_id`` partition. Per-batch cost: one broadcast join + map
+    over the batch, zero shuffle; state is the ≤``n_bins``-row mapping
+    plus the narrow verdict rows — nothing grows but the output itself.
+    """
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        curation as _cur,
+    )
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        evaluation as _ev,
+    )
+
+    spark = scores_stream.sparkSession
+    who = "streaming_classifier_stamp"
+    # fit + pick through the gate's own shared core (loud empty-fit and
+    # unreachable-floor raises included) — the stamp must gate against
+    # the exact operating point the batch gate would have picked
+    mapping_rows = _ev._fit_binned_mapping_rows(
+        fit, prob_col, label_col, int(n_bins), who=who
+    )
+    applied_fit = _ev._apply_binned_mapping(
+        fit, mapping_rows, prob_col, int(n_bins), "_cal_probe", who=who
+    )
+    thr = _ev.select_threshold(
+        applied_fit, "_cal_probe", label_col,
+        min_precision=min_precision, decimals=decimals,
+    )
+    if thr is None:
+        raise ValueError(
+            f"{who}: no {decimals}dp-grid threshold over the calibrated "
+            f"holdout reaches min_precision={min_precision} — the stamp "
+            "would keep nothing; lower the floor or improve the "
+            "classifier (threshold_curve shows the reachable operating "
+            "points)"
+        )
+    fitted = sorted(
+        (int(r["bin"]), float(r["p_cal"])) for r in mapping_rows
+    )
+
+    prev_meta = index_layout.read_meta_or_none(spark, state_path)
+    if prev_meta is not None:
+        if (
+            prev_meta["id_col"] != id_col
+            or prev_meta["prob_col"] != prob_col
+            or int(prev_meta["n_bins"]) != int(n_bins)
+            or int(prev_meta["decimals"]) != int(decimals)
+            or float(prev_meta["min_precision"]) != float(min_precision)
+        ):
+            raise ValueError(
+                f"{who}: {state_path}/meta froze (id_col="
+                f"{prev_meta['id_col']!r}, prob_col="
+                f"{prev_meta['prob_col']!r}, n_bins="
+                f"{int(prev_meta['n_bins'])}, decimals="
+                f"{int(prev_meta['decimals'])}, min_precision="
+                f"{float(prev_meta['min_precision'])}) but this "
+                f"invocation asks for (id_col={id_col!r}, prob_col="
+                f"{prob_col!r}, n_bins={int(n_bins)}, decimals="
+                f"{int(decimals)}, min_precision={float(min_precision)}); "
+                "changing any of them re-gates arrivals mid-stream. Use "
+                "a fresh state_path (and checkpoint) to change them."
+            )
+        frozen = sorted(
+            (int(r["_cal_bin"]), float(r["_cal_p"]))
+            for r in spark.read.parquet(f"{state_path}/mapping").collect()
+        )
+        if fitted != frozen or float(thr) != float(prev_meta["threshold"]):
+            raise ValueError(
+                f"{who}: the provided fit frame derives a DIFFERENT "
+                "mapping or threshold than the one frozen at "
+                f"{state_path} — gating late arrivals against a moved "
+                "operating point breaks the audited precision floor for "
+                "every batch. Re-calibrate into a fresh state_path (and "
+                "checkpoint) to re-gate."
+            )
+    else:
+        spark.createDataFrame(
+            fitted, "_cal_bin int, _cal_p double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/mapping"
+        )
+        index_layout.write_meta(
+            spark.createDataFrame(
+                [(
+                    id_col, prob_col, int(n_bins), int(decimals),
+                    float(min_precision), float(thr),
+                )],
+                "id_col string, prob_col string, n_bins int, "
+                "decimals int, min_precision double, threshold double",
+            ),
+            state_path,
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # stamp against the FROZEN mapping + threshold read back from
+        # state (never the closure's copy — the cluster_safe_split
+        # discipline: what gates the stream is what the state holds)
+        meta = index_layout.read_meta(batch_df.sparkSession, state_path)
+        frozen_rows = [
+            {"bin": r["_cal_bin"], "p_cal": r["_cal_p"]}
+            for r in batch_df.sparkSession.read.parquet(
+                f"{state_path}/mapping"
+            ).collect()
+        ]
+        stamped = _cur.stamp_with_gate(
+            batch_df,
+            frozen_rows,
+            float(meta["threshold"]),
+            prob_col,
+            n_bins=int(meta["n_bins"]),
+            decimals=int(meta["decimals"]),
+            cal_col="cal",
+            keep_col="keep",
+            who=who,
+        )
+        (
+            stamped.select(id_col, "cal", "keep")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_path}/batches")
+        )
+
+    return index_layout.start_extender(
+        scores_stream, checkpoint_path, write_batch, available_now
+    )
+
+
+def read_stamped_assignments(spark: SparkSession, state_path: str) -> DataFrame:
+    """The accumulated streamed gate verdicts ``(id, cal, keep)`` —
+    verdict-identical (parity-tested) to batch
+    ``curation.classifier_gate`` over the accumulated stream against
+    the frozen mapping + threshold. A replayed batch's rows were
+    overwritten in place, so no dedup is needed."""
+    index_layout.read_meta(spark, state_path)  # refuses uninitialized state
+    return spark.read.parquet(f"{state_path}/batches").drop("_batch_id")

@@ -1184,3 +1184,130 @@ def test_shingle_null_text_derives_nothing(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/doc_sizes").collect()
     }
     assert 4 not in sizes and sizes[3] == 3
+
+
+def _stamp_fixture(spark):
+    # production scores spread over the 10 bins; the fit holdout labels
+    # high scores mostly positive so a 0.8 precision floor is reachable
+    prod = spark.createDataFrame(
+        [(i, round(0.025 + (i % 20) / 20.0, 3)) for i in range(60)],
+        "doc_id bigint, p double",
+    )
+    fit = spark.createDataFrame(
+        [(round(0.05 + (i % 10) / 10.0, 2), 1 if i % 10 >= 6 else 0)
+         for i in range(50)],
+        "p double, y int",
+    )
+    return prod, fit
+
+
+def test_streaming_classifier_stamp_matches_batch(spark, tmp_path):
+    """Streamed gate verdicts must equal batch classifier_gate over the
+    accumulated stream against the frozen mapping + threshold — after
+    one batch, after a fresh-checkpoint replay, and after a second
+    batch (stream ≡ batch is BY CONSTRUCTION: both run
+    curation.stamp_with_gate; this pins the construction)."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import curation
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    prod, fit = _stamp_fixture(spark)
+    b1 = prod.where(F.col("doc_id") % 2 == 0)
+    b2 = prod.where(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "stamp_src"
+    src.mkdir()
+    state, ck = str(tmp_path / "stamp_state"), str(tmp_path / "stamp_ck")
+    schema = "doc_id bigint, p double"
+
+    def run(checkpoint):
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = ingest.streaming_classifier_stamp(
+            raw, fit, state, checkpoint,
+            min_precision=0.8, n_bins=10, decimals=2,
+        )
+        q.awaitTermination(120)
+
+    def streamed():
+        return sorted(map(tuple, ingest.read_stamped_assignments(spark, state)
+                          .select("doc_id", "cal", "keep").collect()))
+
+    def batch(df):
+        gated, _thr = curation.classifier_gate(
+            df, fit, "p", "y", min_precision=0.8, n_bins=10, decimals=2,
+            cal_col="cal", keep_col="keep",
+        )
+        return sorted(map(tuple, gated.select("doc_id", "cal", "keep")
+                          .collect()))
+
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run(ck)
+    first = streamed()
+    assert first == batch(b1)
+    assert {k for _, _, k in first} == {True, False}  # both verdicts occur
+
+    run(str(tmp_path / "stamp_ck2"))  # fresh-checkpoint replay: no change
+    assert streamed() == first
+
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run(ck)
+    assert streamed() == batch(b1.unionByName(b2))
+
+
+def test_streaming_classifier_stamp_frozen_guards(spark, tmp_path):
+    """The frozen-decision rules: an identical restart is accepted; a
+    changed parameter raises before any verdict is written; a DRIFTED
+    fit frame (different mapping or threshold than the frozen one)
+    raises — gating late arrivals against a moved operating point is
+    the failure the freeze exists to prevent. An unreachable precision
+    floor raises the gate's own loud error. Reading uninitialized
+    state refuses."""
+    import pytest
+
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    prod, fit = _stamp_fixture(spark)
+    src = tmp_path / "stampg_src"
+    src.mkdir()
+    prod.coalesce(1).write.parquet(str(src / "d1"))
+    state = str(tmp_path / "stampg_state")
+    schema = "doc_id bigint, p double"
+
+    with pytest.raises(Exception, match="uninitialized|PATH_NOT_FOUND|meta"):
+        ingest.read_stamped_assignments(spark, state)
+
+    def raw():
+        return spark.readStream.schema(schema).parquet(f"{src}/*")
+
+    q = ingest.streaming_classifier_stamp(
+        raw(), fit, state, str(tmp_path / "ck1"),
+        min_precision=0.8, n_bins=10, decimals=2,
+    )
+    q.awaitTermination(120)
+
+    # identical restart: accepted
+    q = ingest.streaming_classifier_stamp(
+        raw(), fit, state, str(tmp_path / "ck2"),
+        min_precision=0.8, n_bins=10, decimals=2,
+    )
+    q.awaitTermination(120)
+
+    with pytest.raises(ValueError, match="froze"):
+        ingest.streaming_classifier_stamp(
+            raw(), fit, state, str(tmp_path / "ck3"),
+            min_precision=0.9, n_bins=10, decimals=2,
+        )
+    drifted = fit.withColumn(
+        "y", F.when(F.col("p") < 0.5, 1 - F.col("y")).otherwise(F.col("y"))
+    )
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        ingest.streaming_classifier_stamp(
+            raw(), drifted, state, str(tmp_path / "ck4"),
+            min_precision=0.8, n_bins=10, decimals=2,
+        )
+    # unreachable floor: the gate's own loud raise, nothing frozen
+    all_neg = fit.withColumn("y", F.lit(0))
+    with pytest.raises(ValueError, match="reaches min_precision"):
+        ingest.streaming_classifier_stamp(
+            raw(), all_neg, str(tmp_path / "stampg_state2"),
+            str(tmp_path / "ck5"),
+            min_precision=0.8, n_bins=10, decimals=2,
+        )
