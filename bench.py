@@ -417,6 +417,52 @@ r14 notes:
   adjudicate per-row against SOLO_ANCHOR_r13.json (still the anchor
   table of record — zero plans changed).
 
+r15 notes:
+
+* BENCH_r14 ADJUDICATION (r14 judge directive #4, the r3 105.3-vs-67.4
+  precedent recorded next to the number): the published 214.98 s
+  headline is a SESSION-INFLATED outlier on byte-unchanged plans, not
+  a regression. Three independent confirmations, all on record: (1)
+  the judge's own quiet-ish re-measurements of every >2×-anchor row —
+  pagerank_supplier_cosupply 6.0/6.39/6.51 s warm best-of-3 (published
+  41.3, solo anchor 7.93), anomaly_zscore 0.76 (1.5/0.48),
+  interval_join 0.71 (1.5/0.571), fuzzy_match 0.82 (1.6/0.711),
+  ivf_topk_cosine_kmeans 2.46 (4.1/1.936) — all in-band; (2) git diff
+  shows zero benched plan changed in r14 (operators/graph.py
+  byte-untouched since r5); (3) the r14 closing builder run above
+  (146.6 s total, common roster −6% vs r13). Compare r15 numbers
+  against SOLO_ANCHOR_r13.json per row, NOT against BENCH_r14's
+  inflated session; no re-anchor owed for the adjudication itself.
+* r15 re-anchor audit: ZERO rows owed — this round's diff (the gated
+  release-cycle row, the streamed classifier stamp, the stamp-core
+  factoring in curation.classifier_gate, the rotation tables, the
+  solo_anchor --only guards, the audit-checksum null-id assertion)
+  touches no benched row's physical plan. classifier_gated_curation's
+  plan is identical under the stamp_with_gate factoring (pure code
+  motion: same _apply_binned_mapping + grid-round compare expressions).
+  SOLO_ANCHOR_r13.json remains the anchor table of record.
+* NEW rows release_cycle_gated_report and classifier_stamp_streamed
+  are deliberately NOT in HEADLINE:
+  - release_cycle_gated_report runs the GATED curation composition
+    TWICE per call (two releases) plus two publishes, a diff, and an
+    independent gate pass — the release_cycle_report budget rule. Its
+    cost is the curate_corpus_gated_e2e_s tail line ×2 plus small
+    constant, already tracked; the driver's sf0.01 correctness row
+    (~40 s on a loaded host, both engines value-matching all 13
+    report rows) is its per-round evidence.
+  - classifier_stamp_streamed is a lifecycle row: its stamp plan IS
+    classifier_gated_curation's production stamp (broadcast ≤10-row
+    bin lookup + map, already benched); the streaming wrapper is the
+    one-time build→drain mechanics, measured once at sf0.1 on landing:
+    27.0 s session build (NB train+score dominates, the benched
+    nb_lang_classify shape), 0.45 s warm fold read, 1000 verdicts,
+    42 keeps — identical to the capstone's flagged count, as the
+    shared-core construction requires.
+* Tail-line transition: the compact tail emits BOTH
+  curate_corpus_gated_e2e_s and the legacy curate_corpus_e2e_s alias
+  (same value) for THIS round only (ADVICE r14 — downstream consumers
+  of the old key get one round to migrate); r16 drops the alias.
+
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
 across untouched JVM-only plans, 2-round early-stop medians):
@@ -938,9 +984,17 @@ def main() -> None:
 
     # curation tail line + compact line must BOTH fit the driver's
     # ~2000-char stdout tail; keep the pair under budget
+    # r15 transition: the r14 key rename (curate_corpus_e2e_s ->
+    # curate_corpus_gated_e2e_s) broke any consumer parsing the old key
+    # (ADVICE r14); emit the legacy key as an explicit alias for ONE
+    # round so downstream tooling can migrate, then drop it in r16.
     print(
         json.dumps(
-            {"curate_corpus_gated_e2e_s": curate_e2e}, separators=(",", ":")
+            {
+                "curate_corpus_gated_e2e_s": curate_e2e,
+                "curate_corpus_e2e_s": curate_e2e,  # legacy alias, r15 only
+            },
+            separators=(",", ":"),
         )
     )
     budget = 1880

@@ -240,7 +240,8 @@ def try_tiktoken_udf():
     r11 re-checked — still ModuleNotFoundError; fallback unchanged.
     r12 re-checked — still ModuleNotFoundError; fallback unchanged.
     r13 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r14 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r14 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r15 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:

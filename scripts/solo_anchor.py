@@ -61,7 +61,25 @@ def main() -> None:
     only: "list[str] | None" = None
     if "--only" in args:
         i = args.index("--only")
+        # --only as the FINAL token (no value) and `--only ,` (an empty
+        # roster that would silently write a carry-forward-only anchor
+        # stamped with the new round) are both usage errors, not passes
+        if i + 1 >= len(args):
+            print(
+                "solo_anchor: --only needs a comma-separated row list "
+                "(usage: solo_anchor.py <round> --only rowA,rowB)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         only = [s for s in args[i + 1].split(",") if s]
+        if not only:
+            print(
+                "solo_anchor: --only parsed an EMPTY row list — a "
+                "re-anchor that re-measures nothing would just restamp "
+                "the carried table with a new round number",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         del args[i : i + 2]
     round_no = args[0] if args else "14"
 
