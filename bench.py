@@ -438,8 +438,12 @@ r15 notes:
   factoring in curation.classifier_gate, the rotation tables, the
   solo_anchor --only guards, the audit-checksum null-id assertion)
   touches no benched row's physical plan. classifier_gated_curation's
-  plan is identical under the stamp_with_gate factoring (pure code
-  motion: same _apply_binned_mapping + grid-round compare expressions).
+  plan is identical under the stamp_with_gate + fit_gate_operating_point
+  + _nb_dup_scores factorings (pure code motion: same expressions,
+  verified by value-identical oracle parity at sf0.001/sf0.01). The
+  audit rows (curate_corpus_audit / curate_corpus_gated_audit — the e2e
+  tail) now release their discarded kept/scored checkpoints after the
+  audit collects: post-collect session hygiene, zero plan change.
   SOLO_ANCHOR_r13.json remains the anchor table of record.
 * NEW rows release_cycle_gated_report and classifier_stamp_streamed
   are deliberately NOT in HEADLINE:

@@ -872,31 +872,11 @@ def classifier_gate(
     boilerplate gate (``curate_corpus``'s default ``drop_flagged=True``)
     drops them. The name is the curve's convention (``n_kept`` counts
     at-or-above-threshold rows), not a retention promise."""
-    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
-
-    # fit the binned mapping ONCE (≤ n_bins rows, loud empty-fit raise)
-    # and apply it to both frames through the one shared apply — fitting
-    # inside each calibrate call would scan the fit set once per frame;
-    # who= threads this operator's name into the shared helpers' raises
-    mapping_rows = evaluation._fit_binned_mapping_rows(
-        fit, prob_col, label_col, int(n_bins), who="classifier_gate"
+    mapping_rows, thr = fit_gate_operating_point(
+        fit, prob_col, label_col,
+        min_precision=min_precision, n_bins=int(n_bins),
+        decimals=int(decimals), cal_col=cal_col, who="classifier_gate",
     )
-    applied_fit = evaluation._apply_binned_mapping(
-        fit, mapping_rows, prob_col, int(n_bins), cal_col,
-        who="classifier_gate",
-    )
-    thr = evaluation.select_threshold(
-        applied_fit, cal_col, label_col,
-        min_precision=min_precision, decimals=decimals,
-    )
-    if thr is None:
-        raise ValueError(
-            f"classifier_gate: no {decimals}dp-grid threshold over the "
-            f"calibrated holdout reaches min_precision={min_precision} — "
-            "the gate would keep nothing; lower the floor or improve "
-            "the classifier (threshold_curve shows the reachable "
-            "operating points)"
-        )
     return (
         stamp_with_gate(
             df, mapping_rows, float(thr), prob_col,
@@ -905,6 +885,53 @@ def classifier_gate(
         ),
         float(thr),
     )
+
+
+def fit_gate_operating_point(
+    fit: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    min_precision: float,
+    n_bins: int = 10,
+    decimals: int = 4,
+    cal_col: str = "p_cal",
+    who: str = "classifier_gate",
+) -> "tuple[list, float]":
+    """Steps 1–2 of :func:`classifier_gate` as their own composable
+    piece: fit the binned mapping ONCE on the labeled holdout (≤
+    ``n_bins`` rows, loud empty-fit raise), apply it back to the
+    holdout through the one shared apply, and pick the precision-floor
+    threshold on the holdout's own calibrated scores — raising loudly
+    on an unreachable floor. Returns ``(mapping_rows, threshold)``,
+    the FROZEN operating point :func:`stamp_with_gate` stamps against.
+    Factored out (with the stamp) so the batch gate and the streaming
+    stamp (`streaming.ingest.streaming_classifier_stamp`) derive their
+    operating point through ONE fit/pick recipe and cannot drift —
+    a stamp whose mapping or cut differs from the batch gate's would
+    void the audited precision floor for every batch it gates. ``who``
+    names the calling operator in every raise."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import evaluation
+
+    mapping_rows = evaluation._fit_binned_mapping_rows(
+        fit, prob_col, label_col, int(n_bins), who=who
+    )
+    applied_fit = evaluation._apply_binned_mapping(
+        fit, mapping_rows, prob_col, int(n_bins), cal_col, who=who
+    )
+    thr = evaluation.select_threshold(
+        applied_fit, cal_col, label_col,
+        min_precision=min_precision, decimals=decimals,
+    )
+    if thr is None:
+        raise ValueError(
+            f"{who}: no {decimals}dp-grid threshold over the "
+            f"calibrated holdout reaches min_precision={min_precision} — "
+            "the gate would keep nothing; lower the floor or improve "
+            "the classifier (threshold_curve shows the reachable "
+            "operating points)"
+        )
+    return mapping_rows, float(thr)
 
 
 def stamp_with_gate(

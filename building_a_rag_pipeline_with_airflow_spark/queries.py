@@ -40,6 +40,7 @@ from building_a_rag_pipeline_with_airflow_spark.operators import (
     graph,
     lexical,
     multimodal,
+    release_checkpoint,
     retrieval,
     sampling,
     similarity,
@@ -2810,6 +2811,39 @@ _CLASSIFIER_GATE_SQL = (
 )
 
 
+def _nb_dup_scores(docs, score_all: bool = False):
+    """The Spark-side NB train+score construction shared by every
+    classifier-gate driver row (`classifier_gated_curation`,
+    `classifier_stamp_streamed`, `curate_corpus_gated_audit`,
+    `release_cycle_gated_report`) — ONE text for the 'dup'-marker
+    label, the doc_id-mod-5 ≤ 2 train split, alpha = 0.05, and the
+    algebraic-sigmoid probability map, mirroring what
+    `_nb_gate_chain_ctes` does for the oracle SQL: a marker/alpha/split
+    edit in one row cannot silently desynchronize the others from the
+    shared oracle template. Returns ``(lab, pop, margin_scores)`` where
+    ``lab`` is documents + binary label ``y``, ``pop`` is the scored
+    population (ALL labeled docs when ``score_all`` — the composition
+    rows' coverage contract — else the mod-5 ≥ 3 holdout+production
+    slice), and ``margin_scores`` carries (doc_id, p). Callers do their
+    own joins/selects/checkpoints so each row's benched plan is exactly
+    what it was before the factoring (pure code motion)."""
+    lab = docs.withColumn(
+        "y",
+        F.arrays_overlap(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            F.array(F.lit("dup")),
+        ).cast("int"),
+    )
+    train = lab.where(F.col("doc_id") % 5 <= 2).select(
+        "doc_id",
+        "text",
+        F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
+    )
+    pop = lab if score_all else lab.where(F.col("doc_id") % 5 >= 3)
+    nb = curation.nb_domain_classify(train, pop, label_col="_cls", alpha=0.05)
+    return lab, pop, curation.margin_to_probability(nb, positive="pos")
+
+
 @q("classifier_gated_curation", _CLASSIFIER_GATE_SQL)
 def classifier_gated_curation(spark, sf_dir):
     """The classifier-gated curation CAPSTONE (r12 judge directive #2):
@@ -2834,20 +2868,7 @@ def classifier_gated_curation(spark, sf_dir):
     CHANGES the decision (not just the report) is
     tests/test_curation.py::test_classifier_gate_calibration_changes_decision."""
     docs = _t(spark, sf_dir, "documents")
-    lab = docs.withColumn(
-        "y",
-        F.arrays_overlap(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            F.array(F.lit("dup")),
-        ).cast("int"),
-    )
-    train = lab.where(F.col("doc_id") % 5 <= 2).select(
-        "doc_id",
-        "text",
-        F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
-    )
-    rest = lab.where(F.col("doc_id") % 5 >= 3)
-    nb = curation.nb_domain_classify(train, rest, label_col="_cls", alpha=0.05)
+    _lab, rest, marg = _nb_dup_scores(docs)
     # Narrow (id, pred, margin, p, lang, y) lazy checkpoint between the
     # classifier and the gate: classifier_gate's fit-mapping and
     # threshold-pick collects plus the returned gate plan reference this
@@ -2856,8 +2877,7 @@ def classifier_gated_curation(spark, sf_dir):
     # pinned blocks are output-small (7 narrow columns per scored doc —
     # the phash/CC returned-labels precedent), never payload-sized.
     scored = (
-        curation.margin_to_probability(nb, positive="pos")
-        .join(rest.select("doc_id", "lang", "y"), "doc_id")
+        marg.join(rest.select("doc_id", "lang", "y"), "doc_id")
         .localCheckpoint(eager=False)
     )
     fit = scored.where(F.col("doc_id") % 5 == 3)
@@ -2956,30 +2976,14 @@ def classifier_stamp_streamed(spark, sf_dir):
         root = tempfile.mkdtemp(prefix="clf_stamp_")
         state, ck = f"{root}/state", f"{root}/ck"
         docs = _t(spark, sf_dir, "documents")
-        lab = docs.withColumn(
-            "y",
-            F.arrays_overlap(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                F.array(F.lit("dup")),
-            ).cast("int"),
-        )
-        train = lab.where(F.col("doc_id") % 5 <= 2).select(
-            "doc_id",
-            "text",
-            F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
-        )
-        rest = lab.where(F.col("doc_id") % 5 >= 3)
-        nb = curation.nb_domain_classify(
-            train, rest, label_col="_cls", alpha=0.05
-        )
+        _lab, rest, marg = _nb_dup_scores(docs)
         # narrow (id, p, y) lazy checkpoint: the stamp's fit-mapping and
         # threshold collects (run once per drain) plus the two landing
         # writes all reference the scored frame — without the cut each
         # reference re-runs the NB train+score (the
         # classifier_gated_curation precedent)
         scored = (
-            curation.margin_to_probability(nb, positive="pos")
-            .join(rest.select("doc_id", "y"), "doc_id")
+            marg.join(rest.select("doc_id", "y"), "doc_id")
             .select("doc_id", "p", "y")
             .localCheckpoint(eager=False)
         )
@@ -2992,16 +2996,28 @@ def classifier_stamp_streamed(spark, sf_dir):
 
         def drain():
             raw = spark.readStream.schema(schema).parquet(f"{root}/land/*")
-            _ing.streaming_classifier_stamp(
+            q_ = _ing.streaming_classifier_stamp(
                 raw, fit, state, ck,
                 min_precision=0.9, n_bins=10, decimals=2,
-            ).awaitTermination(300)
+            )
+            # a drain that outlives the timeout must fail LOUDLY: state
+            # cached over a still-running stream reads half-written
+            # batches and surfaces as a baffling oracle mismatch
+            if not q_.awaitTermination(300):
+                q_.stop()
+                raise TimeoutError(
+                    "classifier_stamp_streamed: drain exceeded 300 s"
+                )
 
         drain()
         prod.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
             f"{root}/land/d2"
         )
         drain()
+        # the drains materialized everything into state parquet; the
+        # narrow checkpoint has no remaining readers — release it so
+        # per-session builds don't pin blocks for the session lifetime
+        release_checkpoint(scored)
         _STAMP_STREAM_STATE[sf_dir] = state
     return (
         _ing.read_stamped_assignments(spark, state)
@@ -4517,12 +4533,17 @@ def curate_corpus_audit(spark, sf_dir):
     survivor sets."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    _kept, audit = curation.curate_corpus(
+    kept, audit = curation.curate_corpus(
         docs,
         benchmark=bench,
         mixture_weights={f"src{i}": 2.0 for i in range(5)},
         near_dup_threshold=0.3,
     )
+    # the audit is already a LOCAL relation (collected stage stats) and
+    # this row discards the released docs — release the final stage
+    # checkpoint, or every bench-tail/driver invocation pins its blocks
+    # for the session lifetime (the session-hygiene rule)
+    release_checkpoint(kept)
     return audit.orderBy("stage")
 
 
@@ -4584,35 +4605,19 @@ def curate_corpus_gated_audit(spark, sf_dir):
     already materialized."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    lab = docs.withColumn(
-        "y",
-        F.arrays_overlap(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            F.array(F.lit("dup")),
-        ).cast("int"),
-    )
-    train = lab.where(F.col("doc_id") % 5 <= 2).select(
-        "doc_id",
-        "text",
-        F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
-    )
-    nb = curation.nb_domain_classify(train, lab, label_col="_cls", alpha=0.05)
+    lab, _pop, marg = _nb_dup_scores(docs, score_all=True)
     # narrow (id, p) lazy checkpoint between the classifier and the
     # composition: the gate's coverage probes + fit/threshold collects
     # + the production stamp all reference the score table — without
     # the cut each reference re-runs the NB train+score (the
     # classifier_gated_curation precedent, measured 6.3 s -> ~2 s)
-    scored = (
-        curation.margin_to_probability(nb, positive="pos")
-        .select("doc_id", "p")
-        .localCheckpoint(eager=False)
-    )
+    scored = marg.select("doc_id", "p").localCheckpoint(eager=False)
     fit = (
         scored.join(lab.select("doc_id", "y"), "doc_id")
         .where(F.col("doc_id") % 5 == 3)
         .select("p", "y")
     )
-    _kept, audit = curation.curate_corpus(
+    kept, audit = curation.curate_corpus(
         docs,
         benchmark=bench,
         mixture_weights={f"src{i}": 2.0 for i in range(5)},
@@ -4626,6 +4631,12 @@ def curate_corpus_gated_audit(spark, sf_dir):
         },
         audit_checksum=True,
     )
+    # the audit is a LOCAL relation and this row discards the released
+    # docs — release the final stage checkpoint AND the narrow score
+    # checkpoint (no remaining readers), or the bench's per-round e2e
+    # tail pins both for the session lifetime
+    release_checkpoint(kept)
+    release_checkpoint(scored)
     return audit.orderBy("stage")
 
 
@@ -4953,24 +4964,8 @@ def release_cycle_gated_report(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="release_cycle_gated_")
     docs = _t(spark, sf_dir, "documents")
-    lab = docs.withColumn(
-        "y",
-        F.arrays_overlap(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            F.array(F.lit("dup")),
-        ).cast("int"),
-    )
-    train = lab.where(F.col("doc_id") % 5 <= 2).select(
-        "doc_id",
-        "text",
-        F.when(F.col("y") == 1, "pos").otherwise("neg").alias("_cls"),
-    )
-    nb = curation.nb_domain_classify(train, lab, label_col="_cls", alpha=0.05)
-    scored = (
-        curation.margin_to_probability(nb, positive="pos")
-        .select("doc_id", "p")
-        .localCheckpoint(eager=False)
-    )
+    lab, _pop, marg = _nb_dup_scores(docs, score_all=True)
+    scored = marg.select("doc_id", "p").localCheckpoint(eager=False)
     fit = (
         scored.join(lab.select("doc_id", "y"), "doc_id")
         .where(F.col("doc_id") % 5 == 3)
@@ -5083,8 +5078,13 @@ def release_cycle_gated_report(spark, sf_dir):
     # materialize the ~13 report rows and DELETE the temp root before
     # returning (the release_cycle_report leak rule): the lazy frame
     # depends on the released parquet; the returned local relation
-    # keeps the registry's lazy-DataFrame contract for the caller
+    # keeps the registry's lazy-DataFrame contract for the caller.
+    # The narrow score checkpoint has no remaining readers after the
+    # collect — release it, or every invocation pins its blocks for
+    # the session lifetime (unlike classifier_gated_curation, whose
+    # RETURNED lazy frame still needs its checkpoint).
     rows, schema = report.collect(), report.schema
+    release_checkpoint(scored)
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 

@@ -2372,33 +2372,18 @@ def streaming_classifier_stamp(
     from building_a_rag_pipeline_with_airflow_spark.operators import (
         curation as _cur,
     )
-    from building_a_rag_pipeline_with_airflow_spark.operators import (
-        evaluation as _ev,
-    )
 
     spark = scores_stream.sparkSession
     who = "streaming_classifier_stamp"
-    # fit + pick through the gate's own shared core (loud empty-fit and
-    # unreachable-floor raises included) — the stamp must gate against
-    # the exact operating point the batch gate would have picked
-    mapping_rows = _ev._fit_binned_mapping_rows(
-        fit, prob_col, label_col, int(n_bins), who=who
+    # fit + pick through the gate's own shared recipe (loud empty-fit
+    # and unreachable-floor raises included) — ONE fit/pick text with
+    # the batch gate, so the stamp's frozen operating point is exactly
+    # the one classifier_gate would have picked on the same holdout
+    mapping_rows, thr = _cur.fit_gate_operating_point(
+        fit, prob_col, label_col,
+        min_precision=min_precision, n_bins=int(n_bins),
+        decimals=int(decimals), cal_col="_cal_probe", who=who,
     )
-    applied_fit = _ev._apply_binned_mapping(
-        fit, mapping_rows, prob_col, int(n_bins), "_cal_probe", who=who
-    )
-    thr = _ev.select_threshold(
-        applied_fit, "_cal_probe", label_col,
-        min_precision=min_precision, decimals=decimals,
-    )
-    if thr is None:
-        raise ValueError(
-            f"{who}: no {decimals}dp-grid threshold over the calibrated "
-            f"holdout reaches min_precision={min_precision} — the stamp "
-            "would keep nothing; lower the floor or improve the "
-            "classifier (threshold_curve shows the reachable operating "
-            "points)"
-        )
     fitted = sorted(
         (int(r["bin"]), float(r["p_cal"])) for r in mapping_rows
     )
@@ -2500,6 +2485,24 @@ def read_stamped_assignments(spark: SparkSession, state_path: str) -> DataFrame:
     verdict-identical (parity-tested) to batch
     ``curation.classifier_gate`` over the accumulated stream against
     the frozen mapping + threshold. A replayed batch's rows were
-    overwritten in place, so no dedup is needed."""
+    overwritten in place, so no dedup is needed. An INITIALIZED stamp
+    whose stream has delivered zero non-empty batches raises a clear
+    no-verdicts-yet error (it has a frozen operating point but no
+    output — the id column's type is only known once a batch lands, so
+    there is no honest empty frame to return); uninitialized state is
+    refused by the meta guard as usual."""
     index_layout.read_meta(spark, state_path)  # refuses uninitialized state
-    return spark.read.parquet(f"{state_path}/batches").drop("_batch_id")
+    try:
+        batches = spark.read.parquet(f"{state_path}/batches")
+    except AnalysisException as exc:
+        err = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+        if "PATH_NOT_FOUND" not in err and "UNABLE_TO_INFER_SCHEMA" not in err:
+            raise
+        raise ValueError(
+            f"read_stamped_assignments: {state_path} holds a frozen "
+            "operating point but NO verdicts yet — the stream has "
+            "delivered zero non-empty batches. Drain the landing "
+            "stream first (or check it is pointed at the right "
+            "directory)."
+        ) from exc
+    return batches.drop("_batch_id")

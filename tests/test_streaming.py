@@ -1311,3 +1311,17 @@ def test_streaming_classifier_stamp_frozen_guards(spark, tmp_path):
             str(tmp_path / "ck5"),
             min_precision=0.8, n_bins=10, decimals=2,
         )
+    # INITIALIZED but zero-arrival stamp (frozen operating point, no
+    # batches yet): a clear no-verdicts-yet raise, not a raw
+    # PATH_NOT_FOUND crash from the batches read
+    empty_src = tmp_path / "stampg_empty"
+    empty_src.mkdir()
+    state3 = str(tmp_path / "stampg_state3")
+    raw_e = spark.readStream.schema(schema).parquet(f"{empty_src}/*")
+    q = ingest.streaming_classifier_stamp(
+        raw_e, fit, state3, str(tmp_path / "ck7"),
+        min_precision=0.8, n_bins=10, decimals=2,
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="NO verdicts"):
+        ingest.read_stamped_assignments(spark, state3)
