@@ -466,6 +466,18 @@ r15 notes:
   curate_corpus_gated_e2e_s and the legacy curate_corpus_e2e_s alias
   (same value) for THIS round only (ADVICE r14 — downstream consumers
   of the old key get one round to migrate); r16 drops the alias.
+* Streamed-stamp scale check (scripts/scale_check_r15.py at sf0.1, own
+  quiet session): batch-COUNT axis — the 1000-doc production slice
+  drained as 1/4/16 micro-batches reads 14.2s single-drain vs ~3-4s
+  per later drain at k=4 and k=16 (first drain carries the one-time
+  fit+freeze; later drains pay only the per-restart refit-and-verify
+  constant + micro-batch startup), with batch 16 ≈ batch 2 — NO growth
+  with accumulated state, as the no-fold design requires. batch-SIZE
+  axis — one drain at 1000/5000/25000 rows reads 12.4/12.3/12.9s:
+  flat, the constant dominates and the stamp itself (broadcast
+  ≤10-row lookup + map) is invisible at these sizes. State after every
+  run: 1 mapping file (≤10 rows) + the verdict rows themselves —
+  output-only, nothing evolves.
 
 r8 real cost changes (own them; everything else in the r8 closing run
 moved with the session-noise pattern of the r3 calibration — spread
