@@ -466,6 +466,16 @@ r15 notes:
   curate_corpus_gated_e2e_s and the legacy curate_corpus_e2e_s alias
   (same value) for THIS round only (ADVICE r14 — downstream consumers
   of the old key get one round to migrate); r16 drops the alias.
+* r15 CLOSING builder-side observation (quiet host, full 3-round
+  interleaved medians, 900 s budget): total 153.7 s over 62 rows —
+  back in the r13-published band (156.4 s) after r14's adjudicated
+  214.98 s outlier session, with ZERO rows reading >2× their
+  SOLO_ANCHOR_r13 row (>0.5 s materiality filter; pagerank included).
+  curate_corpus_gated_e2e_s 31.13 s this session vs 28.65/28.97/27.73
+  in other r15/r14 sessions — top of the gated band, session noise on
+  an unchanged composition (the checkpoint-release edit is
+  post-collect). The r15 number of record is whatever BENCH_r15.json
+  publishes; adjudicate per-row against SOLO_ANCHOR_r13.json first.
 * Streamed-stamp scale check (scripts/scale_check_r15.py at sf0.1, own
   quiet session): batch-COUNT axis — the 1000-doc production slice
   drained as 1/4/16 micro-batches reads 14.2s single-drain vs ~3-4s
