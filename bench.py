@@ -417,6 +417,20 @@ r14 notes:
   adjudicate per-row against SOLO_ANCHOR_r13.json (still the anchor
   table of record — zero plans changed).
 
+r16 notes:
+
+* Legacy tail-key alias DROPPED as scheduled (r15 notes committed the
+  drop; VERDICT r15 "What's wrong" #1 made it the follow-through): the
+  compact tail now emits ONLY curate_corpus_gated_e2e_s. Any consumer
+  still parsing curate_corpus_e2e_s breaks this round, by design — the
+  r15 round was the documented one-round migration window.
+* r16 re-anchor audit: ZERO rows owed — this round's diff (the r16
+  rotation tables, the stamp-state compaction wrapper
+  compact_stamp_state — offline maintenance, no benched plan reads it
+  — the read_stamped_assignments cross-batch dedup hardening, and the
+  awaitTermination guards in tests) touches no benched row's physical
+  plan. SOLO_ANCHOR_r13.json remains the anchor table of record.
+
 r15 notes:
 
 * BENCH_r14 ADJUDICATION (r14 judge directive #4, the r3 105.3-vs-67.4
@@ -1010,16 +1024,12 @@ def main() -> None:
 
     # curation tail line + compact line must BOTH fit the driver's
     # ~2000-char stdout tail; keep the pair under budget
-    # r15 transition: the r14 key rename (curate_corpus_e2e_s ->
-    # curate_corpus_gated_e2e_s) broke any consumer parsing the old key
-    # (ADVICE r14); emit the legacy key as an explicit alias for ONE
-    # round so downstream tooling can migrate, then drop it in r16.
+    # r16: the one-round legacy alias (curate_corpus_e2e_s, emitted
+    # r15 only per the ADVICE-r14 migration window) is dropped as
+    # scheduled; curate_corpus_gated_e2e_s is the sole tail key.
     print(
         json.dumps(
-            {
-                "curate_corpus_gated_e2e_s": curate_e2e,
-                "curate_corpus_e2e_s": curate_e2e,  # legacy alias, r15 only
-            },
+            {"curate_corpus_gated_e2e_s": curate_e2e},
             separators=(",", ":"),
         )
     )

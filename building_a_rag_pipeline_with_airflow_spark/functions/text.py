@@ -241,7 +241,8 @@ def try_tiktoken_udf():
     r12 re-checked — still ModuleNotFoundError; fallback unchanged.
     r13 re-checked — still ModuleNotFoundError; fallback unchanged.
     r14 re-checked — still ModuleNotFoundError; fallback unchanged.
-    r15 re-checked — still ModuleNotFoundError; fallback unchanged."""
+    r15 re-checked — still ModuleNotFoundError; fallback unchanged.
+    r16 re-checked — still ModuleNotFoundError; fallback unchanged."""
     try:
         import tiktoken  # noqa: F401
     except Exception:

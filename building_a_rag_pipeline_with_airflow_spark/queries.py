@@ -9940,6 +9940,83 @@ _R15_WINDOW = (
 # established queue mechanism) — first in line for the r16 rotation.
 _NEW_R15: "tuple[str, ...]" = ()
 
+# r16 driver window (r15 judge directive #1): staleness-first, no owed
+# oracles (_NEW_R15 is empty; cumulative oracled coverage 176/176). The
+# 50 slots are (a) the FULL 26-query r12-last-green cohort displaced by
+# the r15 rotation — it would hit age 4 this round if unrotated, so the
+# ≤3-round staleness invariant binds all 26 in; (b) the 24 stalest of
+# the 50 r13-last-green cohort by the documented green-count-asc then
+# alphabetical order (all three single-green, all four double-green,
+# both triple-green, all ten quadruple-green, and the alphabetically-
+# first five of the quintuple-green). 26 + 24 = 50. The 26 displaced
+# r13 anchors stay at age 3 this round — inside the bound — and lead
+# the r17 rotation by the same rule; all oracles remain value-checked
+# every round by tests/test_oracle_parity.py regardless of window
+# position. (The r15 window stays enumerated above; its 50/50 green
+# rows are CORRECTNESS_r15.json.)
+_R16_WINDOW = (
+    # (a) stalest anchors: last driver-green r12 (the full 26-cohort)
+    "brand_revenue_topk",
+    "chunk_fixed_documents",
+    "chunk_semantic_refconst",
+    "column_profile_orders",
+    "dedup_exact_documents",
+    "events_props_json",
+    "jaccard_index_pairs",
+    "knn_join",
+    "lsh_recall_at_k",
+    "mad_outlier_prices",
+    "near_dup_embeddings_exact",
+    "pairwise_overlap_stats",
+    "psi_price_drift_orders",
+    "q10_returned_revenue",
+    "q12_late_shipment_priority",
+    "q4_priority_exists",
+    "readability_documents",
+    "rollup_returnflag_status",
+    "simhash_documents",
+    "tfidf_top_terms_documents",
+    "token_counts_documents",
+    "topk_cosine",
+    "trigram_search_parts",
+    "vocab_coverage_documents",
+    "weighted_sample_documents",
+    "weighted_sample_per_lang",
+    # (b) next-stalest: last driver-green r13 — the single-green three
+    "classifier_gated_curation",
+    "threshold_curve_orders",
+    "threshold_curve_streamed",
+    # the double-green four
+    "cross_encoder_rerank_documents",
+    "duplication_profile_documents",
+    "substring_dedup_rolling",
+    "trigram_search_parts_from_index",
+    # the triple-green two
+    "binary_quant_topk",
+    "bloom_prefilter_supplier_revenue",
+    # the quadruple-green ten
+    "benford_price_profile",
+    "bigram_lm_ppl_documents",
+    "bm25_topk_documents",
+    "cohort_retention_weekly",
+    "cooccur_recommend_parts",
+    "corr_lineitem_metrics",
+    "cumulative_new_users_daily",
+    "cv_folds_orders",
+    "decayed_user_value",
+    "embedding_dup_clusters",
+    # the alphabetically-first five of the quintuple-green twenty-two
+    "asof_join_events_orders",
+    "chunk_recursive_documents",
+    "chunk_semantic_documents",
+    "cube_priority_segment",
+    "decontaminate_documents",
+)
+
+# Oracle queries added in r16 AFTER the window above froze (the
+# established queue mechanism) — first in line for the r17 rotation.
+_NEW_R16: "tuple[str, ...]" = ()
+
 
 # With more oracle-bearing queries (77 as of late r3) than the driver's
 # ~50-entry check window, the overflow is an explicit choice, not
@@ -10098,21 +10175,20 @@ _DEPRIORITIZED = (
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering for the driver harness (checks the FIRST 50
-    entries): the enumerated _R15_WINDOW sorts first (this round's
-    driver window — the 2 new r15 oracles, then the full 24-cohort of
-    r11-last-green anchors, then 24 of the 50 r12-last-green cohort by
-    green-count asc then alphabetical), then _NEW_R15 (oracles added
-    after the window froze — first in line for r16; empty at freeze
-    time), then the multi-green rotation pool (_DEPRIORITIZED last
-    among oracles), then rows-only queries. All oracles are
-    value-checked every round by tests/test_oracle_parity.py regardless
-    of window position."""
+    entries): the enumerated _R16_WINDOW sorts first (this round's
+    driver window — the full 26-cohort of r12-last-green anchors, then
+    24 of the 50 r13-last-green cohort by green-count asc then
+    alphabetical), then _NEW_R16 (oracles added after the window froze
+    — first in line for r17; empty at freeze time), then the
+    multi-green rotation pool (_DEPRIORITIZED last among oracles), then
+    rows-only queries. All oracles are value-checked every round by
+    tests/test_oracle_parity.py regardless of window position."""
     ordered = sorted(
         REGISTRY.items(),
         key=lambda kv: (
             kv[1][1] is None,          # rows-only queries last
-            kv[0] not in _R15_WINDOW,  # the enumerated r15 window first
-            kv[0] not in _NEW_R15,     # new-in-r15 oracles next (r16 queue)
+            kv[0] not in _R16_WINDOW,  # the enumerated r16 window first
+            kv[0] not in _NEW_R16,     # new-in-r16 oracles next (r17 queue)
             kv[0] in _DEPRIORITIZED,   # multi-green rotation pool last
         ),
     )

@@ -88,12 +88,12 @@ def test_driver_window_invariants():
     or a rows-only slip would otherwise surface one round late in
     CORRECTNESS_r{N}.json."""
     from building_a_rag_pipeline_with_airflow_spark.queries import (
-        _NEW_R15,
-        _R15_WINDOW,
+        _NEW_R16,
+        _R16_WINDOW,
         all_queries,
     )
 
-    window = _R15_WINDOW
+    window = _R16_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     missing = [n for n in window if n not in REGISTRY]
@@ -103,4 +103,4 @@ def test_driver_window_invariants():
     first50 = list(all_queries())[:50]
     assert set(first50) == set(window)
     # the post-freeze queue only ever holds oracle-bearing names
-    assert all(n in REGISTRY and REGISTRY[n][1] is not None for n in _NEW_R15)
+    assert all(n in REGISTRY and REGISTRY[n][1] is not None for n in _NEW_R16)
