@@ -430,6 +430,20 @@ r16 notes:
   — the read_stamped_assignments cross-batch dedup hardening, and the
   awaitTermination guards in tests) touches no benched row's physical
   plan. SOLO_ANCHOR_r13.json remains the anchor table of record.
+* Stamp-compaction scale check (scripts/scale_check_r16.py at sf0.1,
+  own quiet session; deterministic hash-derived scores, batches
+  produced via maxFilesPerTrigger=1 so the per-restart constant
+  doesn't swamp the axis): batch-COUNT axis at fixed 125k verdict
+  rows — uncompacted read 0.71 s at 16 files -> 0.90 s at 64 files
+  (the per-file listing/open tax compaction exists to stop; linear in
+  file count, so ~10^5 batches is minutes of pure listing), compacted
+  read flat 0.34-0.55 s at ONE base file either way, compaction
+  itself 1.2-1.9 s. row-SCALE axis at fixed 16 batches — compaction
+  flat at ~0.85 s for 5k/25k/125k rows (constant-dominated; the fold
+  is a verbatim narrow-row rewrite, no shuffle) with the compacted
+  read flat ~0.26 s. Post-compaction, a new batch under the original
+  checkpoint lands beside the base and the read sees it (replay
+  no-op + read parity pinned in tests/test_streaming.py).
 
 r15 notes:
 
