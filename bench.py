@@ -444,6 +444,24 @@ r16 notes:
   read flat ~0.26 s. Post-compaction, a new batch under the original
   checkpoint lands beside the base and the read sees it (replay
   no-op + read parity pinned in tests/test_streaming.py).
+* r16 CLOSING builder-side observation (full 3-round interleaved
+  medians, 62 rows): total 200.2 s vs r15's published 149.17 — but
+  ZERO rows concentrated: median per-row ratio vs SOLO_ANCHOR_r13 is
+  1.39 with the inflation spread uniformly across small (<=3 s)
+  JVM-only rows whose plans are byte-untouched this round (the r16
+  diff touches no benched plan — rotation tables, offline compaction
+  wrapper, unbenched read dedup, tests, docs). Immediate same-host
+  solo re-probe of the six biggest movers (warm best-of-3):
+  km_time_to_purchase 0.85 (interleaved 1.3, anchor 0.454),
+  threshold_curve_orders 0.73 (1.6, 0.57), psi_price_drift 1.18
+  (2.5, 0.971), ks_price_drift 1.31 (2.9, 1.144), winnow_fingerprints
+  0.87 (2.7, 1.154 — BELOW anchor), q21 1.37 (3.3, 1.503 — below
+  anchor): the interleaved swings collapse toward or below anchors
+  the moment the session neighborhood is removed — the r3/r14
+  adjudicated session-inflation pattern on a loaded host (this run
+  followed a 176-query sweep + two scale-check sessions). The r16
+  number of record is whatever BENCH_r16.json publishes; adjudicate
+  per-row against SOLO_ANCHOR_r13.json first, as always.
 
 r15 notes:
 
