@@ -429,7 +429,15 @@ r16 notes:
   compact_stamp_state — offline maintenance, no benched plan reads it
   — the read_stamped_assignments cross-batch dedup hardening, and the
   awaitTermination guards in tests) touches no benched row's physical
-  plan. SOLO_ANCHOR_r13.json remains the anchor table of record.
+  plan. SOLO_ANCHOR_r13.json remains the anchor table of record. The
+  late-r16 family-wide compaction coverage (compact_nb_state /
+  compact_sketch_state / compact_split_state + the writers'
+  compacted_through skip guards) is the same class: offline
+  maintenance plus a no-op guard (fresh states read compacted_through
+  = -1), with the split read's dedup mirroring the stamp's; none of
+  these paths appear in a benched plan (the streamed lifecycle rows
+  are excluded from HEADLINE by the documented budget rules, and the
+  duplication gate's writer is untouched).
 * Stamp-compaction scale check (scripts/scale_check_r16.py at sf0.1,
   own quiet session; deterministic hash-derived scores, batches
   produced via maxFilesPerTrigger=1 so the per-restart constant

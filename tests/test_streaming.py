@@ -1519,3 +1519,122 @@ def test_stamp_read_dedupes_cross_batch_redelivery(spark, tmp_path):
     assert got == sorted(
         map(tuple, gated.select("doc_id", "cal", "keep").collect())
     )
+
+
+def test_streaming_split_compaction_leg(spark, tmp_path):
+    """compact_split_state — the split's compaction leg, the same
+    contract the stamp's leg pins (concatenation fold + frozen-artifact
+    copy): compacted ≡ uncompacted read, the component map travels with
+    the compacted state, a folded-id replay is a write-side no-op (the
+    partition set stays {-1}), new batches under the ORIGINAL
+    checkpoint land beside the base with the read equal to batch
+    cluster_safe_split over the full accumulated stream, and in-place
+    compaction is refused."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.createDataFrame(
+        [(str(i), f"text {i}") for i in range(90)], "doc_id string, text string"
+    )
+    comp = spark.createDataFrame(
+        [(str(i), str(i - i % 3)) for i in range(30)],
+        "doc_id string, component string",
+    )
+    b1 = docs.where(F.col("doc_id").cast("int") % 3 == 0)
+    b2 = docs.where(F.col("doc_id").cast("int") % 3 == 1)
+    b3 = docs.where(F.col("doc_id").cast("int") % 3 == 2)
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    schema = "doc_id string, text string"
+
+    def run(st, ckpt):
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        _drain(ingest.streaming_cluster_safe_split(
+            raw, comp, st, ckpt, eval_fraction=0.3
+        ))
+
+    def read(st):
+        return sorted(map(tuple, ingest.read_split_assignments(spark, st)
+                          .select("doc_id", "split_key", "split").collect()))
+
+    def batch_parts(st):
+        return {
+            r["_batch_id"]
+            for r in spark.read.parquet(f"{st}/batches")
+            .select("_batch_id").distinct().collect()
+        }
+
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run(state, ck)
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run(state, ck)
+    before = read(state)
+    assert batch_parts(state) == {0, 1}
+
+    with pytest.raises(ValueError, match="fresh directory"):
+        ingest.compact_split_state(spark, state, state)
+
+    compacted = str(tmp_path / "state_c")
+    assert ingest.compact_split_state(spark, state, compacted) == 1
+    assert read(compacted) == before
+    assert batch_parts(compacted) == {-1}
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{compacted}/components").collect())
+    ) == sorted(map(tuple, spark.read.parquet(f"{state}/components").collect()))
+
+    # folded-id replay no-op (fresh-checkpoint drain = batch 0 <= through)
+    run(compacted, str(tmp_path / "ck_replay"))
+    assert read(compacted) == before
+    assert batch_parts(compacted) == {-1}
+
+    # new batch beside the base equals batch operator over the full stream
+    b3.coalesce(1).write.parquet(str(src / "d3"))
+    run(compacted, ck)
+    assert batch_parts(compacted) == {-1, 2}
+    assert read(compacted) == sorted(map(tuple, sampling.cluster_safe_split(
+        docs, comp, eval_fraction=0.3
+    ).select("doc_id", "split_key", "split").collect()))
+
+
+def test_split_read_dedupes_cross_batch_redelivery(spark, tmp_path):
+    """The split read's cross-batch re-delivery hardening (the stamp's
+    ADVICE-r15 fix applied family-wide): a doc id delivered in two
+    DIFFERENT micro-batches is assigned under two partitions with the
+    IDENTICAL (split_key, split) — assignment is a pure function of the
+    frozen inputs — and the read returns one row per id."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import sampling
+    from building_a_rag_pipeline_with_airflow_spark.streaming import ingest
+
+    docs = spark.createDataFrame(
+        [(str(i), f"text {i}") for i in range(60)], "doc_id string, text string"
+    )
+    comp = spark.createDataFrame(
+        [(str(i), str(i - i % 2)) for i in range(20)],
+        "doc_id string, component string",
+    )
+    b1 = docs.where(F.col("doc_id").cast("int") < 40)
+    b2 = docs.where(F.col("doc_id").cast("int") >= 30)  # 30..39 re-delivered
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    schema = "doc_id string, text string"
+
+    def run():
+        raw = spark.readStream.schema(schema).parquet(f"{src}/*")
+        _drain(ingest.streaming_cluster_safe_split(
+            raw, comp, state, ck, eval_fraction=0.3
+        ))
+
+    b1.coalesce(1).write.parquet(str(src / "d1"))
+    run()
+    b2.coalesce(1).write.parquet(str(src / "d2"))
+    run()
+
+    assert spark.read.parquet(f"{state}/batches").count() == 70  # overlap twice
+    got = sorted(map(tuple, ingest.read_split_assignments(spark, state)
+                     .select("doc_id", "split_key", "split").collect()))
+    assert len(got) == 60
+    assert got == sorted(map(tuple, sampling.cluster_safe_split(
+        docs, comp, eval_fraction=0.3
+    ).select("doc_id", "split_key", "split").collect()))

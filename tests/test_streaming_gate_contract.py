@@ -127,8 +127,10 @@ def _nb_spec(spark, sf_dir):
     score = docs.where(F.col("doc_id") % 5 != 0).drop("lang").limit(40)
     cols = ("doc_id", "pred", "score", "margin")
     return dict(
-        b1=labeled.where(F.col("doc_id") % 2 == 0),
-        b2=labeled.where(F.col("doc_id") % 2 == 1),
+        b1=labeled.where(F.col("doc_id") % 3 == 0),
+        b2=labeled.where(F.col("doc_id") % 3 == 1),
+        b3=labeled.where(F.col("doc_id") % 3 == 2),  # compaction-leg batch
+        state_subdirs=("token_counts", "doc_counts"),
         schema="doc_id bigint, lang string, text string",
         start=lambda raw, state, ck: ingest.streaming_nb_update(
             raw, state, ck, n_buckets=256
@@ -154,7 +156,9 @@ def _sketch_spec(spark, sf_dir):
     cols = ("event_id", "value", "_prio")
     return dict(
         b1=side.where(F.col("event_id") % 3 == 1),
-        b2=side.where(F.col("event_id") % 3 == 2),
+        b2=side.where((F.col("event_id") % 3 == 2) & (F.col("event_id") % 2 == 0)),
+        b3=side.where((F.col("event_id") % 3 == 2) & (F.col("event_id") % 2 == 1)),
+        state_subdirs=("batches",),
         schema="event_id bigint, value double",
         start=lambda raw, state, ck: ingest.streaming_quantile_sketch(
             raw, baseline, "value", "event_id", state, ck, k=64
@@ -486,6 +490,8 @@ _COMPACTORS = {
     "duplication": lambda spark, s, o: ingest.compact_duplication_state(spark, s, o),
     "calibration": lambda spark, s, o: ingest.compact_calibration_state(spark, s, o),
     "threshold": lambda spark, s, o: ingest.compact_threshold_state(spark, s, o),
+    "nb": lambda spark, s, o: ingest.compact_nb_state(spark, s, o),
+    "sketch": lambda spark, s, o: ingest.compact_sketch_state(spark, s, o),
 }
 
 
@@ -506,9 +512,14 @@ def test_gate_state_compaction_leg(spark, sf_dir, tmp_path, gate):
        checkpoint's monotone ids) keep folding in on top of the base;
     4. in-place compaction (out_path == state_path) is refused.
 
-    Parameterized over the two compactable gates: duplication (the one
-    data-scale state this op exists for) and calibration (metadata-scale
-    file hygiene, same mechanics)."""
+    Parameterized over the compactable gates: duplication (the one
+    data-scale sum-fold state this op exists for), calibration and
+    threshold (metadata-scale sum-fold file hygiene), NB (two sum-fold
+    subdirs), and the quantile sketch (bottom-k fold + verbatim
+    baseline copy — the base shrinks to ≤k rows, and the copied
+    baseline must keep read_sketch_report working). The stamp and
+    split (concatenation folds) have their own legs in
+    tests/test_streaming.py."""
     ctx = SPECS[gate](spark, sf_dir)
     src = tmp_path / "src"
     src.mkdir()
@@ -534,12 +545,17 @@ def test_gate_state_compaction_leg(spark, sf_dir, tmp_path, gate):
     through = _COMPACTORS[gate](spark, state, compacted)
     assert through == 1  # batches 0 and 1 folded
     assert ctx["fold"](compacted) == before
-    parts = {
-        r["_batch_id"]
-        for r in spark.read.parquet(f"{compacted}/partials")
-        .select("_batch_id").distinct().collect()
-    }
-    assert parts == {-1}
+    for sub in ctx.get("state_subdirs", ("partials",)):
+        parts = {
+            r["_batch_id"]
+            for r in spark.read.parquet(f"{compacted}/{sub}")
+            .select("_batch_id").distinct().collect()
+        }
+        assert parts == {-1}
+    if gate == "sketch":
+        # the bottom-k fold bounds STATE SIZE, not just file count:
+        # the base holds at most k rows regardless of batch count
+        assert spark.read.parquet(f"{compacted}/batches").count() <= 64
 
     # 2. replay of an already-folded batch id: the fresh-checkpoint
     #    drain re-delivers every landed file as batch 0, which is
