@@ -1318,11 +1318,82 @@ def embedding_near_dups(
     )
 
 
+def _cc_rounds_broadcast(
+    und: DataFrame, labels: DataFrame, max_iter: int
+) -> DataFrame:
+    """The broadcast-labels round loop of :func:`connected_components`
+    (see its docstring for the strategy and measurements). ``und`` is
+    the pinned symmetric edge checkpoint partitioned by ``src``;
+    ``labels`` the pinned ``(node, component)`` start table. Each round:
+
+    * ``b = broadcast(labels)`` — built once, reused by all three joins
+      (Spark's exchange reuse matches the identical broadcast subtrees);
+    * neighbor min: ``und ⋈ b on dst`` → ``groupBy(src)`` — no exchange
+      (``und`` is src-partitioned and the broadcast join preserves it);
+    * own label + one pointer jump through the OLD labels: two more
+      map-side lookups against the same broadcast — the jump shortens
+      label chains (measured 17 → 12 rounds on a diameter-~12 graph)
+      without the extra broadcast build a jump through the NEW frame
+      would cost;
+    * the ``_changed`` flag rides the checkpoint; the probe is a flag
+      scan of the new blocks, not a join.
+
+    Labels only ever decrease and only ever hold ids of same-component
+    members (neighbors' labels, or the old label of such a label), so
+    the fixpoint is the same min-member labeling the shuffle path
+    converges to — pinned by the oracle and the variant-equality test.
+    """
+    for _ in range(max_iter):
+        b = F.broadcast(labels)
+        nm = (
+            und.join(b, und["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("_c1"))
+        )
+        # und is symmetric, so every node has ≥1 in-edge: nm covers the
+        # whole node set and the own-label join needs no outer side
+        own = nm.join(
+            b.select(F.col("node").alias("_on"), F.col("component").alias("_own")),
+            nm["node"] == F.col("_on"),
+        ).select("node", "_own", F.least("_c1", "_own").alias("_c"))
+        jumped = own.join(
+            b.select(F.col("node").alias("_jn"), F.col("component").alias("_jc")),
+            own["_c"] == F.col("_jn"),
+            "left",
+        ).select(
+            "node",
+            F.least("_c", F.coalesce("_jc", "_c")).alias("component"),
+            # the flag compares the FINAL (post-jump) label against the
+            # old one — labels only decrease, so < ⟺ != ; a pre-jump
+            # comparison could miss a round where only the jump fired
+            (F.least("_c", F.coalesce("_jc", "_c")) < F.col("_own")).alias(
+                "_changed"
+            ),
+        )
+        new_labels = checkpoint_nostats(jumped)
+        converged = new_labels.where("_changed").isEmpty()
+        release_checkpoint(labels)
+        labels = new_labels.select("node", "component")
+        # carry the checkpoint handle so release_checkpoint (next round
+        # or the caller) frees the real blocks through the projection
+        labels._graft_ckpt = getattr(new_labels, "_graft_ckpt", new_labels)
+        if converged:
+            release_checkpoint(und)
+            return labels
+    release_checkpoint(und)
+    raise RuntimeError(
+        f"connected_components: not converged after max_iter="
+        f"{max_iter} rounds; component diameter exceeds the bound "
+        "(raise max_iter, or check the edge list for chain shapes)"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the cluster step
     that turns the ladder's candidate PAIRS into dedup GROUPS (one
@@ -1352,12 +1423,37 @@ def connected_components(
     third invocation ran 4× slower (8.9 s → 33.8 s at sf0.1). The one
     dataset left pinned is the RETURNED labels frame (its lineage is
     truncated, so unpersisting it would make it unrecomputable); it is
-    output-sized — one row per node in any edge."""
+    output-sized — one row per node in any edge.
+
+    Join strategy (r16 optimization round): the labels frame is one row
+    per NODE — tiny next to the edges — so while the node count fits a
+    broadcast (``broadcast_nodes``, the `graph.pagerank` convention),
+    each round ships the labels to the pinned edge partitions instead of
+    exchanging both sides: ONE broadcast build per round, reused by every
+    join in the round (neighbor lookup, own-label lookup, and a pointer
+    jump through the PREVIOUS labels — through OLD labels, not the frame
+    being built, so no second broadcast build and no duplicated subtree
+    per round; a jump through the new frame measured slower for exactly
+    that reason). ``und`` is partitioned by ``src`` at build time (the
+    one edge-scale exchange — HashPartitioning(src) satisfies the
+    (src, dst) clustering the distinct needs, so this REPLACES the old
+    distinct exchange rather than adding one; per-src fan-in is bounded
+    by the node count), so the per-round ``groupBy(src)`` needs no
+    exchange: a round is one node-scale broadcast build plus one
+    map-side job over the pinned edges. The convergence probe rides the
+    checkpoint as a ``_changed`` flag column (labels only ever decrease,
+    so ``new < old`` ⟺ ``new != old``) — a flag scan of the just-written
+    blocks instead of a node-keyed join of two checkpoints. Past
+    ``broadcast_nodes`` the pre-r16 shuffle formulation runs unchanged.
+    Measured at sf0.1 (solo warm best-of-3, r16 host): deep-chain
+    embedding graph 6.55 s → 3.40 s, shallow LSH graph 2.15 s →
+    ~1.5-2.1 s, byte-identical labels on both graphs."""
     und = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
+        .repartition("src")
         .distinct()
         .localCheckpoint(eager=True)  # edges are re-joined every round
     )
@@ -1374,6 +1470,10 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
+    # one cheap scalar over the just-materialized node-scale checkpoint
+    # decides the join strategy for every round (the pagerank pattern)
+    if labels.count() <= int(broadcast_nodes):
+        return _cc_rounds_broadcast(und, labels, max_iter)
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["dst"] == labels["node"])
