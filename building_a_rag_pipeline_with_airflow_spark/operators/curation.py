@@ -46,19 +46,23 @@ def repetition_stats(
 
     ``1 - distinct_bigrams / total_bigrams`` over word 2-grams (0.0 for
     docs too short to have one). All array built-ins on the row — the
-    whole thing is a projection."""
+    whole thing is a projection (two chained projections since r16: the
+    token array is materialized to its own column first, the
+    ``ngrams_from_tokens`` rule — a ``split`` referenced inside the
+    transform lambda would re-split the text once per bigram)."""
     toks = tokens(F.lower(F.col(text_col)))
+    pre = df.select(F.col(id_col), toks.alias("_toks"))
     grams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
+        F.size("_toks") < 2, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(" ", F.col("_toks")[i], F.col("_toks")[i + 1]),
         )
     )
     n_total = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
-    return df.select(
+    return pre.select(
         F.col(id_col),
         n_total.cast("bigint").alias("n_bigrams"),
         F.when(n_total <= 0, F.lit(0.0))
