@@ -738,8 +738,12 @@ def nb_domain_classify(
     cls_tok = lab_tok.groupBy("_lbl", "b").agg(
         F.count("*").cast("bigint").alias("n_lb")
     )
-    cls_tot = lab_tok.groupBy("_lbl").agg(
-        F.count("*").cast("double").alias("n_l")
+    # r16: per-class token totals are the SUM of the per-(class, bucket)
+    # counts — re-aggregate the ≤ classes×buckets cls_tok frame instead
+    # of re-exploding the labeled corpus a second time (one data-scale
+    # explode+shuffle removed; identical values by definition)
+    cls_tot = cls_tok.groupBy("_lbl").agg(
+        F.sum("n_lb").cast("double").alias("n_l")
     )
     prior = (
         labeled_df.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -749,9 +753,22 @@ def nb_domain_classify(
     prior = prior.crossJoin(
         F.broadcast(prior.agg(F.sum("n_docs").alias("_td")))
     ).select("_lbl", F.log(F.col("n_docs") / F.col("_td")).alias("log_prior"))
-    # grid: every (class, bucket-a-scored-doc-contains) pair gets a
-    # smoothed log-prob, including buckets unseen in that class
-    buckets = sc_tok.select("b").distinct()
+    # grid: every (class, bucket) pair gets a smoothed log-prob,
+    # including buckets unseen in that class. r16: for bounded feature
+    # spaces the bucket axis is enumerated with a range(n_buckets) —
+    # 2·n_buckets metadata rows — instead of a distinct over the
+    # exploded scored corpus, which re-ran the score-side explode a
+    # second time just to learn which buckets exist; extra grid rows for
+    # buckets no scored doc contains never survive the per_class join,
+    # so the output is identical. Unbounded/huge spaces keep the
+    # observed-bucket distinct (the grid must stay metadata-scale).
+    if int(n_buckets) <= 65536:
+        buckets = (
+            labeled_df.sparkSession.range(int(n_buckets))
+            .select(F.col("id").cast("bigint").alias("b"))
+        )
+    else:
+        buckets = sc_tok.select("b").distinct()
     grid = (
         buckets.crossJoin(F.broadcast(cls_tot))
         .join(cls_tok, ["b", "_lbl"], "left")

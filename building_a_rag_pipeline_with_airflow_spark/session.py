@@ -31,7 +31,19 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
+    # r16 negative result, kept for the record: preferSortMergeJoin=false
+    # (guide §3.1 — allow shuffled-hash joins) looked like a ~20% win on
+    # a whole-set A/B at sf0.1, but a per-row INTERLEAVED re-measure
+    # (best-of-3 min over two passes per mode, 14 join-bearing rows)
+    # read the deltas as ±0.1-0.3 s noise summing to ~zero — the
+    # whole-set "win" was session-order drift on this host. Default kept.
+    # spark.sql.shuffle.partitions stays a conf, not a constant tuned to
+    # this box: default 32 locally (AQE coalescing makes the exact value
+    # non-critical), overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS for
+    # cluster deployments where the right figure is sized to data volume.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 
