@@ -52,12 +52,18 @@ def repetition_stats(
     transform lambda would re-split the text once per bigram)."""
     toks = tokens(F.lower(F.col(text_col)))
     pre = df.select(F.col(id_col), toks.alias("_toks"))
+    # r17: capture-free bigram form (zip_with over two slices) — same
+    # construction as gopher_quality_flags; a lambda that CAPTURES
+    # `_toks` to index it re-evaluates whatever expression the optimizer
+    # substitutes for `_toks` once per bigram when a downstream filter
+    # pushes through this projection (see gopher_quality_flags).
     grams = F.when(
         F.size("_toks") < 2, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - 2),
-            lambda i: F.concat_ws(" ", F.col("_toks")[i], F.col("_toks")[i + 1]),
+        F.zip_with(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            F.slice("_toks", 2, F.size("_toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     )
     n_total = F.size(grams)
@@ -112,12 +118,23 @@ def gopher_quality_flags(
         n_symbols / n_words.cast("double")
     )
     stop_hits = stopword_hits_from_tokens(F.col("_toks"), "en").cast("bigint")
+    # r17: bigrams via zip_with over two slices, NOT transform over an
+    # index sequence whose lambda CAPTURES the token array. A filter on
+    # the output (curate_corpus stage 1 filters on `keep`) pushes the
+    # predicate down through this projection and substitutes `_toks`
+    # with its defining `split(...)` everywhere — inside a capturing
+    # lambda that re-splits the text once PER BIGRAM (O(tokens²) per
+    # doc; measured: `gates.where(keep).select(id)` 20.0 s vs 0.8 s for
+    # the unfiltered frame at sf0.1). zip_with's operands are lambda
+    # ARGUMENTS, evaluated once per row however the optimizer inlines
+    # them, and the element values are byte-identical.
     grams = F.when(
         F.size("_toks") < 2, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - 2),
-            lambda i: F.concat_ws(" ", F.col("_toks")[i], F.col("_toks")[i + 1]),
+        F.zip_with(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            F.slice("_toks", 2, F.size("_toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     )
     dup_frac = F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
