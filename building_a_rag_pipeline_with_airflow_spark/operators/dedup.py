@@ -1318,6 +1318,41 @@ def embedding_near_dups(
     )
 
 
+def _cc_broadcast_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE broadcast round's plan — factored out of
+    :func:`_cc_rounds_broadcast` so the plan-pin test asserts on the
+    EXACT construction the loop runs (the ``graph._round_contrib``
+    convention: a hand-rederived copy in the test would keep passing if
+    this round regressed to sort-merge joins). Returns the
+    ``(node, component, _changed)`` frame the loop checkpoints."""
+    b = F.broadcast(labels)
+    nm = (
+        und.join(b, und["dst"] == labels["node"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("component").alias("_c1"))
+    )
+    # und is symmetric, so every node has ≥1 in-edge: nm covers the
+    # whole node set and the own-label join needs no outer side
+    own = nm.join(
+        b.select(F.col("node").alias("_on"), F.col("component").alias("_own")),
+        nm["node"] == F.col("_on"),
+    ).select("node", "_own", F.least("_c1", "_own").alias("_c"))
+    return own.join(
+        b.select(F.col("node").alias("_jn"), F.col("component").alias("_jc")),
+        own["_c"] == F.col("_jn"),
+        "left",
+    ).select(
+        "node",
+        F.least("_c", F.coalesce("_jc", "_c")).alias("component"),
+        # the flag compares the FINAL (post-jump) label against the
+        # old one — labels only decrease, so < ⟺ != ; a pre-jump
+        # comparison could miss a round where only the jump fired
+        (F.least("_c", F.coalesce("_jc", "_c")) < F.col("_own")).alias(
+            "_changed"
+        ),
+    )
+
+
 def _cc_rounds_broadcast(
     und: DataFrame, labels: DataFrame, max_iter: int
 ) -> DataFrame:
@@ -1344,33 +1379,7 @@ def _cc_rounds_broadcast(
     converges to — pinned by the oracle and the variant-equality test.
     """
     for _ in range(max_iter):
-        b = F.broadcast(labels)
-        nm = (
-            und.join(b, und["dst"] == labels["node"])
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("component").alias("_c1"))
-        )
-        # und is symmetric, so every node has ≥1 in-edge: nm covers the
-        # whole node set and the own-label join needs no outer side
-        own = nm.join(
-            b.select(F.col("node").alias("_on"), F.col("component").alias("_own")),
-            nm["node"] == F.col("_on"),
-        ).select("node", "_own", F.least("_c1", "_own").alias("_c"))
-        jumped = own.join(
-            b.select(F.col("node").alias("_jn"), F.col("component").alias("_jc")),
-            own["_c"] == F.col("_jn"),
-            "left",
-        ).select(
-            "node",
-            F.least("_c", F.coalesce("_jc", "_c")).alias("component"),
-            # the flag compares the FINAL (post-jump) label against the
-            # old one — labels only decrease, so < ⟺ != ; a pre-jump
-            # comparison could miss a round where only the jump fired
-            (F.least("_c", F.coalesce("_jc", "_c")) < F.col("_own")).alias(
-                "_changed"
-            ),
-        )
-        new_labels = checkpoint_nostats(jumped)
+        new_labels = checkpoint_nostats(_cc_broadcast_round(und, labels))
         converged = new_labels.where("_changed").isEmpty()
         release_checkpoint(labels)
         labels = new_labels.select("node", "component")
@@ -1380,6 +1389,10 @@ def _cc_rounds_broadcast(
         if converged:
             release_checkpoint(und)
             return labels
+    # error path: the final round's labels checkpoint has no caller to
+    # release it — free it here with the edges or the blocks stay pinned
+    # for the session (ADVICE r16; memory-discipline contract)
+    release_checkpoint(labels)
     release_checkpoint(und)
     raise RuntimeError(
         f"connected_components: not converged after max_iter="
@@ -1541,6 +1554,9 @@ def connected_components(
         # near-dup graphs are diameter ≤ ~3, so hitting this means the
         # edge list isn't the clique/star shape this operator assumes and
         # the caller should raise max_iter deliberately.
+        # error path: release the final round's labels checkpoint too
+        # (ADVICE r16) — no caller ever sees it
+        release_checkpoint(labels)
         release_checkpoint(und)
         raise RuntimeError(
             f"connected_components: not converged after max_iter="

@@ -502,3 +502,89 @@ def test_attribution_sums_exact_cents(spark):
     }
     # round(1000.5) cents = 1001 per purchase (HALF_UP both engines)
     assert out == {"view": (2, 20.02)}
+
+
+def test_connected_components_broadcast_equals_shuffle(spark, sf_dir):
+    """r16 gated CC on broadcast_nodes: every test graph and every
+    sf0.001/0.01 oracle run is under the 2M-node threshold, so only the
+    broadcast loop is ever exercised — this differential pins the
+    shuffle loop (forced via broadcast_nodes=0) label-for-label equal on
+    (a) a deep chain (many propagation rounds, the pointer-jump stress),
+    (b) clique + star shapes (the near-dup graph shapes), and (c) the sf
+    fixture's REAL near-dup candidate graph."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    shapes = spark.createDataFrame(
+        [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(200, 200 + i) for i in range(1, 6)],
+        "id_a long, id_b long",
+    )
+    for edges in (chain.unionByName(shapes),):
+        bc = {
+            (r.node, r.component)
+            for r in dedup.connected_components(edges, max_iter=50).collect()
+        }
+        sh = {
+            (r.node, r.component)
+            for r in dedup.connected_components(
+                edges, max_iter=50, broadcast_nodes=0
+            ).collect()
+        }
+        assert bc == sh and bc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    bc = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs, "id_a", "id_b").collect()
+    }
+    sh = {
+        (r.node, r.component)
+        for r in dedup.connected_components(
+            pairs, "id_a", "id_b", broadcast_nodes=0
+        ).collect()
+    }
+    assert bc == sh and bc
+
+
+def test_cc_broadcast_round_never_sortmergejoins(spark):
+    """The broadcast CC round must broadcast the node-sized labels into
+    the pinned src-partitioned edges — never sort-merge-shuffle the edge
+    side. Asserts on dedup._cc_broadcast_round, the EXACT helper the
+    loop checkpoints (the graph._round_contrib convention), over the
+    operator's own und/labels construction."""
+    from pyspark.sql import functions as F
+
+    from building_a_rag_pipeline_with_airflow_spark.operators import dedup
+    from building_a_rag_pipeline_with_airflow_spark.operators import (
+        checkpoint_nostats,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    und = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .repartition("src")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = checkpoint_nostats(
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    plan = (
+        dedup._cc_broadcast_round(und, labels)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
