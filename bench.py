@@ -417,6 +417,32 @@ r14 notes:
   adjudicate per-row against SOLO_ANCHOR_r13.json (still the anchor
   table of record — zero plans changed).
 
+r17 notes (optimization round 2 of 2):
+
+* One-story rule: the r16 number of record is BENCH_r16.json's
+  153.87 s (60-row roster; 5 improved rows = exactly the 5 r16-touched
+  plans; the 23 "regressions" were adjudicated by the r16 verdict as
+  one-sided host drift on untouched plans). SOLO_ANCHOR_r16's
+  embedding_dup_clusters/nb rows were taken on the degraded host (r16
+  verdict "what's wrong" #3) — r17 re-anchors them (SOLO_ANCHOR_r17,
+  maintenance pass) together with the two rows whose plans r17 changed
+  (gopher_quality_flags, duplication_profile_documents — the
+  capture-free zip_with bigram form, see OPTIMIZATION_r17.md #1).
+* r17 baseline on this round's host: 194.2 s total /
+  curate_corpus_gated_e2e_s 39.73 — the host reads ~25-30 % over the
+  driver's r16 session on byte-identical code, so every r17 claim is an
+  adjacent same-session A/B, not a cross-round total.
+* The big r17 change is invisible to the headline roster by
+  construction: curate stage 1's `keep`-filtered gates frame paid an
+  O(tokens²) pushdown-inlined re-split (20.0 s vs 0.8 s unfiltered at
+  sf0.1) that only the curate tail runs — after the capture-free bigram
+  fix the tail reads ~13-18 s warm (39.73 baseline this host; the
+  historical 27-35 s band on quieter hosts should drop proportionally).
+  Expect curate_corpus_gated_e2e_s, NOT the headline total, to carry
+  this round's improvement.
+* No HEADLINE roster change, no timed-region change, no methodology
+  change this round.
+
 r16 notes:
 
 * Legacy tail-key alias DROPPED as scheduled (r15 notes committed the

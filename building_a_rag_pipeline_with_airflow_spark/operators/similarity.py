@@ -803,7 +803,20 @@ def blocked_cosine_pairs(
     sf0.1 (n=2,000): fixed B=16 → derived B=6 reads 1.80 s → 0.87 s
     warm solo, byte-identical pairs (the 125-row blocks at B=16 left
     every matmul too small to amortize its task). Deriving B costs one
-    parquet-metadata count of the input.
+    ``count()`` of the input — a parquet-metadata count when ``emb`` is
+    a bare scan, but a FULL execution of any derived upstream pipeline
+    (which then runs again when the pairs compute): callers with an
+    expensive unpersisted upstream should persist ``emb`` or pass
+    ``n_blocks`` explicitly.
+
+    Tile tasks are capped (r17, ADVICE r16): past n≈267k the ``n/4000``
+    memory floor grows B linearly, so the B(B+1)/2 tile count grows
+    quadratically — n=1M would schedule ~31k single-tile tasks, where
+    per-task overhead swamps the matmul win. The tile→partition
+    repartition is therefore bounded at ``max(8·defaultParallelism,
+    256)`` partitions; past the bound tiles SHARE partitions (several
+    matmuls per task — output unaffected, B-invariance above). Local
+    plans are unchanged (21 tiles at sf0.1, far under any bound).
     """
     import math
 
@@ -855,8 +868,15 @@ def blocked_cosine_pairs(
             ),
             F.col("_ba") <= F.col("_bb"),
         )
-        # one tile per task: the matmul is the unit of parallelism
-        .repartition(n_blocks * (n_blocks + 1) // 2)
+        # one tile per task while tiles are few; past the cap, tiles
+        # share partitions (several matmuls per task) so the task count
+        # cannot grow quadratically with B (docstring, ADVICE r16)
+        .repartition(
+            min(
+                n_blocks * (n_blocks + 1) // 2,
+                max(8 * emb.sparkSession.sparkContext.defaultParallelism, 256),
+            )
+        )
     )
     slack = float(threshold) - 5.0 * (10.0 ** -int(ndigits))
 

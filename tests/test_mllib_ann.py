@@ -764,3 +764,23 @@ def test_ivf_null_vectors_never_enter_the_index(spark, tmp_path):
 
     got = similarity.query_ivf_index(spark, path, [0.0, 1.0], k=2)
     assert [r.vec_id for r in got.collect()] == [2, 5]
+
+
+def test_blocked_cosine_tile_cap_output_invariant(spark, sf_dir):
+    """r17 (ADVICE r16): past the partition bound, block-pair tiles share
+    partitions instead of scheduling B(B+1)/2 single-tile tasks. Output
+    must be invariant — force a tile count past the cap (B=40 → 820
+    tiles > max(8·parallelism, 256) here) and pin pair-for-pair equality
+    with a small-B run."""
+    from building_a_rag_pipeline_with_airflow_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lo = sorted(
+        map(tuple, similarity.blocked_cosine_pairs(
+            emb, threshold=0.4, n_blocks=4).collect())
+    )
+    hi = sorted(
+        map(tuple, similarity.blocked_cosine_pairs(
+            emb, threshold=0.4, n_blocks=40).collect())
+    )
+    assert lo == hi and lo
