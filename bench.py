@@ -442,6 +442,17 @@ r17 notes (optimization round 2 of 2):
   this round's improvement.
 * No HEADLINE roster change, no timed-region change, no methodology
   change this round.
+* r17 CLOSING builder-side observation (same host as the 194.2 s
+  baseline, 900 s budget): total 185.4 s with curate_corpus_gated_e2e_s
+  15.36 s (vs 39.73 baseline — the touched-plan win); per-row movers
+  two-sided on untouched plans (winnow −1.3 / media_phash +2.9 in one
+  run), the usual session-noise signature. The r17 number of record is
+  whatever BENCH_r17.json publishes; adjudicate per-row against
+  SOLO_ANCHOR_r17.json (which re-anchors gopher_quality_flags 1.89,
+  duplication_profile_documents 1.665 — the two r17 plan changes — and
+  replaces the r16 host-degraded embedding_dup_clusters 13.47 anchor
+  with 4.666 and nb_lang_classify 1.846 with 1.58) and
+  SOLO_ANCHOR_r13.json for everything else.
 
 r16 notes:
 
