@@ -190,17 +190,25 @@ def decontaminate(
     so its gram set broadcasts; one semi-ish equi-join + per-doc distinct
     count. The corpus never shuffles on anything but its own gram
     explosion; output is (doc_id, n_collisions, contaminated)."""
+    # r17: tokens projected to their own column BEFORE the n-gram
+    # transform (the ngrams_from_tokens rule, already applied at
+    # dedup.shingles): passing the raw tokens(...) expression put the
+    # split inside the transform's capturing slice lambda — re-splitting
+    # the text once per gram position (visible as split() inside
+    # lambdafunction in plans/r17/decontaminate_documents_before.txt,
+    # both sides). Grams identical; split now runs once per row.
     corpus = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(
-            ngrams_from_tokens(tokens(F.lower(F.col(text_col))), n)
-        ).alias("gram"),
+        F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
     )
     bench = (
         benchmark.select(
-            F.explode(
-                ngrams_from_tokens(tokens(F.lower(F.col(bench_text_col))), n)
-            ).alias("gram")
+            tokens(F.lower(F.col(bench_text_col))).alias("_toks")
+        )
+        .select(
+            F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
         )
         .distinct()
     )

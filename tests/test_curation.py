@@ -448,3 +448,12 @@ def test_gates_keep_filter_never_resplits_per_bigram(spark, sf_dir):
     rep_filtered = rep.where(F.col("dup_bigram_frac") <= 0.3).select("doc_id")
     rep_plan = rep_filtered._jdf.queryExecution().executedPlan().toString()
     assert _split_inside_lambda_bodies(rep_plan) == 0
+
+    # decontaminate passed the raw tokens(...) expression into
+    # ngrams_from_tokens, whose slice lambda CAPTURES it — re-split per
+    # gram position on BOTH explode sides (4 split-in-lambda in the
+    # pre-r17 plan); tokens must stay projected to a column first
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    dec = curation.decontaminate(docs, bench, "text", "doc_id")
+    dec_plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert _split_inside_lambda_bodies(dec_plan) == 0
